@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geometry column math — the reference's geometry handling
+  * (reference: src/o2agol/pipeline/transform.py:252-294 geometry
+  * rules; src/o2agol/pipeline/source.py:496-507 bbox filters;
+  * src/o2agol/utils.py:376-425 bbox validate/expand) re-expressed
+  * over plain coordinate columns. Everything is built from
+  * `functions._` so it compiles to whole-stage codegen — no UDFs.
+  */
+object Geo {
+
+  /** Mean-earth radius (km), the figure GIS stacks use. */
+  val EarthRadiusKm = 6371.0088
+
+  /** Great-circle distance between two lon/lat points in degrees. */
+  def haversineKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Planar euclidean distance. */
+  def euclid(dx: Column, dy: Column): Column = sqrt(dx * dx + dy * dy)
+
+  /** Point-in-bbox predicate (the reference's 4-range filter). */
+  def inBBox(x: Column, y: Column, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Column =
+    x >= xmin && x <= xmax && y >= ymin && y <= ymax
+
+  /** Per-group bounding box aggregate (cache metadata computes
+    * `gdf.total_bounds` — reference source.py:1454).
+    */
+  def bboxAgg(df: DataFrame, groupCols: Seq[String], x: String, y: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        round(min(col(x)), 4).as("xmin"),
+        round(min(col(y)), 4).as("ymin"),
+        round(max(col(x)), 4).as("xmax"),
+        round(max(col(y)), 4).as("ymax"))
+
+  /** Polyline length per trajectory: consecutive-point segment
+    * lengths summed in event order. One shuffle (window by key);
+    * degenerate polylines below `minLength` dropped — the
+    * MIN_LINE_LENGTH rule (transform.py:30).
+    */
+  def lineLength(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      x: String,
+      y: String,
+      minLength: Double
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    df.withColumn("_px", lag(col(x), 1).over(w))
+      .withColumn("_py", lag(col(y), 1).over(w))
+      .withColumn("_seg",
+        when(col("_px").isNull, lit(0.0))
+          .otherwise(euclid(col(x) - col("_px"), col(y) - col("_py"))))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col("_seg")), 4).as("length"), count(lit(1)).as("n_points"))
+      .filter(col("length") > minLength)
+  }
+}

@@ -108,7 +108,8 @@ object Analytic {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 4).as("totalprice"), col("rn"))
+        round(col("o_totalprice"), 4).as("totalprice"),
+        col("rn").cast("long").as("rn"))
   }
 
   val qTopnWindowSql: String =
@@ -153,7 +154,7 @@ object Analytic {
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSecs * 1000000L, 1).otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .withColumn("session_id", sum(col("new_session")).over(byUser).cast("long"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -162,7 +163,7 @@ object Analytic {
   }
 
   val qSessionizeSql: String =
-    """SELECT user_id, session_id, count(*) AS n_events,
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
       |  round(sum(value), 4) AS session_value
       |FROM (
       |  SELECT user_id, ts, value,

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Geo
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geometry-math operator exercises (SURVEY §2 C). The testdata has
+  * no geometry column, so coordinates derive deterministically from
+  * event columns: x = value, y = JSON props.k — both real data, no
+  * synthesis.
+  */
+object GeoQueries {
+
+  private def points(t: Tables): DataFrame =
+    t.events.select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      col("ts"),
+      col("value").as("x"),
+      get_json_object(col("props"), "$.k").cast("double").as("y"))
+
+  private val PointsSql =
+    """SELECT event_id, user_id, event_type, ts, value AS x,
+      |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y FROM events""".stripMargin
+
+  /** C1: per-group bounding box (reference computes total_bounds for
+    * cache metadata, source.py:1454).
+    */
+  def geoBboxAgg(spark: SparkSession, dir: String): DataFrame =
+    Geo.bboxAgg(points(Tables(spark, dir)), Seq("event_type"), "x", "y")
+
+  val geoBboxAggSql: String =
+    s"""SELECT event_type, round(min(x), 4) AS xmin, round(min(y), 4) AS ymin,
+       |  round(max(x), 4) AS xmax, round(max(y), 4) AS ymax
+       |FROM ($PointsSql) GROUP BY event_type""".stripMargin
+
+  /** C2: trajectory polyline length with degenerate-drop
+    * (MIN_LINE_LENGTH, transform.py:30).
+    */
+  def geoLineLength(spark: SparkSession, dir: String): DataFrame =
+    Geo.lineLength(points(Tables(spark, dir)), "user_id", "ts", "x", "y", minLength = 1e-10)
+
+  val geoLineLengthSql: String =
+    s"""SELECT user_id, round(sum(seg), 4) AS length, count(*) AS n_points
+       |FROM (
+       |  SELECT user_id,
+       |    CASE WHEN px IS NULL THEN 0.0
+       |         ELSE sqrt((x - px) * (x - px) + (y - py) * (y - py)) END AS seg
+       |  FROM (
+       |    SELECT user_id, x, y,
+       |      lag(x) OVER (PARTITION BY user_id ORDER BY ts) AS px,
+       |      lag(y) OVER (PARTITION BY user_id ORDER BY ts) AS py
+       |    FROM ($PointsSql) p) q) r
+       |GROUP BY user_id HAVING round(sum(seg), 4) > 1e-10""".stripMargin
+
+  /** C3: point-in-bbox containment count per class (the clip
+    * strategies' range predicate, source.py:496-507).
+    */
+  def geoPointInBbox(spark: SparkSession, dir: String): DataFrame = {
+    val p = points(Tables(spark, dir))
+    p.filter(Geo.inBBox(col("x"), col("y"), 10.0, 20.0, 120.0, 80.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_inside"))
+  }
+
+  val geoPointInBboxSql: String =
+    s"""SELECT event_type, count(*) AS n_inside FROM ($PointsSql)
+       |WHERE x >= 10.0 AND x <= 120.0 AND y >= 20.0 AND y <= 80.0
+       |GROUP BY event_type""".stripMargin
+
+  /** C4: haversine great-circle distance — codegen-friendly column
+    * composition, no UDF. Coordinates mapped into valid lon/lat
+    * ranges; distance to the origin, averaged per class.
+    */
+  def geoHaversine(spark: SparkSession, dir: String): DataFrame = {
+    val p = points(Tables(spark, dir))
+      .withColumn("lon", col("x") % 180.0)
+      .withColumn("lat", col("y") % 90.0)
+    p.withColumn("dist_km", Geo.haversineKm(col("lon"), col("lat"), lit(0.0), lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("dist_km")), 4).as("avg_dist_km"))
+  }
+
+  val geoHaversineSql: String =
+    s"""SELECT event_type, round(avg(dist_km), 4) AS avg_dist_km FROM (
+       |  SELECT event_type,
+       |    2 * 6371.0088 * asin(sqrt(
+       |      pow(sin(radians(0.0 - (y % 90.0)) / 2), 2) +
+       |      cos(radians(y % 90.0)) * cos(radians(0.0)) *
+       |      pow(sin(radians(0.0 - (x % 180.0)) / 2), 2))) AS dist_km
+       |  FROM ($PointsSql) p) q
+       |GROUP BY event_type""".stripMargin
+}

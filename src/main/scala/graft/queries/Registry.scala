@@ -19,6 +19,28 @@ object Registry {
     QueryDef("q5_volume", Analytic.q5Volume, Some(Analytic.q5VolumeSql)),
     QueryDef("q_topn_window", Analytic.qTopnWindow, Some(Analytic.qTopnWindowSql)),
     QueryDef("q_events_window", Analytic.qEventsWindow, Some(Analytic.qEventsWindowSql)),
-    QueryDef("q_sessionize", Analytic.qSessionize, Some(Analytic.qSessionizeSql))
+    QueryDef("q_sessionize", Analytic.qSessionize, Some(Analytic.qSessionizeSql)),
+    QueryDef("src_select_alias", SourceQueries.srcSelectAlias, Some(SourceQueries.srcSelectAliasSql)),
+    QueryDef("src_json_nested", SourceQueries.srcJsonNested, Some(SourceQueries.srcJsonNestedSql)),
+    QueryDef("src_bbox_filter", SourceQueries.srcBboxFilter, Some(SourceQueries.srcBboxFilterSql)),
+    QueryDef("src_filter_eq", SourceQueries.srcFilterEq, Some(SourceQueries.srcFilterEqSql)),
+    QueryDef("src_filter_in", SourceQueries.srcFilterIn, Some(SourceQueries.srcFilterInSql)),
+    QueryDef("src_limit", SourceQueries.srcLimit, Some(SourceQueries.srcLimitSql)),
+    QueryDef("src_multilayer", SourceQueries.srcMultilayer, Some(SourceQueries.srcMultilayerSql)),
+    QueryDef("src_geometry_split", SourceQueries.srcGeometrySplit, Some(SourceQueries.srcGeometrySplitSql)),
+    QueryDef("src_divisions_clip", SourceQueries.srcDivisionsClip, Some(SourceQueries.srcDivisionsClipSql)),
+    QueryDef("tr_normalize_roads", TransformQueries.trNormalizeRoads, Some(TransformQueries.trNormalizeRoadsSql)),
+    QueryDef("tr_normalize_buildings", TransformQueries.trNormalizeBuildings, Some(TransformQueries.trNormalizeBuildingsSql)),
+    QueryDef("tr_normalize_places", TransformQueries.trNormalizePlaces, Some(TransformQueries.trNormalizePlacesSql)),
+    QueryDef("tr_clip_strings", TransformQueries.trClipStrings, Some(TransformQueries.trClipStringsSql)),
+    QueryDef("tr_safe_numeric", TransformQueries.trSafeNumeric, Some(TransformQueries.trSafeNumericSql)),
+    QueryDef("tr_first_of_array", TransformQueries.trFirstOfArray, Some(TransformQueries.trFirstOfArraySql)),
+    QueryDef("tr_sanitize_fields", TransformQueries.trSanitizeFields, Some(TransformQueries.trSanitizeFieldsSql)),
+    QueryDef("tr_metadata_enrich", TransformQueries.trMetadataEnrich, Some(TransformQueries.trMetadataEnrichSql)),
+    QueryDef("tr_drop_invalid", TransformQueries.trDropInvalid, Some(TransformQueries.trDropInvalidSql)),
+    QueryDef("geo_bbox_agg", GeoQueries.geoBboxAgg, Some(GeoQueries.geoBboxAggSql)),
+    QueryDef("geo_line_length", GeoQueries.geoLineLength, Some(GeoQueries.geoLineLengthSql)),
+    QueryDef("geo_point_in_bbox", GeoQueries.geoPointInBbox, Some(GeoQueries.geoPointInBboxSql)),
+    QueryDef("geo_haversine", GeoQueries.geoHaversine, Some(GeoQueries.geoHaversineSql))
   )
 }

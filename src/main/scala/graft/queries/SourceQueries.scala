@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-layer operator exercises (SURVEY §2 A) — every query goes
+  * through the OvertureReader/FilterDsl public API, not ad-hoc
+  * DataFrame code, so the oracle checks the library surface itself.
+  */
+object SourceQueries {
+
+  /** A1: explicit column selection + aliasing (reference
+    * OVERTURE_COLUMNS, source.py:30-71).
+    */
+  def srcSelectAlias(spark: SparkSession, dir: String): DataFrame =
+    OvertureReader.read(
+      Tables(spark, dir),
+      ReadRequest("events",
+        columns = Seq("event_id", "event_type as etype", "user_id", "value")))
+
+  val srcSelectAliasSql: String =
+    "SELECT event_id, event_type AS etype, user_id, value FROM events"
+
+  /** A2: nested-field access `names.primary as name` → JSON property
+    * extraction on the `props` string column.
+    */
+  def srcJsonNested(spark: SparkSession, dir: String): DataFrame =
+    OvertureReader
+      .read(
+        Tables(spark, dir),
+        ReadRequest("events", columns = Seq("event_id", "props.k as k_raw")))
+      .withColumn("k", col("k_raw").cast("int"))
+      .drop("k_raw")
+
+  val srcJsonNestedSql: String =
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+
+  /** A3: bbox pre-filter — 2-D range predicate pushed to the scan
+    * (reference source.py:496-507).
+    */
+  def srcBboxFilter(spark: SparkSession, dir: String): DataFrame =
+    OvertureReader.read(
+      Tables(spark, dir),
+      ReadRequest("events",
+        columns = Seq("event_id", "value", "user_id"),
+        bbox = Some(BBoxFilter("value", "user_id", BBox(50.0, 100.0, 150.0, 900.0)))))
+
+  val srcBboxFilterSql: String =
+    """SELECT event_id, value, user_id FROM events
+      |WHERE value >= 50.0 AND value <= 150.0
+      |  AND user_id >= 100 AND user_id <= 900""".stripMargin
+
+  /** A4: apply_sql_filter equality (source.py:94-115). */
+  def srcFilterEq(spark: SparkSession, dir: String): DataFrame =
+    OvertureReader.read(
+      Tables(spark, dir),
+      ReadRequest("documents",
+        columns = Seq("doc_id", "lang", "source", "n_chars"),
+        filter = Some("lang = 'en'")))
+
+  val srcFilterEqSql: String =
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'"
+
+  /** A5: apply_sql_filter IN-list (source.py:117-145). */
+  def srcFilterIn(spark: SparkSession, dir: String): DataFrame =
+    OvertureReader.read(
+      Tables(spark, dir),
+      ReadRequest("events",
+        columns = Seq("event_id", "event_type", "user_id"),
+        filter = Some("event_type IN ('click', 'view')")))
+
+  val srcFilterInSql: String =
+    "SELECT event_id, event_type, user_id FROM events WHERE event_type IN ('click', 'view')"
+
+  /** A6: deterministic feature limit (reference appends LIMIT n,
+    * source.py:459-460; we sort first for stable results).
+    */
+  def srcLimit(spark: SparkSession, dir: String): DataFrame =
+    OvertureReader.read(
+      Tables(spark, dir),
+      ReadRequest("orders",
+        columns = Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+        limit = Some(LimitSpec(100, Seq("o_orderkey")))))
+
+  val srcLimitSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin
+
+  /** A7: multilayer dual read with source_type tags, unioned by name
+    * (reference dual places+buildings query, source.py:509-586).
+    */
+  def srcMultilayer(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    OvertureReader.readMultilayer(
+      t,
+      Seq(
+        "place" -> ReadRequest("customer",
+          columns = Seq("c_custkey as id", "c_name as name"),
+          filter = Some("c_mktsegment = 'BUILDING'")),
+        "building" -> ReadRequest("supplier",
+          columns = Seq("s_suppkey as id", "s_name as name"))
+      ))
+  }
+
+  val srcMultilayerSql: String =
+    """SELECT c_custkey AS id, c_name AS name, 'place' AS source_type
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION ALL
+      |SELECT s_suppkey AS id, s_name AS name, 'building' AS source_type
+      |FROM supplier""".stripMargin
+
+  /** A8: geometry-family split classification (source.py:966-1003);
+    * event_type stands in for the geometry-type designator.
+    */
+  def srcGeometrySplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    OvertureReader
+      .geometrySplit(
+        t.events.select("event_id", "event_type"),
+        "event_type",
+        Map(
+          "points"   -> Seq("click", "view"),
+          "lines"    -> Seq("purchase"),
+          "polygons" -> Seq("signup")))
+      .groupBy(col("geometry_family"))
+      .agg(count(lit(1)).as("n_features"))
+  }
+
+  val srcGeometrySplitSql: String =
+    """SELECT CASE
+      |    WHEN event_type IN ('click', 'view') THEN 'points'
+      |    WHEN event_type = 'purchase' THEN 'lines'
+      |    WHEN event_type = 'signup' THEN 'polygons'
+      |    ELSE 'other' END AS geometry_family,
+      |  count(*) AS n_features
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** A9: divisions-clip analogue — broadcast semi-join containment
+    * (source.py:464-494 country-polygon clip, at dim-join cost).
+    */
+  def srcDivisionsClip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    OvertureReader
+      .clipToRegion(t, t.customer, "c_nationkey", "ASIA")
+      .select(col("c_custkey"), col("c_nationkey"), round(col("c_acctbal"), 4).as("acctbal"))
+  }
+
+  val srcDivisionsClipSql: String =
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal
+      |FROM customer
+      |WHERE c_nationkey IN (
+      |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')""".stripMargin
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("haversine matches known distance (Paris-London ~343.5 km)") {
+    val df = Seq((2.3522, 48.8566, -0.1276, 51.5072)).toDF("lon1", "lat1", "lon2", "lat2")
+    val km = df.select(Geo.haversineKm(col("lon1"), col("lat1"), col("lon2"), col("lat2")))
+      .head().getDouble(0)
+    assert(math.abs(km - 343.5) < 1.0)
+  }
+
+  test("haversine is zero for identical points and symmetric") {
+    val df = Seq((10.0, 20.0, 30.0, 40.0)).toDF("a", "b", "c", "d")
+    val z = df.select(Geo.haversineKm(col("a"), col("b"), col("a"), col("b"))).head().getDouble(0)
+    assert(z == 0.0)
+    val ab = df.select(Geo.haversineKm(col("a"), col("b"), col("c"), col("d"))).head().getDouble(0)
+    val ba = df.select(Geo.haversineKm(col("c"), col("d"), col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(ab - ba) < 1e-9)
+  }
+
+  test("lineLength sums consecutive segments in order") {
+    val df = Seq((1L, 1L, 0.0, 0.0), (1L, 2L, 3.0, 4.0), (1L, 3L, 3.0, 8.0))
+      .toDF("k", "o", "x", "y")
+    val out = Geo.lineLength(df, "k", "o", "x", "y", 0.0).collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 9.0) // 5 + 4
+  }
+
+  test("lineLength drops degenerate polylines") {
+    val df = Seq((1L, 1L, 0.0, 0.0), (1L, 2L, 0.0, 0.0)).toDF("k", "o", "x", "y")
+    assert(Geo.lineLength(df, "k", "o", "x", "y", 1e-10).count() == 0)
+  }
+
+  test("bboxAgg computes group bounds") {
+    val out = Geo.bboxAgg(
+      tables.events.select(col("event_type"), col("value").as("x"), col("user_id").cast("double").as("y")),
+      Seq("event_type"), "x", "y").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(3) && r.getDouble(2) <= r.getDouble(4))
+    }
+  }
+}
