@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for document corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB): nothing here is O(N²). Exact dedup is a
+  * hash groupBy (one shuffle on the digest). Near-dup candidate
+  * generation goes through inverted-index / LSH-bucket joins whose
+  * width is bounded (`maxDocFreq` caps hot shingles; LSH bands cap
+  * bucket fan-out), so the only wide operations shuffle on
+  * shingle/band hashes — never on document pairs.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for perm hashes
+
+  /** Exact duplicate groups by content digest: survivor = min id —
+    * deterministic, unlike "whichever row pandas kept".
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol).cast("binary")).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of the normalized text, as one
+    * array column (per-row, no shuffle).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Candidate near-dup pairs by exact n-gram Jaccard over an
+    * inverted shingle index. Shingles occurring in more than
+    * `maxDocFreq` docs are dropped from the index (bounds the
+    * self-join width on skewed corpora; part of the operator's
+    * declared semantics).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val exploded = docs
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
+    val setSizes = exploded.groupBy($"doc").agg(count(lit(1)).as("set_size"))
+    val index = exploded
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
+      .filter($"df" <= maxDocFreq)
+      .drop("df")
+    val pairs = index.as("a")
+      .join(index.as("b"), $"a.sh" === $"b.sh" && $"a.doc" < $"b.doc")
+      .groupBy($"a.doc".as("doc_a"), $"b.doc".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(setSizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(setSizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard", round($"inter".cast("double") / ($"size_a" + $"size_b" - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** MinHash signature: k permutations h_i(x) = (a_i·x + b_i) mod P
+    * over xxhash64 shingle hashes. Entirely per-row higher-order
+    * math — the signature build does zero shuffles.
+    */
+  def minhashSignature(text: Column, n: Int, k: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val perms = Seq.fill(k)((math.abs(rnd.nextLong()) % P + 1, math.abs(rnd.nextLong()) % P))
+    val hashes = transform(shingles(text, n), s => pmod(xxhash64(s), lit(P)))
+    val permArr = array(perms.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(permArr, p =>
+      array_min(transform(hashes, h => (p.getField("a") * h + p.getField("b")) % P)))
+  }
+
+  /** LSH candidate pairs: signatures banded (`bands` × `rowsPerBand`
+    * = k); docs sharing any band bucket are candidates. Shuffle is
+    * on (band, bucket-hash) only. Returns pairs with their
+    * signature-agreement estimate of Jaccard.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+
+    val signed = docs.select(
+      col(idCol).as("doc"),
+      minhashSignature(col(textCol), n, k, seed).as("sig"))
+
+    val banded = signed.select(
+      $"doc", $"sig",
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.doc" < $"b.doc")
+      .select($"a.doc".as("doc_a"), $"b.doc".as("doc_b"), $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("est_jaccard",
+        round(aggregate(
+          zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k, 4))
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+  }
+
+  /** 64-bit SimHash over token xxhashes, as a single higher-order
+    * expression: per bit, sum +1/−1 votes across tokens; bit set if
+    * the vote is positive. No shuffle, no UDF.
+    */
+  def simhash(text: Column): Column = {
+    val toks   = array_distinct(split(lower(trim(text)), "\\s+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, bit) => a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(0L)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: opaque binary payloads with typed
+  * metadata, plus the decode/feature-extraction plumbing a media
+  * pipeline needs.
+  *
+  * The decode step is STUBBED (this environment ships no image/
+  * audio codecs): [[FakeDecoder]] is a deterministic stand-in with
+  * the real signature. The Spark-side plumbing — binary schema,
+  * partition-batched processing via mapPartitions, feature schema —
+  * is real and tested; swapping in a JNI/FFI decoder changes one
+  * function.
+  */
+object Multimodal {
+
+  /** Typed metadata over an opaque binary payload column:
+    * byte size, leading magic byte, content digest. Pure column
+    * math — at scale this is a map-only scan.
+    */
+  def withBinaryMeta(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(payloadCol)).cast("long"))
+      .withColumn("magic_byte", ascii(substring(col(payloadCol).cast("string"), 1, 1)).cast("long"))
+      .withColumn("checksum", substring(md5(col(payloadCol)), 1, 8))
+
+  /** Decoded-media feature row produced by the (stubbed) decoder. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false)))
+
+  /** STUB decoder — deterministic fake in place of a real codec.
+    * A production build replaces the body with the actual decode
+    * (e.g. libjpeg/ffmpeg via FFI); the signature and batch shape
+    * are the contract.
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val n = payload.length
+      val w = 16 + (n % 64)
+      val h = 16 + ((n / 64) % 64)
+      val frames = 1 + (n % 4)
+      val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
+      (w, h, frames, mean)
+    }
+  }
+
+  /** Partition-batched decode: mapPartitions so a real decoder can
+    * amortize per-batch setup (codec contexts, device handles) —
+    * the Spark analogue of `mapInPandas` batch processing. Input
+    * needs (`idCol`: long, `payloadCol`: binary).
+    */
+  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rows = input.rdd.mapPartitions { it =>
+      // One decoder context per partition (the expensive-setup seam).
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, f, m) = FakeDecoder.decode(payload)
+        Row(id, w, h, f, m)
+      }
+    }
+    spark.createDataFrame(rows, FeatureSchema)
+  }
+
+  /** Frame sampling plan for video-ish payloads: every `stride`-th
+    * frame index up to `n_frames` — the explode pattern that turns
+    * one media row into per-frame work items without shuffling.
+    */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features.select(
+      col("media_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

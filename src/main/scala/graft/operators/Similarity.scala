@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query
+  * set and makes ONE pass over the base table — at 100 TB that is
+  * a map-only scan followed by a per-query top-k shuffle of only
+  * k·|queries| rows (AQE-coalesced). The LSH path buckets both
+  * sides by random-hyperplane sign bits so candidate generation
+  * shuffles on bucket keys, never materializing all N² pairs.
+  */
+object Similarity {
+
+  /** All math in double: float inputs are widened before any
+    * multiply so results are bit-reproducible in other engines.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k: every base vector scored
+    * against every query vector (queries broadcast), then
+    * row_number per query. Ties broken by base id for determinism.
+    */
+  def cosineTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = b
+      .join(broadcast(q), col("base_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("base_vec"), col("query_vec")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("base_id"), col("score"), col("rank"))
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a
+    * long. Hyperplane components are seeded pseudo-random literals —
+    * deterministic across runs and engines.
+    */
+  def hyperplaneSig(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hp: Seq[Array[Double]] = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    hp.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: vectors sharing a hyperplane-sign bucket
+    * are candidates; exact cosine only within buckets; top-k per
+    * query among candidates. Recall grows with fewer planes /
+    * multiple tables; this single-table variant is the scale
+    * skeleton (bucket-key shuffle only).
+    */
+  def lshAnn(
+      base: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int,
+      k: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    val sig = (df: DataFrame, id: String, vec: String) =>
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        hyperplaneSig(col(vecCol), dim, planes, seed).as(s"${id}_bucket"))
+    val b = sig(base, "base_id", "base_vec")
+    val q = sig(queries, "query_id", "query_vec")
+    val scored = b
+      .join(q, col("base_id") =!= col("query_id") && col("base_id_bucket") === col("query_id_bucket"))
+      .withColumn("score", round(cosine(col("base_vec"), col("query_vec")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("base_id"), col("score"), col("rank"))
+  }
+
+  /** Per-label centroids (the coarse-quantizer build step of an IVF
+    * index): posexplode to (label, dim) partial sums — shuffle width
+    * is |labels|·dim, independent of N.
+    */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(
+        round(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"),
+        count(lit(1)).as("dim"))
+}

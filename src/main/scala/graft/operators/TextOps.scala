@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting,
+  * quality scoring, language ID, and document fingerprinting.
+  * Everything is higher-order column math (`split`/`filter`/
+  * `aggregate`) — per-row, codegen-friendly, zero shuffles, so it
+  * streams over 100 TB of documents at scan speed.
+  */
+object TextOps {
+
+  val Punct = "[.,!?;:]"
+
+  /** Small per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Order matters: ties break toward the
+    * earlier language.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que"))
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Count of punctuation chars (quality signal). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, Punct, ""))).cast("long")
+
+  /** Count of uppercase chars. */
+  def upperCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("long")
+
+  /** Tokens present in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Composite document quality score in [0,1]: length signal,
+    * stopword density (fluent text has some), shoutiness penalty.
+    * Deterministic closed form so an external engine can replicate
+    * it bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTokens = tokenCount(text).cast("double")
+    val nChars  = length(text).cast("double")
+    val stopRatio  = hitCount(tokens(text), Stopwords.head._2).cast("double") / nTokens
+    val upperRatio = upperCount(text).cast("double") / nChars
+    round(
+      lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
+        lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.2) * (lit(1.0) - least(upperRatio * 10.0, lit(1.0))),
+      4)
+  }
+
+  /** Stopword-vote language ID with deterministic priority-order
+    * tie-break; 'und' (undetermined) when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hits = Stopwords.map { case (lang, words) => lang -> hitCount(toks, words) }
+    // First language (in priority order) whose count >= all others and > 0.
+    val allCounts = hits.map(_._2)
+    val branches = hits.map { case (lang, c) =>
+      val isMax = allCounts.map(o => c >= o).reduce(_ && _)
+      (isMax && c > 0, lang)
+    }
+    branches.foldRight(lit("und"): Column) { case ((cond, lang), acc) =>
+      when(cond, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint over the characters of the
+    * whitespace-normalized lowercase text: h = (31·h + code) mod
+    * 1e9+7. One pass per row, no shuffle.
+    */
+  def fingerprint(text: Column): Column = {
+    val norm  = lower(regexp_replace(trim(text), "\\s+", " "))
+    val chars = split(norm, "")
+    aggregate(chars, lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+  }
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (SURVEY §2 E/F/G/K) exercised
+  * over `documents` / `embeddings`.
+  */
+object LlmQueries {
+
+  // ----------------------------------------------------------------
+  // E. Deduplication
+  // ----------------------------------------------------------------
+
+  /** E1: exact dedup groups by content digest. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir).documents, "text", "doc_id")
+
+  val ddExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** E2: MinHash+LSH candidate pairs (no SQL oracle — verified by
+    * ScalaTest against exact Jaccard; rows-only here).
+    */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables(spark, dir).documents, "text", "doc_id")
+
+  /** E3: SimHash fingerprints (rows-only; determinism spec'd in
+    * ScalaTest).
+    */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  /** E4: exact n-gram Jaccard over the inverted shingle index. */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables(spark, dir).documents, "text", "doc_id",
+      n = 3, threshold = 0.5, maxDocFreq = 100)
+
+  val ddNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+      |idx AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) x
+      |  WHERE df <= 100),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) >= 0.5""".stripMargin
+
+  // ----------------------------------------------------------------
+  // F. Similarity search
+  // ----------------------------------------------------------------
+
+  private def queryVectors(t: Tables): DataFrame =
+    t.embeddings.filter(col("vec_id") < 10)
+
+  /** F1: brute-force exact cosine top-5 for the 10 query vectors. */
+  def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Similarity.cosineTopK(t.embeddings, queryVectors(t), "vec_id", "embedding", k = 5)
+  }
+
+  val simCosineTopkSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, b.vec_id AS base_id,
+      |    round(
+      |      list_sum(list_transform(list_zip(b.embedding, q.qv),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      4) AS score
+      |  FROM embeddings b, q WHERE b.vec_id != q.query_id)
+      |SELECT query_id, base_id, score, rank FROM (
+      |  SELECT query_id, base_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, base_id) AS rank
+      |  FROM scored) x
+      |WHERE rank <= 5""".stripMargin
+
+  /** F2: LSH-bucketed ANN (rows-only; recall spec'd in ScalaTest). */
+  def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Similarity.lshAnn(t.embeddings, queryVectors(t), "vec_id", "embedding",
+      dim = 64, planes = 8, k = 5)
+  }
+
+  /** F3: per-label centroids (IVF coarse-quantizer build). */
+  def simCentroid(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroids(Tables(spark, dir).embeddings, "label", "embedding")
+
+  val simCentroidSql: String =
+    """WITH percomp AS (
+      |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+      |  GROUP BY label, d)
+      |SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm,
+      |  count(*) AS dim
+      |FROM percomp GROUP BY label""".stripMargin
+
+  // ----------------------------------------------------------------
+  // G. Text analysis
+  // ----------------------------------------------------------------
+
+  /** G1: token counting. */
+  def txTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  val txTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  length(text) AS n_chars_actual
+      |FROM documents""".stripMargin
+
+  /** G2: composite quality score. */
+  def txQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+
+  val txQualitySql: String =
+    """SELECT doc_id, round(
+      |  0.4 * least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) +
+      |  0.4 * least(
+      |    (CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |       x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS DOUBLE)
+      |     / len(regexp_split_to_array(trim(text), '\s+'))) * 5.0, 1.0) +
+      |  0.2 * (1.0 - least(
+      |    (CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+      |     / length(text)) * 10.0, 1.0)), 4) AS quality
+      |FROM documents""".stripMargin
+
+  /** G3: stopword-vote language ID. */
+  def txLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      col("lang").as("lang_claimed"),
+      TextOps.langId(col("text")).as("lang_pred"))
+
+  val txLangidSql: String = {
+    def hits(words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> list_contains([$list], x)))"
+    }
+    val he = hits(TextOps.Stopwords(0)._2)
+    val hd = hits(TextOps.Stopwords(1)._2)
+    val hs = hits(TextOps.Stopwords(2)._2)
+    val hf = hits(TextOps.Stopwords(3)._2)
+    s"""SELECT doc_id, lang AS lang_claimed,
+       |  CASE
+       |    WHEN he >= hd AND he >= hs AND he >= hf AND he > 0 THEN 'en'
+       |    WHEN hd >= he AND hd >= hs AND hd >= hf AND hd > 0 THEN 'de'
+       |    WHEN hs >= he AND hs >= hd AND hs >= hf AND hs > 0 THEN 'es'
+       |    WHEN hf >= he AND hf >= hd AND hf >= hs AND hf > 0 THEN 'fr'
+       |    ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang, $he AS he, $hd AS hd, $hs AS hs, $hf AS hf
+       |      FROM documents) x""".stripMargin
+  }
+
+  /** G4: rolling-hash fingerprint. */
+  def txFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+
+  val txFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(
+      |        regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------------
+  // K. Multimodal
+  // ----------------------------------------------------------------
+
+  /** K1: binary payload + typed metadata (text bytes stand in for
+    * media payloads; the plumbing is payload-agnostic).
+    */
+  def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Multimodal
+      .withBinaryMeta(t.documents.withColumn("payload", col("text").cast("binary")), "payload")
+      .select(col("doc_id"), col("n_bytes"), col("magic_byte"), col("checksum"))
+  }
+
+  val mmBinaryMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  unicode(left(text, 1)) AS magic_byte,
+      |  left(md5(text), 8) AS checksum
+      |FROM documents""".stripMargin
+}

@@ -41,6 +41,18 @@ object Registry {
     QueryDef("geo_bbox_agg", GeoQueries.geoBboxAgg, Some(GeoQueries.geoBboxAggSql)),
     QueryDef("geo_line_length", GeoQueries.geoLineLength, Some(GeoQueries.geoLineLengthSql)),
     QueryDef("geo_point_in_bbox", GeoQueries.geoPointInBbox, Some(GeoQueries.geoPointInBboxSql)),
-    QueryDef("geo_haversine", GeoQueries.geoHaversine, Some(GeoQueries.geoHaversineSql))
+    QueryDef("geo_haversine", GeoQueries.geoHaversine, Some(GeoQueries.geoHaversineSql)),
+    QueryDef("dd_exact", LlmQueries.ddExact, Some(LlmQueries.ddExactSql)),
+    QueryDef("dd_minhash_lsh", LlmQueries.ddMinhashLsh, None),
+    QueryDef("dd_simhash", LlmQueries.ddSimhash, None),
+    QueryDef("dd_ngram_jaccard", LlmQueries.ddNgramJaccard, Some(LlmQueries.ddNgramJaccardSql)),
+    QueryDef("sim_cosine_topk", LlmQueries.simCosineTopk, Some(LlmQueries.simCosineTopkSql)),
+    QueryDef("sim_lsh_ann", LlmQueries.simLshAnn, None),
+    QueryDef("sim_centroid", LlmQueries.simCentroid, Some(LlmQueries.simCentroidSql)),
+    QueryDef("tx_tokens", LlmQueries.txTokens, Some(LlmQueries.txTokensSql)),
+    QueryDef("tx_quality", LlmQueries.txQuality, Some(LlmQueries.txQualitySql)),
+    QueryDef("tx_langid", LlmQueries.txLangid, Some(LlmQueries.txLangidSql)),
+    QueryDef("tx_fingerprint", LlmQueries.txFingerprint, Some(LlmQueries.txFingerprintSql)),
+    QueryDef("mm_binary_meta", LlmQueries.mmBinaryMeta, Some(LlmQueries.mmBinaryMetaSql))
   )
 }

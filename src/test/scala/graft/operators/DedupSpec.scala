@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals and codegen"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts with deterministic survivor") {
+    val out = Dedup.exact(corpus, "text", "doc_id").collect()
+    val dupGroup = out.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L) // min id survives
+    assert(out.length == 4) // 5 docs, one pair merged
+  }
+
+  test("ngramJaccard finds near-duplicates, not unrelated docs") {
+    val pairs = Dedup.ngramJaccard(corpus, "text", "doc_id", n = 3, threshold = 0.5, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLsh surfaces near-dup candidates with high estimated jaccard") {
+    val out = Dedup.minhashLsh(corpus, "text", "doc_id").collect()
+    val exactPair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(exactPair.isDefined && exactPair.get.getDouble(2) == 1.0)
+    val nearPair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(nearPair.isDefined && nearPair.get.getDouble(2) > 0.5)
+  }
+
+  test("minhash signature is stable across evaluations") {
+    val a = corpus.select(Dedup.minhashSignature(col("text"), 3, 16, 42L).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val b = corpus.select(Dedup.minhashSignature(col("text"), 3, 16, 42L).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("simhash: identical texts same bits, near-dups close, unrelated far") {
+    val fp = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    val near = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
+    val far  = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(near < far)
+    assert(near <= 16)
+  }
+
+  test("hammingDist column matches JVM bitCount") {
+    val df = Seq((0x0FL, 0xF0L)).toDF("a", "b")
+    assert(df.select(Dedup.hammingDist(col("a"), col("b"))).head().getInt(0) == 8)
+  }
+}

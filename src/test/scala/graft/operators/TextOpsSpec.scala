@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount counts whitespace-separated tokens") {
+    val df = Seq("one two  three", " padded ", "single").toDF("t")
+    val out = df.select(TextOps.tokenCount(col("t"))).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(3L, 1L, 1L))
+  }
+
+  test("punct and upper counts") {
+    val df = Seq("Hello, World! OK;").toDF("t")
+    val r = df.select(TextOps.punctCount(col("t")), TextOps.upperCount(col("t"))).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4) // H W O K
+  }
+
+  test("qualityScore is bounded in [0,1] on real docs") {
+    val scores = tables.documents
+      .select(TextOps.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog in the house",   // en
+      "der hund und die katze ist nicht da", // de
+      "xyzzy qwerty plugh").toDF("t")        // none -> und
+    val out = df.select(TextOps.langId(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is deterministic and whitespace-normalized") {
+    val df = Seq(("a", "Hello  World"), ("b", "hello world"), ("c", "different")).toDF("id", "t")
+    val fp = df.select(col("id"), TextOps.fingerprint(col("t")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("a") == fp("b")) // case/whitespace insensitive
+    assert(fp("a") != fp("c"))
+  }
+}
