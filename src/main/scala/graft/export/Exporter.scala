@@ -1,0 +1,81 @@
+package graft.`export`
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Export formats (reference: src/o2agol/domain/enums.py:33-38 +
+  * export.py format routing). GPKG/FGDB require GDAL/sqlite
+  * drivers that do not exist in this environment; they fail
+  * explicitly rather than pretending (SURVEY §6 documented gap).
+  */
+object ExportFormat extends Enumeration {
+  val GeoJson, GeoJsonSeq, Parquet, Csv, Json, Gpkg, Fgdb = Value
+
+  /** Infer from a file extension (reference export.py:45-55). */
+  def fromPath(path: String): ExportFormat.Value = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "geojson" | "json" => GeoJson
+      case "geojsonseq"       => GeoJsonSeq
+      case "parquet"          => Parquet
+      case "csv"              => Csv
+      case "gpkg"             => Gpkg
+      case "gdb" | "fgdb"     => Fgdb
+      case other              => throw new IllegalArgumentException(s"unknown export extension: $other")
+    }
+  }
+}
+
+/** Multi-format exporter (reference: export.py `Exporter.write` /
+  * `export_data`). Geometry-bearing formats take the serialized
+  * geometry column; tabular formats write the frame as-is.
+  */
+object Exporter {
+
+  def write(
+      df: DataFrame,
+      path: String,
+      format: ExportFormat.Value,
+      geometryJson: Option[Column] = None,
+      target: String = "features",
+      generatedAt: String = "1970-01-01T00:00:00"
+  ): Unit = format match {
+    case ExportFormat.GeoJson =>
+      val geom = geometryJson.getOrElse(
+        throw new IllegalArgumentException("GeoJSON export needs a geometry column"))
+      GeoJson.writeFeatureCollection(df, geom, path, target, generatedAt)
+    case ExportFormat.GeoJsonSeq =>
+      val geom = geometryJson.getOrElse(
+        throw new IllegalArgumentException("GeoJSONSeq export needs a geometry column"))
+      GeoJson.writeSeq(df, geom, path)
+    case ExportFormat.Parquet => df.write.mode("overwrite").parquet(path)
+    case ExportFormat.Csv =>
+      df.write.mode("overwrite").option("header", "true").csv(path)
+    case ExportFormat.Json => df.write.mode("overwrite").json(path)
+    case ExportFormat.Gpkg | ExportFormat.Fgdb =>
+      throw new UnsupportedOperationException(
+        s"$format requires GDAL/sqlite drivers unavailable in this environment " +
+          "(reference parity gap documented in SURVEY.md §6)")
+  }
+
+  /** Default export filename (reference: export.py:468-511
+    * `generate_export_filename`): `<iso3>_<query>[_raw].<ext>`.
+    */
+  def exportFilename(
+      query: String,
+      iso3: String,
+      format: ExportFormat.Value,
+      raw: Boolean = false
+  ): String = {
+    val ext = format match {
+      case ExportFormat.GeoJson    => "geojson"
+      case ExportFormat.GeoJsonSeq => "geojsonseq"
+      case ExportFormat.Parquet    => "parquet"
+      case ExportFormat.Csv        => "csv"
+      case ExportFormat.Json       => "json"
+      case ExportFormat.Gpkg       => "gpkg"
+      case ExportFormat.Fgdb       => "gdb"
+    }
+    val suffix = if (raw) "_raw" else ""
+    s"${iso3.toLowerCase}_$query$suffix.$ext"
+  }
+}

@@ -1,0 +1,93 @@
+package graft.`export`
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Publish modes (reference: src/o2agol/domain/enums.py:10-16). */
+object PublishMode extends Enumeration {
+  /** create-or-replace based on existence (reference AUTO detect). */
+  val Auto, Initial, Overwrite, Append = Value
+}
+
+/** Idempotent feature-service sink — the engine-side model of the
+  * reference's AGOL publisher (reference:
+  * src/o2agol/pipeline/publish.py — feature-layer create vs
+  * truncate-and-append, upsert_key=id, chunked uploads). A service
+  * is a directory of parquet layers plus a JSON descriptor; the
+  * REST transport is out of scope, the dataflow semantics are not.
+  */
+object FeatureService {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  def layerPath(servicePath: String, layer: String): String = s"$servicePath/layer=$layer"
+
+  def layerExists(spark: SparkSession, servicePath: String, layer: String): Boolean =
+    fs(spark, servicePath).exists(new HPath(layerPath(servicePath, layer)))
+
+  /** Publish one layer.
+    *
+    * - Initial: fail if the layer exists (reference INITIAL forces
+    *   creation of a new feature layer).
+    * - Overwrite: truncate-and-append — replace layer content.
+    * - Append: add rows, no key reconciliation.
+    * - Auto: create when missing; otherwise upsert by `upsertKey`
+    *   (incoming rows replace same-key rows, others are kept) —
+    *   the reference's smart-detect publish with upsert_key=id.
+    */
+  def publish(
+      df: DataFrame,
+      servicePath: String,
+      layer: String,
+      mode: PublishMode.Value,
+      upsertKey: String = "id"
+  ): Unit = {
+    val spark = df.sparkSession
+    val path = layerPath(servicePath, layer)
+    val exists = layerExists(spark, servicePath, layer)
+    mode match {
+      case PublishMode.Initial =>
+        if (exists)
+          throw new IllegalStateException(s"layer '$layer' already exists at $servicePath")
+        df.write.mode("errorifexists").parquet(path)
+      case PublishMode.Overwrite =>
+        df.write.mode("overwrite").parquet(path)
+      case PublishMode.Append =>
+        df.write.mode("append").parquet(path)
+      case PublishMode.Auto =>
+        if (!exists) df.write.mode("errorifexists").parquet(path)
+        else {
+          // Upsert: keep existing rows whose key is absent from the
+          // incoming batch, union the batch. At warehouse scale this
+          // is the generic non-transactional fallback; a table format
+          // with merge (or partition-scoped overwrite) replaces it.
+          val existing = spark.read.parquet(path)
+          val merged = existing
+            .join(df.select(col(upsertKey)).distinct(), Seq(upsertKey), "left_anti")
+            .unionByName(df, allowMissingColumns = true)
+            .cache()
+          merged.count() // materialize before overwriting the source
+          merged.write.mode("overwrite").parquet(s"$path.staging")
+          merged.unpersist()
+          val f = fs(spark, servicePath)
+          f.delete(new HPath(path), true)
+          f.rename(new HPath(s"$path.staging"), new HPath(path))
+        }
+    }
+  }
+
+  def readLayer(spark: SparkSession, servicePath: String, layer: String): DataFrame =
+    spark.read.parquet(layerPath(servicePath, layer))
+
+  /** Chunking for batched uploads (reference: utils.py:331-374
+    * `chunk_dataframe`/`estimate_chunk_size`): repartition so each
+    * task writes ≈`maxRowsPerChunk` rows — partition count derives
+    * from data size, not a driver-side loop over slices.
+    */
+  def chunkForUpload(df: DataFrame, totalRows: Long, maxRowsPerChunk: Int): DataFrame = {
+    val parts = math.max(1, math.ceil(totalRows.toDouble / maxRowsPerChunk).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.`export`
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GeoJSON writers (reference: src/o2agol/pipeline/export.py:255-325
+  * `_export_to_geojson`).
+  *
+  * Scale posture: the newline-delimited variant (GeoJSONSeq) is the
+  * 100 TB path — a fully distributed text write of one feature per
+  * line. The single-file FeatureCollection (what the reference
+  * emits) is inherently one file; it streams partitions through the
+  * driver with `toLocalIterator` (constant driver memory, explicit
+  * single-writer bottleneck by format definition).
+  */
+object GeoJson {
+
+  /** Point-geometry builder from coordinate columns. */
+  def pointGeometry(x: Column, y: Column): Column =
+    to_json(struct(lit("Point").as("type"), array(x, y).as("coordinates")))
+
+  /** One GeoJSON Feature per row: geometry from `geometryJson`
+    * (already-serialized geometry JSON), all other columns as
+    * properties.
+    */
+  def featureColumn(df: DataFrame, geometryJson: Column): Column = {
+    val props = struct(df.columns.map(col).toIndexedSeq: _*)
+    concat(
+      lit("""{"type":"Feature","properties":"""),
+      to_json(props),
+      lit(""","geometry":"""),
+      geometryJson,
+      lit("}"))
+  }
+
+  /** Distributed newline-delimited GeoJSON (GeoJSONSeq — the
+    * reference's `geojsonseq` GDAL driver, source.py:624).
+    */
+  def writeSeq(df: DataFrame, geometryJson: Column, path: String): Unit =
+    df.select(featureColumn(df, geometryJson).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Single-file FeatureCollection with the reference's metadata
+    * block (generated/source/target/count). Deterministic: caller
+    * supplies the timestamp.
+    */
+  def writeFeatureCollection(
+      df: DataFrame,
+      geometryJson: Column,
+      path: String,
+      target: String,
+      generatedAt: String,
+      rawExport: Boolean = false
+  ): Unit = {
+    val features = df.select(featureColumn(df, geometryJson).as("value"))
+    val spark = df.sparkSession
+    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new HPath(path), true)
+    val writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 20)
+    try {
+      writer.write("""{"type":"FeatureCollection","features":[""")
+      var first = true
+      var count = 0L
+      val it = features.toLocalIterator()
+      while (it.hasNext) {
+        if (!first) writer.write(",")
+        writer.write(it.next().getString(0))
+        first = false
+        count += 1
+      }
+      val dataType = if (rawExport) "raw_overture" else "normalized"
+      writer.write(
+        s"""],"metadata":{"generated":"$generatedAt","source":"graft","target":"$target","data_type":"$dataType","count":$count}}""")
+    } finally writer.close()
+  }
+}

@@ -53,6 +53,11 @@ object Registry {
     QueryDef("tx_quality", LlmQueries.txQuality, Some(LlmQueries.txQualitySql)),
     QueryDef("tx_langid", LlmQueries.txLangid, Some(LlmQueries.txLangidSql)),
     QueryDef("tx_fingerprint", LlmQueries.txFingerprint, Some(LlmQueries.txFingerprintSql)),
-    QueryDef("mm_binary_meta", LlmQueries.mmBinaryMeta, Some(LlmQueries.mmBinaryMetaSql))
+    QueryDef("mm_binary_meta", LlmQueries.mmBinaryMeta, Some(LlmQueries.mmBinaryMetaSql)),
+    QueryDef("ref_roads", RefQueries.refRoads, Some(RefQueries.refRoadsSql)),
+    QueryDef("ref_buildings", RefQueries.refBuildings, Some(RefQueries.refBuildingsSql)),
+    QueryDef("ref_education", RefQueries.refEducation, Some(RefQueries.refEducationSql)),
+    QueryDef("ref_markets", RefQueries.refMarkets, Some(RefQueries.refMarketsSql)),
+    QueryDef("ref_power", RefQueries.refPower, Some(RefQueries.refPowerSql))
   )
 }
