@@ -54,8 +54,18 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // The repartition is a deliberate materialization boundary: the
+    // shingle HOF expression would otherwise be inlined (and
+    // recomputed) into the window, the set-size agg, AND both sides
+    // of the self-join. It also pre-partitions by shingle, which the
+    // doc-frequency window and the join key reuse. Shingles are
+    // carried as xxhash64 longs, not strings: same equality
+    // semantics (collision odds ~N²/2⁶⁵), a fraction of the shuffle
+    // bytes and comparison cost.
     val exploded = docs
-      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("doc"),
+        explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
+      .repartition(col("sh"))
     val setSizes = exploded.groupBy($"doc").agg(count(lit(1)).as("set_size"))
     val index = exploded
       .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
@@ -73,20 +83,34 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
-  /** MinHash signature: k permutations h_i(x) = (a_i·x + b_i) mod P
-    * over xxhash64 shingle hashes. Entirely per-row higher-order
-    * math — the signature build does zero shuffles.
-    */
-  def minhashSignature(text: Column, n: Int, k: Int, seed: Long): Column = {
+  private def permutations(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    val perms = Seq.fill(k)((math.abs(rnd.nextLong()) % P + 1, math.abs(rnd.nextLong()) % P))
-    val hashes = transform(shingles(text, n), s => pmod(xxhash64(s), lit(P)))
-    val permArr = array(perms.map { case (a, b) =>
+    Seq.fill(k)((math.abs(rnd.nextLong()) % P + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** Base shingle hashes: xxhash64 of each distinct n-gram, mod P. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => pmod(xxhash64(s), lit(P)))
+
+  /** MinHash signature from precomputed shingle hashes: k
+    * permutations h_i(x) = (a_i·x + b_i) mod P. Keep `hashes` a
+    * STORED column (not an inline expression) — each of the k
+    * permutation lambdas walks it, so an inlined expression would
+    * re-shingle the text k times.
+    */
+  def minhashFromHashes(hashes: Column, k: Int, seed: Long): Column = {
+    val permArr = array(permutations(k, seed).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
     transform(permArr, p =>
       array_min(transform(hashes, h => (p.getField("a") * h + p.getField("b")) % P)))
   }
+
+  /** One-shot signature (convenience; see [[minhashFromHashes]] for
+    * the staged scale path).
+    */
+  def minhashSignature(text: Column, n: Int, k: Int, seed: Long): Column =
+    minhashFromHashes(shingleHashes(text, n), k, seed)
 
   /** LSH candidate pairs: signatures banded (`bands` × `rowsPerBand`
     * = k); docs sharing any band bucket are candidates. Shuffle is
@@ -106,9 +130,18 @@ object Dedup {
     import spark.implicits._
     val k = bands * rowsPerBand
 
-    val signed = docs.select(
-      col(idCol).as("doc"),
-      minhashSignature(col(textCol), n, k, seed).as("sig"))
+    // Two staged materialization boundaries: (1) shingle hashes are
+    // stored before the k permutation lambdas walk them (else the
+    // shingling recomputes k times per row); (2) the signature is
+    // stored before band hashing and the self-join (else it inlines
+    // into every band and both join sides). Each exchange moves only
+    // (id, small-array) rows.
+    val hashed = docs
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("hashes"))
+      .repartition(col("doc"))
+    val signed = hashed
+      .select(col("doc"), minhashFromHashes(col("hashes"), k, seed).as("sig"))
+      .repartition(col("doc"))
 
     val banded = signed.select(
       $"doc", $"sig",

@@ -57,11 +57,16 @@ object Similarity {
     */
   def hyperplaneSig(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val hp: Seq[Array[Double]] = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    hp.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val hp: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    // One array-of-arrays literal + nested HOF loop instead of
+    // `planes` unrolled dot products: keeps the expression (and the
+    // generated code) O(1) in `planes`.
+    val mat = typedlit(hp)
+    val bits = zip_with(mat, sequence(lit(0), lit(planes - 1)),
+      (plane, i) =>
+        when(dot(vec, plane) > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(0L))
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** ANN via LSH buckets: vectors sharing a hyperplane-sign bucket
@@ -86,7 +91,8 @@ object Similarity {
     val b = sig(base, "base_id", "base_vec")
     val q = sig(queries, "query_id", "query_vec")
     val scored = b
-      .join(q, col("base_id") =!= col("query_id") && col("base_id_bucket") === col("query_id_bucket"))
+      .join(broadcast(q),
+        col("base_id") =!= col("query_id") && col("base_id_bucket") === col("query_id_bucket"))
       .withColumn("score", round(cosine(col("base_vec"), col("query_vec")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
     scored
