@@ -75,11 +75,22 @@ object TextOps {
 
   /** Polynomial rolling-hash fingerprint over the characters of the
     * whitespace-normalized lowercase text: h = (31·h + code) mod
-    * 1e9+7. One pass per row, no shuffle.
+    * 1e9+7. One pass per row, no shuffle. Uses the native codegen'd
+    * [[graft.functions.RollingHash]] expression (one generated loop
+    * per row instead of a per-character array + interpreted lambda).
     */
-  def fingerprint(text: Column): Column = {
-    val norm  = lower(regexp_replace(trim(text), "\\s+", " "))
-    val chars = split(norm, "")
+  def fingerprint(text: Column): Column =
+    graft.functions.RollingHash(normalized(text))
+
+  /** Reference formulation via higher-order built-ins — semantics
+    * identical to [[fingerprint]]; kept as the portable fallback and
+    * the cross-check for the native expression.
+    */
+  def fingerprintHof(text: Column): Column = {
+    val chars = split(normalized(text), "")
     aggregate(chars, lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
   }
+
+  private def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.{GraftSession, SparkSpec}
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RollingHash native expression matches the HOF formulation on real docs") {
+    val diff = tables.documents
+      .select(TextOps.fingerprint(col("text")).as("native"),
+        TextOps.fingerprintHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("RollingHash known value") {
+    // h("ab") = (0*31+97)*31 + 98 = 3105
+    val h = Seq("ab").toDF("t").select(RollingHash(col("t"))).head().getLong(0)
+    assert(h == 97L * 31 + 98)
+  }
+
+  test("WkbPointXY decodes little-endian point WKB") {
+    val wkb = Wkb.encodePoint((12.5, -3.25))
+    val r = Seq(Tuple1(wkb)).toDF("g").select(Wkb.wkbPointXY(col("g")).as("p"))
+      .select("p.x", "p.y").head()
+    assert(r.getDouble(0) == 12.5 && r.getDouble(1) == -3.25)
+  }
+
+  test("WkbPointXY decodes big-endian and nulls on non-points") {
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte).putInt(1).putDouble(1.0).putDouble(2.0)
+    val line = java.nio.ByteBuffer.allocate(21)
+    line.put(1.toByte).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(2).putDouble(0).putDouble(0)
+    val out = Seq(Tuple1(be.array()), Tuple1(line.array()), Tuple1(Array[Byte](1)))
+      .toDF("g").select(Wkb.wkbPointXY(col("g")).as("p")).collect()
+    assert(out(0).getStruct(0).getDouble(0) == 1.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("WkbGeometryType reads the type code for the family split") {
+    val rows = Seq(1, 2, 3, 6).map { t =>
+      val b = java.nio.ByteBuffer.allocate(5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(t)
+      Tuple1(b.array())
+    }
+    val out = rows.toDF("g").select(Wkb.wkbGeometryType(col("g"))).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 2, 3, 6))
+  }
+
+  test("GraftExtensions exposes SQL functions") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive  = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // Fresh session (shared SparkContext) so withExtensions applies.
+      val s = GraftSession
+        .builder(master = "local[2]", shufflePartitions = 2, appName = "graft-ext-test")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val h = s.sql("SELECT graft_rolling_hash('ab') AS h").head().getLong(0)
+      assert(h == 97L * 31 + 98)
+      val t = s.sql("SELECT graft_wkb_type(X'0101000000') AS t").head().getInt(0)
+      assert(t == 1)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
