@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytic coverage, batch 2 (SURVEY §2 D continued): semi/anti
+  * joins, grouping sets, exact percentiles, pivot, dimension
+  * enrichment, and the salted two-phase aggregation skew pattern.
+  */
+object Analytic2 {
+
+  /** D7: EXISTS — customers with at least one urgent order
+    * (left-semi join; builds the reference's "only features with a
+    * match" filters).
+    */
+  def qExists(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  val qExistsSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** D8: NOT EXISTS — customers with no orders at all (left-anti). */
+  def qNotExists(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+  }
+
+  val qNotExistsSql: String =
+    """SELECT c_custkey, round(c_acctbal, 4) AS acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** D9: ROLLUP — revenue at (region, nation), (region), and grand
+    * total levels in one pass.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 4).as("total_bal"), count(lit(1)).as("n_customers"))
+  }
+
+  val qRollupSql: String =
+    """SELECT r_name, n_name, round(sum(c_acctbal), 4) AS total_bal,
+      |  count(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** D10: exact interpolated percentiles per group. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** D11: pivot — event counts per user bucketed by type, as
+    * columns (the reference's per-category layer splits, wide form).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("bucket", (col("user_id") % 10).cast("long"))
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0) // empty cells: align with FILTER's 0 (pivot yields null)
+  }
+
+  val qPivotSql: String =
+    """SELECT user_id % 10 AS bucket,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** D12: streaming-style dimension enrichment — events joined to
+    * the (broadcast) customer dim, aggregated per segment.
+    */
+  def qEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+  }
+
+  val qEnrichJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  round(sum(value), 4) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** D13: salted two-phase aggregation — the skew pattern: partial
+    * agg on (key, salt) spreads a hot key over the cluster, final
+    * agg merges partials. Same result as the direct groupBy (which
+    * is the oracle).
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val salted = t.events
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n_events"), round(sum(col("ps")), 4).as("total_value"))
+  }
+
+  val qSaltedAggSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+}

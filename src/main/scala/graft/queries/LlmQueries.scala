@@ -66,6 +66,24 @@ object LlmQueries {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) >= 0.5""".stripMargin
 
+  /** E5: exact dedup after text normalization (lowercase, collapsed
+    * whitespace) — catches trivially-reformatted copies the byte
+    * hash misses.
+    */
+  def ddExactNorm(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    t.documents
+      .select(md5(norm.cast("binary")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val ddExactNormSql: String =
+    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+      |  min(doc_id) AS survivor_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------------
   // F. Similarity search
   // ----------------------------------------------------------------
@@ -193,6 +211,53 @@ object LlmQueries {
       |        c -> CAST(unicode(c) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents""".stripMargin
+
+  /** G5: top word bigrams per language — the n-gram frequency table
+    * that backs corpus statistics; map-side partial counts, one
+    * shuffle on (lang, bigram).
+    */
+  def txBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bigrams = t.documents.select(
+      col("lang"),
+      explode(transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+    val counted = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counted
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  val txBigramsSql: String =
+    """WITH toks AS (
+      |  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT lang, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1]))) AS bigram
+      |  FROM toks),
+      |counted AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+      |SELECT lang, bigram, n, rank FROM (
+      |  SELECT lang, bigram, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+      |  FROM counted) x
+      |WHERE rank <= 5""".stripMargin
+
+  /** G6: HLL approximate distinct vocabulary per source — sketch
+    * aggregation (no oracle: approximation algorithms differ across
+    * engines; ScalaTest bounds the error against the exact count).
+    */
+  def txVocabApprox(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("tok"), 0.01).as("approx_vocab"))
+  }
 
   // ----------------------------------------------------------------
   // K. Multimodal

@@ -58,6 +58,16 @@ object Registry {
     QueryDef("ref_buildings", RefQueries.refBuildings, Some(RefQueries.refBuildingsSql)),
     QueryDef("ref_education", RefQueries.refEducation, Some(RefQueries.refEducationSql)),
     QueryDef("ref_markets", RefQueries.refMarkets, Some(RefQueries.refMarketsSql)),
-    QueryDef("ref_power", RefQueries.refPower, Some(RefQueries.refPowerSql))
+    QueryDef("ref_power", RefQueries.refPower, Some(RefQueries.refPowerSql)),
+    QueryDef("q_exists", Analytic2.qExists, Some(Analytic2.qExistsSql)),
+    QueryDef("q_not_exists", Analytic2.qNotExists, Some(Analytic2.qNotExistsSql)),
+    QueryDef("q_rollup", Analytic2.qRollup, Some(Analytic2.qRollupSql)),
+    QueryDef("q_percentiles", Analytic2.qPercentiles, Some(Analytic2.qPercentilesSql)),
+    QueryDef("q_pivot", Analytic2.qPivot, Some(Analytic2.qPivotSql)),
+    QueryDef("q_enrich_join", Analytic2.qEnrichJoin, Some(Analytic2.qEnrichJoinSql)),
+    QueryDef("q_salted_agg", Analytic2.qSaltedAgg, Some(Analytic2.qSaltedAggSql)),
+    QueryDef("dd_exact_norm", LlmQueries.ddExactNorm, Some(LlmQueries.ddExactNormSql)),
+    QueryDef("tx_bigrams", LlmQueries.txBigrams, Some(LlmQueries.txBigramsSql)),
+    QueryDef("tx_vocab_approx", LlmQueries.txVocabApprox, None)
   )
 }
