@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the most recent right row
+  * (per key) at or before the left row's time.
+  *
+  * Implementation is the scale-friendly union+window formulation —
+  * tag both sides, sort within key by (time, side) once, and carry
+  * the last seen right payload forward with
+  * `last(_, ignoreNulls)` — ONE shuffle on the key, no per-key
+  * loops, no range self-join blowup. This is the composition
+  * Spark's built-ins afford (preference (a) from the design notes);
+  * a dedicated SparkPlan would only change constants.
+  */
+object AsOfJoin {
+
+  /** @param left        probe side (one output row per left row)
+    * @param right       reference side
+    * @param leftKey     join key column on `left`
+    * @param rightKey    join key column on `right`
+    * @param leftTime    event-time column on `left`
+    * @param rightTime   event-time column on `right`
+    * @param payloadCols columns of `right` carried onto matches
+    *                    (null when no right row precedes the left row)
+    */
+  def lastBefore(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]
+  ): DataFrame = {
+    val l = left
+      .withColumn("_k", col(leftKey))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1)) // left sorts after a tied right row
+    val r = right.select(
+      (Seq(
+        col(rightKey).as("_k"),
+        col(rightTime).as("_t"),
+        lit(0).as("_side")) ++ payloadCols.map(c => col(c).as(s"_p_$c"))): _*)
+
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(s"_p_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_side") === 1)
+      .drop((Seq("_k", "_t", "_side") ++ payloadCols.map(c => s"_p_$c")): _*)
+  }
+}

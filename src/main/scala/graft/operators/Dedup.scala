@@ -187,4 +187,53 @@ object Dedup {
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup pairs → dedup groups: each
+    * node labeled with the minimum doc id reachable from it.
+    *
+    * Min-label propagation with a driver-side convergence loop —
+    * each iteration is one join+agg (shuffle on node id); iterations
+    * scale with graph diameter, which for near-dup clusters is tiny
+    * (dup groups are cliques or near-cliques). For adversarial
+    * long-chain graphs swap in large-star/small-star; the API stays
+    * the same.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint (not cache) each iteration: `labels` is
+    // referenced twice per step, so without lineage truncation the
+    // logical plan DOUBLES every iteration — exponential planning
+    // cost by ~iteration 10.
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("component", $"node")
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("component", "dst_comp"), "dst")
+        .groupBy($"src".as("node"))
+        .agg(min($"dst_comp").as("nbr_comp"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select($"node",
+          least($"component", coalesce($"nbr_comp", $"component")).as("component"))
+        .localCheckpoint(true)
+      val changes = updated.as("u")
+        .join(labels.as("l"), "node")
+        .filter($"u.component" =!= $"l.component")
+        .count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

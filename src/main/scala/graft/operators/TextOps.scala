@@ -93,4 +93,30 @@ object TextOps {
 
   private def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** TF-IDF top-k terms per document: tf = in-doc term count,
+    * idf = ln(N/df). Shuffles on (doc, term) for tf and on term for
+    * df; the df table is vocabulary-sized and broadcast back — at
+    * corpus scale the only N-proportional shuffle is the tf count.
+    */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(
+      col(idCol).as("doc"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc").as("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
 }

@@ -134,4 +134,32 @@ object Analytic2 {
     """SELECT event_type, count(*) AS n_events,
       |  round(sum(value), 4) AS total_value
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** D14: as-of join — each event annotated with the user's most
+    * recent order at or before the event time (union+window
+    * formulation, one shuffle; right side pre-aggregated to one row
+    * per (key, time) for determinism under ties).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordersByDay = t.orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+    graft.operators.AsOfJoin
+      .lastBefore(
+        t.events.select(col("event_id"), col("user_id"), col("ts")),
+        ordersByDay,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payloadCols = Seq("last_orderkey"))
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, r.last_orderkey
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
 }

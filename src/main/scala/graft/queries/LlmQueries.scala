@@ -259,9 +259,41 @@ object LlmQueries {
       .agg(approx_count_distinct(col("tok"), 0.01).as("approx_vocab"))
   }
 
-  // ----------------------------------------------------------------
-  // K. Multimodal
-  // ----------------------------------------------------------------
+  /** G7: TF-IDF top-3 terms per document. */
+  def txTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdfTopK(Tables(spark, dir).documents, "text", "doc_id", k = 3)
+
+  val txTfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id AS doc, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |total AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc AS doc_id, term, tfidf, rank FROM (
+      |  SELECT doc, term,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+      |    row_number() OVER (PARTITION BY doc
+      |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) DESC, term) AS rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN total) x
+      |WHERE rank <= 3""".stripMargin
+
+  /** E6: dedup groups — connected components over the n-gram
+    * Jaccard near-dup pairs (min-reachable-id labeling).
+    */
+  def ddDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(Tables(spark, dir).documents, "text", "doc_id",
+      n = 3, threshold = 0.5, maxDocFreq = 100)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+  }
+
+  val ddDedupGroupsSql: String =
+    s"""WITH RECURSIVE pairs AS ($ddNgramJaccardSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""".stripMargin
 
   /** K1: binary payload + typed metadata (text bytes stand in for
     * media payloads; the plumbing is payload-agnostic).

@@ -68,6 +68,9 @@ object Registry {
     QueryDef("q_salted_agg", Analytic2.qSaltedAgg, Some(Analytic2.qSaltedAggSql)),
     QueryDef("dd_exact_norm", LlmQueries.ddExactNorm, Some(LlmQueries.ddExactNormSql)),
     QueryDef("tx_bigrams", LlmQueries.txBigrams, Some(LlmQueries.txBigramsSql)),
-    QueryDef("tx_vocab_approx", LlmQueries.txVocabApprox, None)
+    QueryDef("tx_vocab_approx", LlmQueries.txVocabApprox, None),
+    QueryDef("q_asof_join", Analytic2.qAsofJoin, Some(Analytic2.qAsofJoinSql)),
+    QueryDef("tx_tfidf", LlmQueries.txTfidf, Some(LlmQueries.txTfidfSql)),
+    QueryDef("dd_dedup_groups", LlmQueries.ddDedupGroups, Some(LlmQueries.ddDedupGroupsSql))
   )
 }

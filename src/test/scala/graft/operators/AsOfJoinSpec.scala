@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quotes = Seq( // (key, time, price)
+    ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+    ("B", 15L, 10.0)
+  ).toDF("qk", "qt", "price")
+
+  private val trades = Seq( // (key, time)
+    ("A", 5L), ("A", 20L), ("A", 25L), ("B", 14L), ("C", 100L)
+  ).toDF("tk", "tt")
+
+  test("lastBefore picks the most recent right row at or before left time") {
+    val out = AsOfJoin.lastBefore(trades, quotes, "tk", "qk", "tt", "qt", Seq("price"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out == Set(
+      ("A", 5L, None),          // before any quote
+      ("A", 20L, Some(2.0)),    // tie: quote at same ts counts
+      ("A", 25L, Some(2.0)),
+      ("B", 14L, None),
+      ("C", 100L, None)))       // key with no quotes at all
+  }
+
+  test("connectedComponents labels reachable nodes with min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a chain longer than one hop") {
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val out = Dedup.connectedComponents(chain, "a", "b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(out == Set(1L))
+  }
+}
