@@ -48,6 +48,33 @@ final class CountryCache(spark: SparkSession, basePath: String) {
       if (missing.nonEmpty) None else Some(df)
     }
 
+  /** Enumerate cached entries (reference cli.py:2093 `list_cache`):
+    * walks the release/country/theme/type directory tree.
+    */
+  def list(): Seq[CacheKey] = {
+    val base = new HPath(basePath)
+    if (!fs.exists(base)) Seq.empty
+    else {
+      def kids(p: HPath): Seq[HPath] =
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toIndexedSeq
+      for {
+        rel <- kids(base) if rel.getName.startsWith("release=")
+        cty <- kids(rel) if cty.getName.startsWith("country=")
+        th  <- kids(cty) if th.getName.startsWith("theme=")
+        ty  <- kids(th) if ty.getName.startsWith("type=")
+        if fs.exists(new HPath(ty, "data.parquet"))
+      } yield CacheKey(
+        country = cty.getName.stripPrefix("country="),
+        theme = th.getName.stripPrefix("theme="),
+        typeName = ty.getName.stripPrefix("type="),
+        release = rel.getName.stripPrefix("release="))
+    }
+  }
+
+  /** Drop one cached entry (reference cli.py:2168 `clear_cache`). */
+  def clear(key: CacheKey): Boolean =
+    fs.delete(new HPath(s"$basePath/${key.relPath}"), true)
+
   /** cache → fallback compute → write-through (reference
     * `_read_single_layer_with_fallback`, source.py:804-936).
     */

@@ -43,6 +43,45 @@ object Geo {
         round(max(col(x)), 4).as("xmax"),
         round(max(col(y)), 4).as("ymax"))
 
+  /** Ring rotated left by one: pairs each vertex with its successor
+    * (closing edge included) for shoelace-style folds. `ring` is an
+    * array<struct<x,y>> WITHOUT a repeated closing vertex.
+    */
+  private def rotated(ring: Column): Column =
+    concat(slice(ring, lit(2), size(ring) - 1), slice(ring, lit(1), lit(1)))
+
+  private def crossTerms(ring: Column): Column =
+    zip_with(ring, rotated(ring), (p, q) =>
+      p.getField("x") * q.getField("y") - q.getField("x") * p.getField("y"))
+
+  /** Signed polygon area via the shoelace formula (positive =
+    * counter-clockwise ring). The degenerate-polygon drop rule
+    * (reference transform.py:29 MIN_POLYGON_AREA) filters on its
+    * absolute value.
+    */
+  def polygonArea(ring: Column): Column =
+    aggregate(crossTerms(ring), lit(0.0), (a, v) => a + v) / 2.0
+
+  /** True area centroid of a simple polygon (what the reference's
+    * polygons→centroids conversion computes per feature,
+    * cli.py:2234-2303) — NOT the vertex mean. Undefined (caller
+    * filters) when |area| ~ 0.
+    */
+  def polygonCentroid(ring: Column): Column = {
+    val a2 = aggregate(crossTerms(ring), lit(0.0), (a, v) => a + v) // 2·area
+    val cx = aggregate(
+      zip_with(ring, rotated(ring), (p, q) =>
+        (p.getField("x") + q.getField("x")) *
+          (p.getField("x") * q.getField("y") - q.getField("x") * p.getField("y"))),
+      lit(0.0), (a, v) => a + v) / (lit(3.0) * a2)
+    val cy = aggregate(
+      zip_with(ring, rotated(ring), (p, q) =>
+        (p.getField("y") + q.getField("y")) *
+          (p.getField("x") * q.getField("y") - q.getField("x") * p.getField("y"))),
+      lit(0.0), (a, v) => a + v) / (lit(3.0) * a2)
+    struct(cx.as("x"), cy.as("y"))
+  }
+
   /** Polyline length per trajectory: consecutive-point segment
     * lengths summed in event order. One shuffle (window by key);
     * degenerate polylines below `minLength` dropped — the

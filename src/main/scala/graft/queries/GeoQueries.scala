@@ -70,6 +70,51 @@ object GeoQueries {
        |WHERE x >= 10.0 AND x <= 120.0 AND y >= 20.0 AND y <= 80.0
        |GROUP BY event_type""".stripMargin
 
+  /** C5: polygons → centroids (reference cli.py:2234-2303
+    * `polygons_to_centroids`): build a ring per user from its first
+    * 5 events, compute true area centroid + signed area, drop
+    * degenerates.
+    */
+  def geoCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val p = points(Tables(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val rings = p
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("x"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 3)
+      .withColumn("ring", transform(col("pts"), q =>
+        struct(q.getField("x").as("x"), q.getField("y").as("y"))))
+    rings
+      .withColumn("area", round(Geo.polygonArea(col("ring")), 4))
+      .withColumn("c", Geo.polygonCentroid(col("ring")))
+      .filter(abs(Geo.polygonArea(col("ring"))) > 1e-12)
+      .select(col("user_id"), col("area"),
+        round(col("c.x"), 4).as("cx"), round(col("c.y"), 4).as("cy"))
+  }
+
+  val geoCentroidSql: String =
+    s"""WITH pts AS (
+       |  SELECT user_id, ts, x, y,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |  FROM ($PointsSql)),
+       |rings AS (
+       |  SELECT user_id, list(x ORDER BY rn) AS xs, list(y ORDER BY rn) AS ys
+       |  FROM pts WHERE rn <= 5 GROUP BY user_id HAVING count(*) >= 3),
+       |calc AS (
+       |  SELECT user_id, xs, ys, len(xs) AS n,
+       |    list_sum(list_transform(range(1, len(xs) + 1), i ->
+       |      xs[i] * ys[(i % len(xs)) + 1] - xs[(i % len(xs)) + 1] * ys[i])) / 2.0 AS a
+       |  FROM rings)
+       |SELECT user_id, round(a, 4) AS area,
+       |  round(list_sum(list_transform(range(1, n + 1), i ->
+       |    (xs[i] + xs[(i % n) + 1]) * (xs[i] * ys[(i % n) + 1] - xs[(i % n) + 1] * ys[i]))) / (6 * a), 4) AS cx,
+       |  round(list_sum(list_transform(range(1, n + 1), i ->
+       |    (ys[i] + ys[(i % n) + 1]) * (xs[i] * ys[(i % n) + 1] - xs[(i % n) + 1] * ys[i]))) / (6 * a), 4) AS cy
+       |FROM calc WHERE abs(a) > 1e-12""".stripMargin
+
   /** C4: haversine great-circle distance — codegen-friendly column
     * composition, no UDF. Coordinates mapped into valid lon/lat
     * ranges; distance to the origin, averaged per class.

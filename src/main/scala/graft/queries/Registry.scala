@@ -71,6 +71,7 @@ object Registry {
     QueryDef("tx_vocab_approx", LlmQueries.txVocabApprox, None),
     QueryDef("q_asof_join", Analytic2.qAsofJoin, Some(Analytic2.qAsofJoinSql)),
     QueryDef("tx_tfidf", LlmQueries.txTfidf, Some(LlmQueries.txTfidfSql)),
-    QueryDef("dd_dedup_groups", LlmQueries.ddDedupGroups, Some(LlmQueries.ddDedupGroupsSql))
+    QueryDef("dd_dedup_groups", LlmQueries.ddDedupGroups, Some(LlmQueries.ddDedupGroupsSql)),
+    QueryDef("geo_centroid", GeoQueries.geoCentroid, Some(GeoQueries.geoCentroidSql))
   )
 }

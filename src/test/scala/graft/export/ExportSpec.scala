@@ -90,6 +90,17 @@ class ExportSpec extends SparkSpec {
     assert(chunked.rdd.getNumPartitions == math.ceil(n / 100.0).toInt)
   }
 
+  test("CountryCache list and clear manage entries") {
+    val cache = new CountryCache(spark, tmpDir() + "/cache")
+    val k1 = CacheKey("AF", "places", "place", "2026-01")
+    val k2 = CacheKey("KE", "buildings", "building", "2026-01")
+    cache.put(k1, pointsDf, "2026-01-01")
+    cache.put(k2, pointsDf, "2026-01-01")
+    assert(cache.list().toSet == Set(k1, k2))
+    assert(cache.clear(k1))
+    assert(cache.list().toSet == Set(k2) && !cache.exists(k1))
+  }
+
   test("CountryCache: write-through, completeness fallback") {
     val cache = new CountryCache(spark, tmpDir() + "/cache")
     val key = CacheKey("AF", "places", "place", "2026-01")

@@ -34,6 +34,33 @@ class GeoSpec extends SparkSpec {
     assert(Geo.lineLength(df, "k", "o", "x", "y", 1e-10).count() == 0)
   }
 
+  test("polygonArea and polygonCentroid on the unit square") {
+    // CCW unit square: area +1, centroid (0.5, 0.5)
+    val ring = Seq(Tuple1(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))))
+      .toDF("raw")
+      .withColumn("ring", transform(col("raw"), p =>
+        struct(p.getField("_1").as("x"), p.getField("_2").as("y"))))
+    val r = ring.select(
+      Geo.polygonArea(col("ring")).as("a"),
+      Geo.polygonCentroid(col("ring")).as("c")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val c = r.getStruct(1)
+    assert(math.abs(c.getDouble(0) - 0.5) < 1e-12 && math.abs(c.getDouble(1) - 0.5) < 1e-12)
+  }
+
+  test("polygonCentroid is the area centroid, not the vertex mean") {
+    // L-shaped hexagon: vertex mean != area centroid
+    val pts = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 2.0), (0.0, 2.0))
+    val ring = Seq(Tuple1(pts)).toDF("raw")
+      .withColumn("ring", transform(col("raw"), p =>
+        struct(p.getField("_1").as("x"), p.getField("_2").as("y"))))
+    val r = ring.select(Geo.polygonArea(col("ring")), Geo.polygonCentroid(col("ring"))).head()
+    assert(math.abs(r.getDouble(0) - 3.0) < 1e-12) // area of the L
+    val c = r.getStruct(1)
+    // composite: 2x2 square minus top-right 1x1 -> centroid (2.5/3, 2.5/3) ≈ 0.833; vertex mean is 1.0
+    assert(math.abs(c.getDouble(0) - 2.5 / 3) < 1e-9 && math.abs(c.getDouble(1) - 2.5 / 3) < 1e-9)
+  }
+
   test("bboxAgg computes group bounds") {
     val out = Geo.bboxAgg(
       tables.events.select(col("event_type"), col("value").as("x"), col("user_id").cast("double").as("y")),
