@@ -9,6 +9,7 @@ object PlanCheck {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println(s"entry rows (sf0.001): ${SparkEntry.entry(spark).count()}")
     Registry.all.foreach { q =>
       try {
         val plan = q.fn(spark, dir).queryExecution.executedPlan.toString

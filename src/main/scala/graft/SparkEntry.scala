@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The corpus-cleaning pipeline composes quality scoring,
+    * language ID, and dedup in one plan (SURVEY §2 M1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+    queries("pipe_clean_corpus")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

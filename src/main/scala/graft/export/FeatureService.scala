@@ -81,6 +81,38 @@ object FeatureService {
   def readLayer(spark: SparkSession, servicePath: String, layer: String): DataFrame =
     spark.read.parquet(layerPath(servicePath, layer))
 
+  /** Publish a layer as a BUCKETED table: rows hash-partitioned into
+    * `buckets` files by `bucketKey` and registered in the session
+    * catalog. Two layers bucketed the same way join with ZERO
+    * shuffle (bucket-local sort-merge) — the co-located-join path
+    * for repeatedly-joined 100 TB layers.
+    */
+  def publishBucketed(
+      df: DataFrame,
+      servicePath: String,
+      layer: String,
+      tableName: String,
+      bucketKey: String,
+      buckets: Int
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", layerPath(servicePath, layer))
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** Range-sorted parquet write: global range partitioning + within-
+    * partition sort keeps each file's min/max stats tight, so
+    * range-predicate scans prune whole files (the engine-side
+    * equivalent of the reference caching data ordered per country).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String, partitions: Int): Unit =
+    df.repartitionByRange(partitions, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Chunking for batched uploads (reference: utils.py:331-374
     * `chunk_dataframe`/`estimate_chunk_size`): repartition so each
     * task writes ≈`maxRowsPerChunk` rows — partition count derives

@@ -295,6 +295,39 @@ object LlmQueries {
        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""".stripMargin
 
+  /** M1: end-to-end corpus cleaning — the composed training-data
+    * pipeline: score quality → language-ID → threshold filter →
+    * exact-dedup survivors. One scan, one dedup shuffle, one
+    * survivor semi-join; everything upstream is map-only.
+    */
+  def pipeCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scored = t.documents.select(
+      col("doc_id"), col("text"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.langId(col("text")).as("lang_pred"))
+    val kept = scored.filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+    val survivors = kept
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    kept
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang_pred"), col("quality"))
+  }
+
+  val pipeCleanCorpusSql: String =
+    s"""WITH q AS ($txQualitySql),
+       |l AS ($txLangidSql),
+       |kept AS (
+       |  SELECT d.doc_id, d.text, l.lang_pred, q.quality
+       |  FROM documents d
+       |  JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |  WHERE q.quality >= 0.5 AND l.lang_pred != 'und'),
+       |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+       |SELECT k.doc_id, k.lang_pred, k.quality
+       |FROM kept k JOIN surv USING (doc_id)""".stripMargin
+
   /** K1: binary payload + typed metadata (text bytes stand in for
     * media payloads; the plumbing is payload-agnostic).
     */

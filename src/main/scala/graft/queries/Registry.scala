@@ -72,6 +72,7 @@ object Registry {
     QueryDef("q_asof_join", Analytic2.qAsofJoin, Some(Analytic2.qAsofJoinSql)),
     QueryDef("tx_tfidf", LlmQueries.txTfidf, Some(LlmQueries.txTfidfSql)),
     QueryDef("dd_dedup_groups", LlmQueries.ddDedupGroups, Some(LlmQueries.ddDedupGroupsSql)),
-    QueryDef("geo_centroid", GeoQueries.geoCentroid, Some(GeoQueries.geoCentroidSql))
+    QueryDef("geo_centroid", GeoQueries.geoCentroid, Some(GeoQueries.geoCentroidSql)),
+    QueryDef("pipe_clean_corpus", LlmQueries.pipeCleanCorpus, Some(LlmQueries.pipeCleanCorpusSql))
   )
 }
