@@ -162,4 +162,53 @@ object Analytic2 {
       |SELECT e.event_id, e.user_id, r.last_orderkey
       |FROM events e ASOF LEFT JOIN r
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
+
+  /** D15: trailing moving average per user (5-row window) — the
+    * rolling-statistics shape of monitoring/feature pipelines.
+    */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts")).rowsBetween(-4, 0)
+    t.events.select(
+      col("event_id"), col("user_id"),
+      round(avg(col("value")).over(w), 4).as("ma5"))
+  }
+
+  val qMovingAvgSql: String =
+    """SELECT event_id, user_id,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+      |FROM events""".stripMargin
+
+  /** D16: decile assignment per customer balance (ntile). */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t.customer.select(
+      col("c_custkey"),
+      ntile(10).over(w).cast("long").as("decile"))
+  }
+
+  val qNtileSql: String =
+    """SELECT c_custkey,
+      |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |FROM customer""".stripMargin
+
+  /** D17: fixed-width histogram of order totals (binning for data
+    * profiling; closed form shared with the oracle).
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("bin", floor(col("o_totalprice") / 25000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders GROUP BY 1""".stripMargin
 }

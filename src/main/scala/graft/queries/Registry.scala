@@ -73,6 +73,9 @@ object Registry {
     QueryDef("tx_tfidf", LlmQueries.txTfidf, Some(LlmQueries.txTfidfSql)),
     QueryDef("dd_dedup_groups", LlmQueries.ddDedupGroups, Some(LlmQueries.ddDedupGroupsSql)),
     QueryDef("geo_centroid", GeoQueries.geoCentroid, Some(GeoQueries.geoCentroidSql)),
-    QueryDef("pipe_clean_corpus", LlmQueries.pipeCleanCorpus, Some(LlmQueries.pipeCleanCorpusSql))
+    QueryDef("pipe_clean_corpus", LlmQueries.pipeCleanCorpus, Some(LlmQueries.pipeCleanCorpusSql)),
+    QueryDef("q_moving_avg", Analytic2.qMovingAvg, Some(Analytic2.qMovingAvgSql)),
+    QueryDef("q_ntile", Analytic2.qNtile, Some(Analytic2.qNtileSql)),
+    QueryDef("q_histogram", Analytic2.qHistogram, Some(Analytic2.qHistogramSql))
   )
 }
