@@ -201,9 +201,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialize the pair source ONCE: `pairs` is referenced by both
+    // union branches, so an expensive upstream (the Jaccard candidate
+    // pipeline) would run twice before the edges cache ever fills.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
+    val edges = p
+      .select($"a".as("src"), $"b".as("dst"))
+      .union(p.select($"b".as("src"), $"a".as("dst")))
       .distinct()
       .cache()
     // localCheckpoint (not cache) each iteration: `labels` is

@@ -32,6 +32,39 @@ object Geo {
   def inBBox(x: Column, y: Column, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Column =
     x >= xmin && x <= xmax && y >= ymin && y <= ymax
 
+  /** Spatial grid join: points → boxes containment without a
+    * cartesian product. Boxes are exploded onto the fixed grid cells
+    * they cover; points hash to their cell; the join is an EQUI-join
+    * on cell id followed by the exact containment filter. At 100 TB
+    * this shuffles on cell keys (bounded by box extents / cellSize)
+    * instead of broadcasting-and-scanning every box against every
+    * point. Box-side columns must not collide with point-side names.
+    *
+    * @param points df with x/y columns
+    * @param boxes  df with xmin/ymin/xmax/ymax columns
+    */
+  def gridJoin(
+      points: DataFrame,
+      boxes: DataFrame,
+      x: String,
+      y: String,
+      xmin: String, ymin: String, xmax: String, ymax: String,
+      cellSize: Double
+  ): DataFrame = {
+    val cellOf = (v: Column) => floor(v / cellSize).cast("long")
+    val pts = points
+      .withColumn("_cx", cellOf(col(x)))
+      .withColumn("_cy", cellOf(col(y)))
+    val boxed = boxes
+      .withColumn("_cx", explode(sequence(cellOf(col(xmin)), cellOf(col(xmax)))))
+      .withColumn("_cy", explode(sequence(cellOf(col(ymin)), cellOf(col(ymax)))))
+    pts
+      .join(boxed, Seq("_cx", "_cy"))
+      .filter(col(x) >= col(xmin) && col(x) <= col(xmax) &&
+        col(y) >= col(ymin) && col(y) <= col(ymax))
+      .drop("_cx", "_cy")
+  }
+
   /** Per-group bounding box aggregate (cache metadata computes
     * `gdf.total_bounds` — reference source.py:1454).
     */

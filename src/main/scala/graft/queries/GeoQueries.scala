@@ -70,6 +70,49 @@ object GeoQueries {
        |WHERE x >= 10.0 AND x <= 120.0 AND y >= 20.0 AND y <= 80.0
        |GROUP BY event_type""".stripMargin
 
+  /** C6: spatial grid join — points-in-boxes containment as an
+    * equi-join on grid cells (no cartesian product). Boxes derive
+    * deterministically from the region dim.
+    */
+  def geoGridJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val boxes = t.region.select(
+      col("r_regionkey"),
+      (col("r_regionkey") * 50.0).as("bxmin"),
+      (col("r_regionkey") * 10.0).as("bymin"),
+      (col("r_regionkey") * 50.0 + 120.0).as("bxmax"),
+      (col("r_regionkey") * 10.0 + 40.0).as("bymax"))
+    Geo
+      .gridJoin(points(t), boxes, "x", "y", "bxmin", "bymin", "bxmax", "bymax", cellSize = 25.0)
+      .groupBy(col("r_regionkey"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
+  val geoGridJoinSql: String =
+    s"""SELECT r_regionkey, count(*) AS n_points
+       |FROM ($PointsSql) p
+       |JOIN (SELECT r_regionkey,
+       |        r_regionkey * 50.0 AS bxmin, r_regionkey * 10.0 AS bymin,
+       |        r_regionkey * 50.0 + 120.0 AS bxmax, r_regionkey * 10.0 + 40.0 AS bymax
+       |      FROM region) b
+       |  ON p.x >= b.bxmin AND p.x <= b.bxmax AND p.y >= b.bymin AND p.y <= b.bymax
+       |GROUP BY r_regionkey""".stripMargin
+
+  /** C7: union bounding box via the typed Aggregator API
+    * (graft.functions.BBoxUnion) — same semantics as C1 through a
+    * merge-able typed aggregation.
+    */
+  def geoBboxTyped(spark: SparkSession, dir: String): DataFrame = {
+    val p = points(Tables(spark, dir))
+    p.groupBy(col("event_type"))
+      .agg(graft.functions.BBoxUnion.column(col("x"), col("y")).as("bb"))
+      .select(col("event_type"),
+        round(col("bb.xmin"), 4).as("xmin"), round(col("bb.ymin"), 4).as("ymin"),
+        round(col("bb.xmax"), 4).as("xmax"), round(col("bb.ymax"), 4).as("ymax"))
+  }
+
+  val geoBboxTypedSql: String = geoBboxAggSql
+
   /** C5: polygons → centroids (reference cli.py:2234-2303
     * `polygons_to_centroids`): build a ring per user from its first
     * 5 events, compute true area centroid + signed area, drop

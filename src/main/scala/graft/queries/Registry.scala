@@ -76,6 +76,8 @@ object Registry {
     QueryDef("pipe_clean_corpus", LlmQueries.pipeCleanCorpus, Some(LlmQueries.pipeCleanCorpusSql)),
     QueryDef("q_moving_avg", Analytic2.qMovingAvg, Some(Analytic2.qMovingAvgSql)),
     QueryDef("q_ntile", Analytic2.qNtile, Some(Analytic2.qNtileSql)),
-    QueryDef("q_histogram", Analytic2.qHistogram, Some(Analytic2.qHistogramSql))
+    QueryDef("q_histogram", Analytic2.qHistogram, Some(Analytic2.qHistogramSql)),
+    QueryDef("geo_grid_join", GeoQueries.geoGridJoin, Some(GeoQueries.geoGridJoinSql)),
+    QueryDef("geo_bbox_typed", GeoQueries.geoBboxTyped, Some(GeoQueries.geoBboxTypedSql))
   )
 }

@@ -61,6 +61,24 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(c.getDouble(0) - 2.5 / 3) < 1e-9 && math.abs(c.getDouble(1) - 2.5 / 3) < 1e-9)
   }
 
+  test("gridJoin equals the naive cross-product containment join") {
+    val pts = tables.events.select(
+      col("event_id"), col("value").as("x"), col("user_id").cast("double").as("y"))
+    val boxes = tables.region.select(
+      col("r_regionkey"),
+      (col("r_regionkey") * 30.0).as("bxmin"), (col("r_regionkey") * 100.0).as("bymin"),
+      (col("r_regionkey") * 30.0 + 80.0).as("bxmax"), (col("r_regionkey") * 100.0 + 300.0).as("bymax"))
+    val grid = Geo.gridJoin(pts, boxes, "x", "y", "bxmin", "bymin", "bxmax", "bymax", 17.0)
+      .select("event_id", "r_regionkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val naive = pts.crossJoin(boxes)
+      .filter(col("x") >= col("bxmin") && col("x") <= col("bxmax") &&
+        col("y") >= col("bymin") && col("y") <= col("bymax"))
+      .select("event_id", "r_regionkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(grid == naive && grid.nonEmpty)
+  }
+
   test("bboxAgg computes group bounds") {
     val out = Geo.bboxAgg(
       tables.events.select(col("event_type"), col("value").as("x"), col("user_id").cast("double").as("y")),
