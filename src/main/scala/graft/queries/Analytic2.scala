@@ -211,4 +211,31 @@ object Analytic2 {
     """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
       |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** D18: top-3 orders per customer via the bounded-heap
+    * `TopKAgg` TypedImperativeAggregate — same semantics as
+    * `q_topn_window` but with map-side-combined k-bounded partial
+    * states instead of a full partition sort.
+    */
+  def qTopnHeap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAgg(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        col("col.payload").as("o_orderkey"),
+        round(col("col.ord"), 4).as("totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  val qTopnHeapSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3""".stripMargin
 }

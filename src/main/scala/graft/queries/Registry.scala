@@ -78,6 +78,7 @@ object Registry {
     QueryDef("q_ntile", Analytic2.qNtile, Some(Analytic2.qNtileSql)),
     QueryDef("q_histogram", Analytic2.qHistogram, Some(Analytic2.qHistogramSql)),
     QueryDef("geo_grid_join", GeoQueries.geoGridJoin, Some(GeoQueries.geoGridJoinSql)),
-    QueryDef("geo_bbox_typed", GeoQueries.geoBboxTyped, Some(GeoQueries.geoBboxTypedSql))
+    QueryDef("geo_bbox_typed", GeoQueries.geoBboxTyped, Some(GeoQueries.geoBboxTypedSql)),
+    QueryDef("q_topn_heap", Analytic2.qTopnHeap, Some(Analytic2.qTopnHeapSql))
   )
 }
