@@ -33,10 +33,10 @@ object Analytic {
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(sum(l_quantity), 4) + 0 AS sum_qty,
+      |  round(sum(l_extendedprice), 4) + 0 AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) + 0 AS sum_disc_price,
+      |  round(avg(l_quantity), 4) + 0 AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -61,7 +61,7 @@ object Analytic {
 
   val q3PrioritySql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) + 0 AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -90,7 +90,7 @@ object Analytic {
 
   val q5VolumeSql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) + 0 AS revenue
       |FROM lineitem, orders, customer, supplier, nation, region
       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -113,7 +113,7 @@ object Analytic {
   }
 
   val qTopnWindowSql: String =
-    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) + 0 AS totalprice, rn
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
@@ -137,7 +137,7 @@ object Analytic {
 
   val qEventsWindowSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |  count(*) AS n_events, round(sum(value), 4) + 0 AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
@@ -164,7 +164,7 @@ object Analytic {
 
   val qSessionizeSql: String =
     """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
-      |  round(sum(value), 4) AS session_value
+      |  round(sum(value), 4) + 0 AS session_value
       |FROM (
       |  SELECT user_id, ts, value,
       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts

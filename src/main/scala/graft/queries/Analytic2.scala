@@ -36,7 +36,7 @@ object Analytic2 {
   }
 
   val qNotExistsSql: String =
-    """SELECT c_custkey, round(c_acctbal, 4) AS acctbal FROM customer
+    """SELECT c_custkey, round(c_acctbal, 4) + 0 AS acctbal FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
   /** D9: ROLLUP — revenue at (region, nation), (region), and grand
@@ -52,7 +52,7 @@ object Analytic2 {
   }
 
   val qRollupSql: String =
-    """SELECT r_name, n_name, round(sum(c_acctbal), 4) AS total_bal,
+    """SELECT r_name, n_name, round(sum(c_acctbal), 4) + 0 AS total_bal,
       |  count(*) AS n_customers
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
@@ -71,8 +71,8 @@ object Analytic2 {
 
   val qPercentilesSql: String =
     """SELECT o_orderstatus,
-      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |  round(quantile_cont(o_totalprice, 0.5), 4) + 0 AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) + 0 AS p90
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   /** D11: pivot — event counts per user bucketed by type, as
@@ -110,7 +110,7 @@ object Analytic2 {
 
   val qEnrichJoinSql: String =
     """SELECT c_mktsegment, count(*) AS n_events,
-      |  round(sum(value), 4) AS total_value
+      |  round(sum(value), 4) + 0 AS total_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
@@ -132,7 +132,7 @@ object Analytic2 {
 
   val qSaltedAggSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  round(sum(value), 4) AS total_value
+      |  round(sum(value), 4) + 0 AS total_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** D14: as-of join — each event annotated with the user's most
@@ -178,7 +178,7 @@ object Analytic2 {
   val qMovingAvgSql: String =
     """SELECT event_id, user_id,
       |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
-      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) + 0 AS ma5
       |FROM events""".stripMargin
 
   /** D16: decile assignment per customer balance (ntile). */
@@ -209,7 +209,7 @@ object Analytic2 {
 
   val qHistogramSql: String =
     """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
-      |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      |  count(*) AS n, round(avg(o_totalprice), 4) + 0 AS avg_price
       |FROM orders GROUP BY 1""".stripMargin
 
   /** D18: top-3 orders per customer via the bounded-heap
@@ -231,7 +231,7 @@ object Analytic2 {
   }
 
   val qTopnHeapSql: String =
-    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) + 0 AS totalprice, rn
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey

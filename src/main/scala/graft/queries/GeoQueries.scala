@@ -32,8 +32,8 @@ object GeoQueries {
     Geo.bboxAgg(points(Tables(spark, dir)), Seq("event_type"), "x", "y")
 
   val geoBboxAggSql: String =
-    s"""SELECT event_type, round(min(x), 4) AS xmin, round(min(y), 4) AS ymin,
-       |  round(max(x), 4) AS xmax, round(max(y), 4) AS ymax
+    s"""SELECT event_type, round(min(x), 4) + 0 AS xmin, round(min(y), 4) + 0 AS ymin,
+       |  round(max(x), 4) + 0 AS xmax, round(max(y), 4) + 0 AS ymax
        |FROM ($PointsSql) GROUP BY event_type""".stripMargin
 
   /** C2: trajectory polyline length with degenerate-drop
@@ -43,7 +43,7 @@ object GeoQueries {
     Geo.lineLength(points(Tables(spark, dir)), "user_id", "ts", "x", "y", minLength = 1e-10)
 
   val geoLineLengthSql: String =
-    s"""SELECT user_id, round(sum(seg), 4) AS length, count(*) AS n_points
+    s"""SELECT user_id, round(sum(seg), 4) + 0 AS length, count(*) AS n_points
        |FROM (
        |  SELECT user_id,
        |    CASE WHEN px IS NULL THEN 0.0
@@ -151,11 +151,11 @@ object GeoQueries {
        |    list_sum(list_transform(range(1, len(xs) + 1), i ->
        |      xs[i] * ys[(i % len(xs)) + 1] - xs[(i % len(xs)) + 1] * ys[i])) / 2.0 AS a
        |  FROM rings)
-       |SELECT user_id, round(a, 4) AS area,
+       |SELECT user_id, round(a, 4) + 0 AS area,
        |  round(list_sum(list_transform(range(1, n + 1), i ->
-       |    (xs[i] + xs[(i % n) + 1]) * (xs[i] * ys[(i % n) + 1] - xs[(i % n) + 1] * ys[i]))) / (6 * a), 4) AS cx,
+       |    (xs[i] + xs[(i % n) + 1]) * (xs[i] * ys[(i % n) + 1] - xs[(i % n) + 1] * ys[i]))) / (6 * a), 4) + 0 AS cx,
        |  round(list_sum(list_transform(range(1, n + 1), i ->
-       |    (ys[i] + ys[(i % n) + 1]) * (xs[i] * ys[(i % n) + 1] - xs[(i % n) + 1] * ys[i]))) / (6 * a), 4) AS cy
+       |    (ys[i] + ys[(i % n) + 1]) * (xs[i] * ys[(i % n) + 1] - xs[(i % n) + 1] * ys[i]))) / (6 * a), 4) + 0 AS cy
        |FROM calc WHERE abs(a) > 1e-12""".stripMargin
 
   /** C4: haversine great-circle distance — codegen-friendly column
@@ -172,7 +172,7 @@ object GeoQueries {
   }
 
   val geoHaversineSql: String =
-    s"""SELECT event_type, round(avg(dist_km), 4) AS avg_dist_km FROM (
+    s"""SELECT event_type, round(avg(dist_km), 4) + 0 AS avg_dist_km FROM (
        |  SELECT event_type,
        |    2 * 6371.0088 * asin(sqrt(
        |      pow(sin(radians(0.0 - (y % 90.0)) / 2), 2) +

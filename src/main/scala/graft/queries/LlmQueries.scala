@@ -60,7 +60,7 @@ object LlmQueries {
       |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
-      |  round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard
+      |  round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) + 0 AS jaccard
       |FROM pairs
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
@@ -106,7 +106,7 @@ object LlmQueries {
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |      / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |       * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-      |      4) AS score
+      |      4) + 0 AS score
       |  FROM embeddings b, q WHERE b.vec_id != q.query_id)
       |SELECT query_id, base_id, score, rank FROM (
       |  SELECT query_id, base_id, score,
@@ -130,7 +130,7 @@ object LlmQueries {
       |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
       |  GROUP BY label, d)
-      |SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm,
+      |SELECT label, round(sqrt(sum(c * c)), 4) + 0 AS centroid_norm,
       |  count(*) AS dim
       |FROM percomp GROUP BY label""".stripMargin
 
@@ -166,7 +166,7 @@ object LlmQueries {
       |     / len(regexp_split_to_array(trim(text), '\s+'))) * 5.0, 1.0) +
       |  0.2 * (1.0 - least(
       |    (CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
-      |     / length(text)) * 10.0, 1.0)), 4) AS quality
+      |     / length(text)) * 10.0, 1.0)), 4) + 0 AS quality
       |FROM documents""".stripMargin
 
   /** G3: stopword-vote language ID. */
@@ -272,7 +272,7 @@ object LlmQueries {
       |total AS (SELECT count(*) AS n_docs FROM documents)
       |SELECT doc AS doc_id, term, tfidf, rank FROM (
       |  SELECT doc, term,
-      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) + 0 AS tfidf,
       |    row_number() OVER (PARTITION BY doc
       |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) DESC, term) AS rank
       |  FROM tf JOIN df USING (term) CROSS JOIN total) x

@@ -57,7 +57,7 @@ object RefQueries {
 
   val refBuildingsSql: String =
     """SELECT p_partkey AS id, p_name AS name, p_brand AS building_class,
-      |  round(TRY_CAST(p_retailprice AS DOUBLE), 4) AS height_m,
+      |  round(TRY_CAST(p_retailprice AS DOUBLE), 4) + 0 AS height_m,
       |  TRY_CAST(p_size AS INT) AS floors,
       |  '2026-01-01T00:00:00' AS processed_date,
       |  'KEN' AS country_iso3, 'Kenya' AS country_name,

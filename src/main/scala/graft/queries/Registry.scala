@@ -79,6 +79,9 @@ object Registry {
     QueryDef("q_histogram", Analytic2.qHistogram, Some(Analytic2.qHistogramSql)),
     QueryDef("geo_grid_join", GeoQueries.geoGridJoin, Some(GeoQueries.geoGridJoinSql)),
     QueryDef("geo_bbox_typed", GeoQueries.geoBboxTyped, Some(GeoQueries.geoBboxTypedSql)),
-    QueryDef("q_topn_heap", Analytic2.qTopnHeap, Some(Analytic2.qTopnHeapSql))
+    QueryDef("q_topn_heap", Analytic2.qTopnHeap, Some(Analytic2.qTopnHeapSql)),
+    QueryDef("src_regex_extract", SourceQueries.srcRegexExtract, Some(SourceQueries.srcRegexExtractSql)),
+    QueryDef("src_intersect", SourceQueries.srcIntersect, Some(SourceQueries.srcIntersectSql)),
+    QueryDef("src_except", SourceQueries.srcExcept, Some(SourceQueries.srcExceptSql))
   )
 }

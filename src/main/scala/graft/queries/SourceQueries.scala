@@ -138,6 +138,54 @@ object SourceQueries {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** A10: regex extraction (reference uses regexp_extract for
+    * theme/type discovery from S3 paths, source.py:1330): numeric
+    * suffix of the document source id.
+    */
+  def srcRegexExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(
+      col("doc_id"),
+      regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("source_num"))
+  }
+
+  val srcRegexExtractSql: String =
+    """SELECT doc_id,
+      |  CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS source_num
+      |FROM documents""".stripMargin
+
+  /** A11: INTERSECT — customer keys present in both the BUILDING
+    * segment and the urgent-order population (set semantics).
+    */
+  def srcIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(
+        t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")))
+  }
+
+  val srcIntersectSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** A12: EXCEPT — part brands never ordered in large quantity. */
+  def srcExcept(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part.select(col("p_brand"))
+      .except(
+        t.part.join(t.lineitem, col("p_partkey") === col("l_partkey"))
+          .filter(col("l_quantity") >= 45)
+          .select(col("p_brand")))
+  }
+
+  val srcExceptSql: String =
+    """SELECT DISTINCT p_brand FROM part
+      |EXCEPT
+      |SELECT DISTINCT p_brand FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE l_quantity >= 45""".stripMargin
+
   /** A9: divisions-clip analogue — broadcast semi-join containment
     * (source.py:464-494 country-polygon clip, at dim-join cost).
     */
@@ -149,7 +197,7 @@ object SourceQueries {
   }
 
   val srcDivisionsClipSql: String =
-    """SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 4) + 0 AS acctbal
       |FROM customer
       |WHERE c_nationkey IN (
       |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey

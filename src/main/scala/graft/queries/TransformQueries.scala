@@ -47,7 +47,7 @@ object TransformQueries {
 
   val trNormalizeBuildingsSql: String =
     """SELECT p_partkey AS id, p_name AS name, p_brand AS building_class,
-      |  round(TRY_CAST(p_retailprice AS DOUBLE), 4) AS height_m,
+      |  round(TRY_CAST(p_retailprice AS DOUBLE), 4) + 0 AS height_m,
       |  TRY_CAST(p_size AS INT) AS floors FROM part""".stripMargin
 
   /** B3: places schema normalization (transform.py:518-573) — JSON
@@ -64,7 +64,7 @@ object TransformQueries {
 
   val trNormalizePlacesSql: String =
     """SELECT event_id AS id, json_extract_string(props, '$.k') AS name_primary,
-      |  event_type AS category_primary, round(value, 4) AS confidence
+      |  event_type AS category_primary, round(value, 4) + 0 AS confidence
       |FROM events""".stripMargin
 
   /** B4: string clipping at 255 (transform.py:327-331). */
@@ -109,8 +109,10 @@ object TransformQueries {
   }
 
   val trFirstOfArraySql: String =
-    """SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+    """SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_dim,
       |  len(embedding) AS dim FROM embeddings""".stripMargin
+  // `+ 0` normalizes DuckDB's round(-0.00002, 4) = -0.0 to +0.0
+  // (Spark's BigDecimal round never emits -0.0).
 
   /** B7: field-name sanitization (transform.py:33-108, 297-324) —
     * reserved keywords suffixed, spaces/dashes underscored, 30-char
@@ -129,7 +131,7 @@ object TransformQueries {
 
   val trSanitizeFieldsSql: String =
     """SELECT o_orderkey AS select_field, o_orderstatus AS order_status,
-      |  round(o_totalprice, 4) AS an_extremely_long_field_name_b
+      |  round(o_totalprice, 4) + 0 AS an_extremely_long_field_name_b
       |FROM orders""".stripMargin
 
   /** B8: metadata enrichment (transform.py:151-177). */
@@ -164,7 +166,7 @@ object TransformQueries {
   }
 
   val trDropInvalidSql: String =
-    """SELECT event_id, event_type, round(value, 4) AS value FROM events
+    """SELECT event_id, event_type, round(value, 4) + 0 AS value FROM events
       |WHERE event_type IS NOT NULL AND event_type != ''
       |  AND value IS NOT NULL AND value > 1.0""".stripMargin
 }
