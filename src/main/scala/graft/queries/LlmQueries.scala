@@ -295,6 +295,42 @@ object LlmQueries {
        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""".stripMargin
 
+  /** N1: deterministic train/val/test split — counts per
+    * (lang, split) so the oracle checks every row's assignment.
+    */
+  def smSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("split", graft.operators.Sampling.splitAssign(col("doc_id"), 80, 10))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val smSplitAssignSql: String =
+    """SELECT lang,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs
+      |FROM (SELECT lang,
+      |        ((doc_id * 2654435761 + 1013904223) % 1000000007) % 100 AS b
+      |      FROM documents) x
+      |GROUP BY 1, 2""".stripMargin
+
+  /** N2: deterministic stratified 10% sample per language. */
+  def smStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedSample(
+        Tables(spark, dir).documents.select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 0.1)
+
+  val smStratifiedSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ((doc_id * 2654435761 + 1013904223) % 1000000007) % 1000000, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents) x
+      |WHERE rk <= ceil(n * 0.1)""".stripMargin
+
   /** M1: end-to-end corpus cleaning — the composed training-data
     * pipeline: score quality → language-ID → threshold filter →
     * exact-dedup survivors. One scan, one dedup shuffle, one

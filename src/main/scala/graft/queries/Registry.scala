@@ -82,6 +82,8 @@ object Registry {
     QueryDef("q_topn_heap", Analytic2.qTopnHeap, Some(Analytic2.qTopnHeapSql)),
     QueryDef("src_regex_extract", SourceQueries.srcRegexExtract, Some(SourceQueries.srcRegexExtractSql)),
     QueryDef("src_intersect", SourceQueries.srcIntersect, Some(SourceQueries.srcIntersectSql)),
-    QueryDef("src_except", SourceQueries.srcExcept, Some(SourceQueries.srcExceptSql))
+    QueryDef("src_except", SourceQueries.srcExcept, Some(SourceQueries.srcExceptSql)),
+    QueryDef("sm_split_assign", LlmQueries.smSplitAssign, Some(LlmQueries.smSplitAssignSql)),
+    QueryDef("sm_stratified", LlmQueries.smStratified, Some(LlmQueries.smStratifiedSql))
   )
 }
