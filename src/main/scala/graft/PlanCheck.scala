@@ -13,7 +13,9 @@ object PlanCheck {
     Registry.all.foreach { q =>
       try {
         val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
-        val shuffles = "Exchange".r.findAllIn(plan).length - "ReusedExchange".r.findAllIn(plan).length
+        val shuffles = "Exchange".r.findAllIn(plan).length -
+          "ReusedExchange".r.findAllIn(plan).length -
+          "BroadcastExchange".r.findAllIn(plan).length
         val bcasts = "BroadcastExchange|BroadcastQueryStage".r.findAllIn(plan).size
         val pushed = plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")
         val wsc = "WholeStageCodegen".r.findAllIn(plan).length

@@ -30,7 +30,9 @@ object GeoJson {
       lit("""{"type":"Feature","properties":"""),
       to_json(props),
       lit(""","geometry":"""),
-      geometryJson,
+      // GeoJSON permits null geometry; without the coalesce a null
+      // geometry column nulls the whole concat and the writers choke.
+      coalesce(geometryJson, lit("null")),
       lit("}"))
   }
 

@@ -94,7 +94,9 @@ case class WkbGeometryType(child: Expression) extends UnaryExpression {
       val buf = java.nio.ByteBuffer.wrap(bytes)
       buf.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
       buf.position(1)
-      java.lang.Integer.valueOf(buf.getInt & 0xFFFF) // mask Z/M/SRID flag bits
+      // Strip EWKB flag bits (Z/M/SRID high bits), then the ISO-WKB
+      // +1000/+2000/+3000 Z/M/ZM offsets: 1001 (PointZ) → 1.
+      java.lang.Integer.valueOf((buf.getInt & 0x0FFFFFFF) % 1000)
     }
   }
 
@@ -108,7 +110,7 @@ case class WkbGeometryType(child: Expression) extends UnaryExpression {
          |  java.nio.ByteBuffer $buf = java.nio.ByteBuffer.wrap($c);
          |  $buf.order($c[0] == (byte) 1 ? java.nio.ByteOrder.LITTLE_ENDIAN : java.nio.ByteOrder.BIG_ENDIAN);
          |  $buf.position(1);
-         |  ${ev.value} = $buf.getInt() & 0xFFFF;
+         |  ${ev.value} = ($buf.getInt() & 0x0FFFFFFF) % 1000;
          |}
          |""".stripMargin
     })

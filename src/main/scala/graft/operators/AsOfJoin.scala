@@ -39,11 +39,15 @@ object AsOfJoin {
       .withColumn("_k", col(leftKey))
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1)) // left sorts after a tied right row
+    // Carry the payload as ONE struct (non-null on every right row)
+    // so a legitimately-NULL payload FIELD in the most recent right
+    // row is preserved — per-column last(ignoreNulls) would skip it
+    // and stitch together values from different right rows.
     val r = right.select(
-      (Seq(
-        col(rightKey).as("_k"),
-        col(rightTime).as("_t"),
-        lit(0).as("_side")) ++ payloadCols.map(c => col(c).as(s"_p_$c"))): _*)
+      col(rightKey).as("_k"),
+      col(rightTime).as("_t"),
+      lit(0).as("_side"),
+      struct(payloadCols.map(col): _*).as("_p"))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window
@@ -51,11 +55,10 @@ object AsOfJoin {
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(s"_p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    val carried = unioned.withColumn("_pc", last(col("_p"), ignoreNulls = true).over(w))
+    payloadCols
+      .foldLeft(carried) { (df, c) => df.withColumn(c, col(s"_pc.$c")) }
       .filter(col("_side") === 1)
-      .drop((Seq("_k", "_t", "_side") ++ payloadCols.map(c => s"_p_$c")): _*)
+      .drop("_k", "_t", "_side", "_p", "_pc")
   }
 }

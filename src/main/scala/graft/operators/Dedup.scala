@@ -31,10 +31,13 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // Guard short docs: sequence(1, 0) yields the DESCENDING array
+    // [1, 0] (not empty), and slice(…, 0, …) then throws at runtime.
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
   /** Candidate near-dup pairs by exact n-gram Jaccard over an

@@ -23,7 +23,11 @@ object Multimodal {
     */
   def withBinaryMeta(df: DataFrame, payloadCol: String): DataFrame =
     df.withColumn("n_bytes", octet_length(col(payloadCol)).cast("long"))
-      .withColumn("magic_byte", ascii(substring(col(payloadCol).cast("string"), 1, 1)).cast("long"))
+      // First BYTE via hex, not a UTF-8 string cast: real media magic
+      // numbers (0xFF JPEG, 0x89 PNG) are invalid UTF-8 and would
+      // decode to U+FFFD under a string round-trip.
+      .withColumn("magic_byte",
+        conv(hex(substring(col(payloadCol), 1, 1)), 16, 10).cast("long"))
       .withColumn("checksum", substring(md5(col(payloadCol)), 1, 8))
 
   /** Decoded-media feature row produced by the (stubbed) decoder. */

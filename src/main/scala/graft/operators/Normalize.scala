@@ -50,7 +50,21 @@ object Normalize {
   }
 
   def sanitizeFieldNames(df: DataFrame): DataFrame = {
-    val renames = df.columns.map(c => c -> sanitizeName(c)).filter { case (a, b) => a != b }
+    // Truncation can collapse distinct names onto one sanitized name;
+    // disambiguate with a numeric suffix (kept within the length cap)
+    // so the frame never carries duplicate columns.
+    val used = scala.collection.mutable.Set.empty[String]
+    val renames = df.columns.map { c =>
+      var name = sanitizeName(c)
+      var i = 2
+      while (used.contains(name.toLowerCase)) {
+        val suffix = s"_$i"
+        name = sanitizeName(c).take(FieldNameMax - suffix.length) + suffix
+        i += 1
+      }
+      used += name.toLowerCase
+      c -> name
+    }.filter { case (a, b) => a != b }
     renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
   }
 

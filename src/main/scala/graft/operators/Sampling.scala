@@ -18,9 +18,12 @@ object Sampling {
     */
   def idBucket(id: Column, buckets: Int): Column =
     pmod(
-      // xor-shift mix keeps neighboring ids uncorrelated; plain
-      // `id % buckets` would stripe sequential ids.
-      (id * lit(2654435761L) + lit(1013904223L)) % lit(1000000007L),
+      // Multiplicative mix keeps neighboring ids uncorrelated; plain
+      // `id % buckets` would stripe sequential ids. The id is reduced
+      // mod P FIRST so the product stays below 2^63 (raw id·constant
+      // overflows Long for ids ≳3.5e9 — an ANSI-mode crash and an
+      // engine-divergence hazard otherwise).
+      (pmod(id, lit(1000000007L)) * lit(2654435761L) + lit(1013904223L)) % lit(1000000007L),
       lit(buckets))
 
   /** Train/val/test assignment by id bucket percentage:

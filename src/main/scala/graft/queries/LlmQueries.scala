@@ -220,11 +220,13 @@ object LlmQueries {
     val t = Tables(spark, dir)
     import org.apache.spark.sql.expressions.Window
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val bigrams = t.documents.select(
-      col("lang"),
-      explode(transform(
-        sequence(lit(1), greatest(size(toks) - 1, lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+    // Same short-doc guard as Dedup.shingles: sequence(1, 0) is the
+    // descending [1, 0], and slice(…, 0, 2) throws.
+    val bigramArr = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+    val bigrams = t.documents.select(col("lang"), explode(bigramArr).as("bigram"))
     val counted = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
     counted
@@ -311,7 +313,7 @@ object LlmQueries {
       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
       |  count(*) AS n_docs
       |FROM (SELECT lang,
-      |        ((doc_id * 2654435761 + 1013904223) % 1000000007) % 100 AS b
+      |        (((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007) % 100 AS b
       |      FROM documents) x
       |GROUP BY 1, 2""".stripMargin
 
@@ -326,7 +328,7 @@ object LlmQueries {
     """SELECT doc_id, lang FROM (
       |  SELECT doc_id, lang,
       |    row_number() OVER (PARTITION BY lang
-      |      ORDER BY ((doc_id * 2654435761 + 1013904223) % 1000000007) % 1000000, doc_id) AS rk,
+      |      ORDER BY (((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007) % 1000000, doc_id) AS rk,
       |    count(*) OVER (PARTITION BY lang) AS n
       |  FROM documents) x
       |WHERE rk <= ceil(n * 0.1)""".stripMargin

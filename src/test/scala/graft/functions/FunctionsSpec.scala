@@ -50,6 +50,18 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1, 2, 3, 6))
   }
 
+  test("WkbGeometryType strips ISO Z/M offsets and EWKB flags (regression)") {
+    def wkbType(t: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(t.toInt)
+      b.array()
+    }
+    val rows = Seq(1001L /* PointZ */, 2003L /* PolygonM */, 3002L /* LineStringZM */,
+      0x80000001L /* EWKB Z Point */).map(t => Tuple1(wkbType(t)))
+    val out = rows.toDF("g").select(Wkb.wkbGeometryType(col("g"))).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 3, 2, 1))
+  }
+
   test("GraftExtensions exposes SQL functions") {
     import org.apache.spark.sql.SparkSession
     val prevDefault = SparkSession.getDefaultSession

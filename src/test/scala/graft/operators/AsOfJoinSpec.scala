@@ -26,6 +26,16 @@ class AsOfJoinSpec extends SparkSpec {
       ("C", 100L, None)))       // key with no quotes at all
   }
 
+  test("null payload FIELD in the matching right row is preserved (regression: per-column stitching)") {
+    val rights = Seq(
+      ("A", 1L, Option("a"), Option("x")),
+      ("A", 5L, None, Option("y"))).toDF("qk", "qt", "colA", "colB")
+    val lefts = Seq(("A", 6L)).toDF("tk", "tt")
+    val r = AsOfJoin.lastBefore(lefts, rights, "tk", "qk", "tt", "qt", Seq("colA", "colB")).head()
+    // must take BOTH fields from the t=5 row: colA NULL, colB "y"
+    assert(r.isNullAt(2) && r.getString(3) == "y")
+  }
+
   test("connectedComponents labels reachable nodes with min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L)).toDF("a", "b")
     val out = Dedup.connectedComponents(pairs, "a", "b")

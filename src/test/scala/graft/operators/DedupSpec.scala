@@ -54,6 +54,16 @@ class DedupSpec extends SparkSpec {
     assert(near <= 16)
   }
 
+  test("short and empty documents survive shingling (regression: sequence(1,0) slice crash)") {
+    val shorts = Seq((1L, "two words"), (2L, ""), (3L, "one"), (4L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    assert(shorts.select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).length).toSeq == Seq(0, 0, 0, 3))
+    // full pipelines must not throw on the same corpus
+    assert(Dedup.ngramJaccard(shorts, "text", "doc_id", 3, 0.5, 10).count() == 0)
+    assert(Dedup.minhashLsh(shorts, "text", "doc_id").count() >= 0)
+  }
+
   test("hammingDist column matches JVM bitCount") {
     val df = Seq((0x0FL, 0xF0L)).toDF("a", "b")
     assert(df.select(Dedup.hammingDist(col("a"), col("b"))).head().getInt(0) == 8)

@@ -15,6 +15,15 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getString(2).length == 8)
   }
 
+  test("magic_byte reads the raw first BYTE, not a UTF-8 decode (regression)") {
+    val jpegish = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+    val pngish = Array(0x89.toByte, 0x50.toByte)
+    val df = Seq((1L, jpegish), (2L, pngish)).toDF("id", "payload")
+    val out = Multimodal.withBinaryMeta(df, "payload")
+      .orderBy("id").select("magic_byte").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(255L, 137L))
+  }
+
   test("decodeFeatures is deterministic and batch-shaped") {
     val df = tables.documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -18,6 +18,13 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("splitAssign survives huge ids under ANSI mode (regression: long overflow)") {
+    import spark.implicits._
+    val big = Seq(4000000000L, Long.MaxValue / 2, 7L).toDF("id")
+    val out = big.select(Sampling.splitAssign(col("id"), 80, 10)).collect().map(_.getString(0))
+    assert(out.forall(Set("train", "val", "test")))
+  }
+
   test("stratifiedSample keeps ~fraction per stratum, deterministically") {
     val base = tables.documents.select(col("doc_id"), col("lang"))
     val s1 = Sampling.stratifiedSample(base, "lang", "doc_id", 0.1)
