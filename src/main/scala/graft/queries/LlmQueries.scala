@@ -84,6 +84,31 @@ object LlmQueries {
       |  min(doc_id) AS survivor_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** E7: edit-distance verification of near-dup candidates — exact
+    * Levenshtein only on the (bounded) candidate pairs from the
+    * shingle index, never on N². The final precision stage of a
+    * dedup pipeline.
+    */
+  def ddLevenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = Dedup.ngramJaccard(t.documents, "text", "doc_id",
+      n = 3, threshold = 0.5, maxDocFreq = 100)
+    val texts = t.documents.select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+    pairs
+      .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("prefix", "pa"), "doc_a")
+      .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("prefix", "pb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+  }
+
+  val ddLevenshteinSql: String =
+    s"""WITH pairs AS ($ddNgramJaccardSql),
+       |texts AS (SELECT doc_id, left(text, 80) AS prefix FROM documents)
+       |SELECT doc_a, doc_b, levenshtein(ta.prefix, tb.prefix) AS edit_dist
+       |FROM pairs
+       |JOIN texts ta ON ta.doc_id = doc_a
+       |JOIN texts tb ON tb.doc_id = doc_b""".stripMargin
+
   // ----------------------------------------------------------------
   // F. Similarity search
   // ----------------------------------------------------------------

@@ -152,6 +152,24 @@ object TransformQueries {
       |  'Road Network' AS data_sector
       |FROM nation""".stripMargin
 
+  /** B10: schema-full JSON parsing — from_json with a declared
+    * schema (the structured counterpart of the A2 path extraction;
+    * reference flattens whole JSON objects, transform.py:576-635).
+    */
+  def trFromJson(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))).as("p"))
+      .select(col("event_id"), col("p.k").as("k"))
+  }
+
+  val trFromJsonSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
   /** B9: validity rules (transform.py:252-294) — non-null/non-empty
     * requireds plus the degenerate-magnitude threshold.
     */
