@@ -14,8 +14,12 @@ object ExportFormat extends Enumeration {
   def fromPath(path: String): ExportFormat.Value = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
     ext match {
+      // .json → GeoJson mirrors the reference (export.py:48-49);
+      // tabular JSON uses .jsonl (what Spark's json writer emits),
+      // keeping the filename ↔ format round-trip unambiguous.
       case "geojson" | "json" => GeoJson
       case "geojsonseq"       => GeoJsonSeq
+      case "jsonl"            => Json
       case "parquet"          => Parquet
       case "csv"              => Csv
       case "gpkg"             => Gpkg
@@ -71,7 +75,7 @@ object Exporter {
       case ExportFormat.GeoJsonSeq => "geojsonseq"
       case ExportFormat.Parquet    => "parquet"
       case ExportFormat.Csv        => "csv"
-      case ExportFormat.Json       => "json"
+      case ExportFormat.Json       => "jsonl"
       case ExportFormat.Gpkg       => "gpkg"
       case ExportFormat.Fgdb       => "gdb"
     }

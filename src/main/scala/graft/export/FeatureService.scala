@@ -63,14 +63,14 @@ object FeatureService {
           // incoming batch, union the batch. At warehouse scale this
           // is the generic non-transactional fallback; a table format
           // with merge (or partition-scoped overwrite) replaces it.
+          // Writing to a staging path means the source is read and
+          // the result written in ONE pass; the source dir is only
+          // replaced after the staging write completes.
           val existing = spark.read.parquet(path)
           val merged = existing
             .join(df.select(col(upsertKey)).distinct(), Seq(upsertKey), "left_anti")
             .unionByName(df, allowMissingColumns = true)
-            .cache()
-          merged.count() // materialize before overwriting the source
           merged.write.mode("overwrite").parquet(s"$path.staging")
-          merged.unpersist()
           val f = fs(spark, servicePath)
           f.delete(new HPath(path), true)
           f.rename(new HPath(s"$path.staging"), new HPath(path))

@@ -139,8 +139,13 @@ object Dedup {
     // stored before band hashing and the self-join (else it inlines
     // into every band and both join sides). Each exchange moves only
     // (id, small-array) rows.
+    // Docs shorter than n tokens have an EMPTY shingle set → an
+    // all-null signature shared by every such doc → one gigantic LSH
+    // bucket whose self-join is O(m²). They cannot be near-dup
+    // candidates under this shingling, so drop them up front.
     val hashed = docs
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("hashes"))
+      .filter(size(col("hashes")) > 0)
       .repartition(col("doc"))
     val signed = hashed
       .select(col("doc"), minhashFromHashes(col("hashes"), k, seed).as("sig"))

@@ -61,7 +61,11 @@ object Multimodal {
     */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
-    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    // Null/missing payloads are a fact of life in media corpora:
+    // skip them rather than NPE the job on one bad row.
+    val input = df
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .filter(col(payloadCol).isNotNull)
     val rows = input.rdd.mapPartitions { it =>
       // One decoder context per partition (the expensive-setup seam).
       it.map { r =>

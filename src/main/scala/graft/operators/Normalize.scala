@@ -50,11 +50,15 @@ object Normalize {
   }
 
   def sanitizeFieldNames(df: DataFrame): DataFrame = {
-    // Truncation can collapse distinct names onto one sanitized name;
-    // disambiguate with a numeric suffix (kept within the length cap)
-    // so the frame never carries duplicate columns.
+    // Truncation/keyword-suffixing can collapse distinct names onto
+    // one sanitized name; disambiguate with a numeric suffix (kept
+    // within the length cap). The rename is applied ATOMICALLY via
+    // toDF — a withColumnRenamed fold renames every column matching
+    // the target name, so transient collisions (e.g. "select" →
+    // "select_field" next to an original "select_field") would
+    // corrupt both columns.
     val used = scala.collection.mutable.Set.empty[String]
-    val renames = df.columns.map { c =>
+    val finalNames = df.columns.map { c =>
       var name = sanitizeName(c)
       var i = 2
       while (used.contains(name.toLowerCase)) {
@@ -63,9 +67,9 @@ object Normalize {
         i += 1
       }
       used += name.toLowerCase
-      c -> name
-    }.filter { case (a, b) => a != b }
-    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+      name
+    }
+    df.toDF(finalNames.toIndexedSeq: _*)
   }
 
   /** Clip every string column to `max` chars (transform.py:327-331). */

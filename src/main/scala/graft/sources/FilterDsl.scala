@@ -47,8 +47,13 @@ object FilterDsl {
     Option(filter).map(_.trim).filter(_.nonEmpty).map {
       case EqRe(path, value) => resolve(df, path) === lit(value)
       case InRe(path, values) =>
-        val vs = values.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
-        resolve(df, path).isin(vs.toIndexedSeq: _*)
+        // Prefer explicit quoted tokens: naive comma-splitting would
+        // corrupt values containing commas ('food, drink').
+        val quoted = "'([^']*)'".r.findAllMatchIn(values).map(_.group(1)).toSeq
+        val vs =
+          if (quoted.nonEmpty) quoted
+          else values.split(",").map(_.trim).toSeq
+        resolve(df, path).isin(vs: _*)
       case other =>
         throw new IllegalArgumentException(s"unsupported filter: $other")
     }

@@ -56,6 +56,10 @@ class ExportSpec extends SparkSpec {
     assert(ExportFormat.fromPath("y.gdb") == ExportFormat.Fgdb)
     assert(Exporter.exportFilename("roads", "AFG", ExportFormat.GeoJson) == "afg_roads.geojson")
     assert(Exporter.exportFilename("health", "ken", ExportFormat.Gpkg, raw = true) == "ken_health_raw.gpkg")
+    // tabular JSON round-trips unambiguously (regression: .json used
+    // to route back to GeoJson and throw on write)
+    val jf = Exporter.exportFilename("places", "KEN", ExportFormat.Json)
+    assert(jf == "ken_places.jsonl" && ExportFormat.fromPath(jf) == ExportFormat.Json)
   }
 
   test("FeatureService: Initial fails on existing, Overwrite truncates, Append adds") {

@@ -64,6 +64,14 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLsh(shorts, "text", "doc_id").count() >= 0)
   }
 
+  test("short docs never become LSH candidates of each other (regression: shared null-sig bucket)") {
+    val manyShorts = (1L to 50L).map(i => (i, s"doc $i")) :+ (51L, "a much longer document with plenty of distinct tokens inside")
+    val df = manyShorts.toDF("doc_id", "text")
+    // all 50 short docs have empty shingle sets; with the shared
+    // null-signature bucket they'd produce 50*49/2 spurious pairs
+    assert(Dedup.minhashLsh(df, "text", "doc_id").count() == 0)
+  }
+
   test("hammingDist column matches JVM bitCount") {
     val df = Seq((0x0FL, 0xF0L)).toDF("a", "b")
     assert(df.select(Dedup.hammingDist(col("a"), col("b"))).head().getInt(0) == 8)

@@ -12,6 +12,17 @@ class NormalizeSpec extends SparkSpec {
     assert(Normalize.sanitizeName("ok_name") == "ok_name")
   }
 
+  test("sanitizeFieldNames never yields duplicate columns (regression: rename-all corruption)") {
+    val df = tables.nation.select(
+      col("n_nationkey").as("select"),
+      col("n_name").as("select_field"),
+      col("n_regionkey").as("a" * 35))
+    val out = Normalize.sanitizeFieldNames(df)
+    assert(out.columns.distinct.length == out.columns.length)
+    assert(out.columns.contains("select_field") && out.columns.contains("select_field_2"))
+    assert(out.count() == tables.nation.count()) // frame still usable
+  }
+
   test("clipStrings clips only string columns") {
     val df = tables.documents.select(col("doc_id"), col("text"))
     val out = Normalize.clipStrings(df, 10)

@@ -21,6 +21,14 @@ class FilterDslSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("IN values containing commas survive parsing (regression)") {
+    import spark.implicits._
+    val df = Seq("food, drink", "retail", "other").toDF("cat")
+    val out = FilterDsl(df, "cat IN ('food, drink', 'retail')")
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("food, drink", "retail"))
+  }
+
   test("blank filter returns frame unchanged") {
     assert(FilterDsl(tables.nation, "  ").count() == tables.nation.count())
   }

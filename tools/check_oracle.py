@@ -22,7 +22,11 @@ def canon(rows, cols):
 
     def cell(v):
         if isinstance(v, float):
-            return f"{v:.6g}"
+            # Fixed-point at the protocol's 4-dp rounding: %.6g would
+            # collapse large-magnitude aggregates (9876543.2101 and
+            # 9876544.9999 both print 9.87654e+06) and mask real
+            # cross-engine divergence.
+            return f"{v:.4f}"
         return str(v)
 
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
