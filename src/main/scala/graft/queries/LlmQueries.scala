@@ -36,10 +36,24 @@ object LlmQueries {
     Tables(spark, dir).documents
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
 
+  /** Session-scoped materialization of the Jaccard candidate pairs:
+    * three registry queries (E4, E6, E7) consume the same candidate
+    * set, so it is computed once per (session, dir) and stored via
+    * localCheckpoint — the shared-materialized-view pattern a
+    * warehouse would use for a common subexpression. Result rows are
+    * tiny (near-dup pairs only).
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((spark, dir),
+      Dedup.ngramJaccard(Tables(spark, dir).documents, "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocFreq = 100).localCheckpoint(true))
+
   /** E4: exact n-gram Jaccard over the inverted shingle index. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(Tables(spark, dir).documents, "text", "doc_id",
-      n = 3, threshold = 0.5, maxDocFreq = 100)
+    ngramPairs(spark, dir)
 
   val ddNgramJaccardSql: String =
     """WITH toks AS (
@@ -91,8 +105,7 @@ object LlmQueries {
     */
   def ddLevenshtein(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val pairs = Dedup.ngramJaccard(t.documents, "text", "doc_id",
-      n = 3, threshold = 0.5, maxDocFreq = 100)
+    val pairs = ngramPairs(spark, dir)
     val texts = t.documents.select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
     pairs
       .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("prefix", "pa"), "doc_a")
@@ -308,11 +321,8 @@ object LlmQueries {
   /** E6: dedup groups — connected components over the n-gram
     * Jaccard near-dup pairs (min-reachable-id labeling).
     */
-  def ddDedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccard(Tables(spark, dir).documents, "text", "doc_id",
-      n = 3, threshold = 0.5, maxDocFreq = 100)
-    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-  }
+  def ddDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(ngramPairs(spark, dir), "doc_a", "doc_b")
 
   val ddDedupGroupsSql: String =
     s"""WITH RECURSIVE pairs AS ($ddNgramJaccardSql),
@@ -406,4 +416,31 @@ object LlmQueries {
       |  unicode(left(text, 1)) AS magic_byte,
       |  left(md5(text), 8) AS checksum
       |FROM documents""".stripMargin
+
+  /** K3: the decode stage end-to-end — mapPartitions batch decode
+    * over binary payloads. The stub decoder is closed-form, so the
+    * oracle replicates it exactly (texts are ASCII: byte values =
+    * codepoints).
+    */
+  def mmDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val feats = Multimodal.decodeFeatures(
+      t.documents.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+    feats.select(
+      col("media_id").as("doc_id"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      col("n_frames").cast("long").as("n_frames"),
+      round(col("mean_intensity"), 4).as("mean_intensity"))
+  }
+
+  val mmDecodeStatsSql: String =
+    """SELECT doc_id,
+      |  16 + (n % 64) AS width,
+      |  16 + ((n // 64) % 64) AS height,
+      |  1 + (n % 4) AS n_frames,
+      |  round(list_sum(list_transform(regexp_split_to_array(text, ''),
+      |    c -> CAST(unicode(c) AS DOUBLE))) / n, 4) + 0 AS mean_intensity
+      |FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents) x""".stripMargin
 }
