@@ -94,6 +94,15 @@ object TextOps {
   private def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** PII-style pattern redaction (emails, phone-like digit runs) —
+    * the scrubbing pass every training corpus gets before release.
+    * Pure regexp_replace: map-only at scan speed.
+    */
+  def redact(text: Column): Column = {
+    val noEmail = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]+", "<NUM>")
+  }
+
   /** TF-IDF top-k terms per document: tf = in-doc term count,
     * idf = ln(N/df). Shuffles on (doc, term) for tf and on term for
     * df; the df table is vocabulary-sized and broadcast back — at

@@ -230,6 +230,41 @@ object Analytic2 {
         (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** D19: z-score standardization per group — windowed feature
+    * engineering (map-only after one shuffle on the group key).
+    */
+  def qZscore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    t.events.select(
+      col("event_id"), col("event_type"),
+      round((col("value") - avg(col("value")).over(w)) / stddev_samp(col("value")).over(w), 4)
+        .as("z"))
+  }
+
+  val qZscoreSql: String =
+    """SELECT event_id, event_type,
+      |  round((value - avg(value) OVER (PARTITION BY event_type))
+      |        / stddev_samp(value) OVER (PARTITION BY event_type), 4) + 0 AS z
+      |FROM events""".stripMargin
+
+  /** D20: min-max scaling per group. */
+  def qMinmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    t.events.select(
+      col("event_id"), col("event_type"),
+      round((col("value") - min(col("value")).over(w)) /
+        (max(col("value")).over(w) - min(col("value")).over(w)), 4).as("scaled"))
+  }
+
+  val qMinmaxScaleSql: String =
+    """SELECT event_id, event_type,
+      |  round((value - min(value) OVER (PARTITION BY event_type))
+      |        / (max(value) OVER (PARTITION BY event_type)
+      |           - min(value) OVER (PARTITION BY event_type)), 4) + 0 AS scaled
+      |FROM events""".stripMargin
+
   val qTopnHeapSql: String =
     """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) + 0 AS totalprice, rn
       |FROM (

@@ -299,6 +299,22 @@ object LlmQueries {
       .agg(approx_count_distinct(col("tok"), 0.01).as("approx_vocab"))
   }
 
+  /** G8: PII-style redaction over the JSON props strings (the only
+    * testdata column containing digits — real replacements happen).
+    */
+  def txRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      col("event_id"),
+      TextOps.redact(col("props")).as("redacted"))
+
+  val txRedactSql: String =
+    """SELECT event_id,
+      |  regexp_replace(
+      |    regexp_replace(props,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]+', '<NUM>', 'g') AS redacted
+      |FROM events""".stripMargin
+
   /** G7: TF-IDF top-3 terms per document. */
   def txTfidf(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfIdfTopK(Tables(spark, dir).documents, "text", "doc_id", k = 3)

@@ -33,6 +33,12 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "und"))
   }
 
+  test("redact scrubs emails and digit runs") {
+    val df = Seq("contact jane.doe+x@example.org or call 555 0199 ext 42").toDF("t")
+    val out = df.select(TextOps.redact(col("t"))).head().getString(0)
+    assert(out == "contact <EMAIL> or call <NUM> <NUM> ext <NUM>")
+  }
+
   test("fingerprint is deterministic and whitespace-normalized") {
     val df = Seq(("a", "Hello  World"), ("b", "hello world"), ("c", "different")).toDF("id", "t")
     val fp = df.select(col("id"), TextOps.fingerprint(col("t")).as("f"))
