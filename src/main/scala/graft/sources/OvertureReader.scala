@@ -53,6 +53,19 @@ object OvertureReader {
     alias.fold(c)(c.as(_))
   }
 
+  /** Read a table from any Spark-supported columnar/text format —
+    * the engine is format-agnostic the way the reference's source
+    * falls back across cache/dump/S3 (parquet is the fast path;
+    * csv/json cover interchange).
+    */
+  def readFormat(spark: org.apache.spark.sql.SparkSession, path: String, format: String): DataFrame =
+    format match {
+      case "parquet" => spark.read.parquet(path)
+      case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case "json"    => spark.read.json(path)
+      case other     => throw new IllegalArgumentException(s"unsupported source format: $other")
+    }
+
   /** Single-layer read: project → filter → bbox → limit, all
     * declarative so Catalyst pushes predicates and prunes columns at
     * the parquet scan.

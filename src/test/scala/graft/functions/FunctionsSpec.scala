@@ -83,4 +83,10 @@ class FunctionsSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  // Note: the `spark.sql.extensions=graft.GraftExtensions` config
+  // route is only honored when the SparkContext itself is created
+  // (spark-submit / fresh JVM); it cannot be spec'd against the
+  // suite's shared context, so the withExtensions test above is the
+  // in-JVM coverage.
 }

@@ -60,6 +60,21 @@ class OvertureReaderSpec extends SparkSpec {
     assert(clipped.columns.toSeq == tables.customer.columns.toSeq)
   }
 
+  test("readFormat round-trips tables through csv and json") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val src = tables.nation
+    src.write.option("header", "true").csv(s"$dir/n.csv")
+    src.write.json(s"$dir/n.json")
+    val fromCsv = OvertureReader.readFormat(spark, s"$dir/n.csv", "csv")
+    val fromJson = OvertureReader.readFormat(spark, s"$dir/n.json", "json")
+    assert(fromCsv.count() == 25 && fromJson.count() == 25)
+    assert(fromCsv.select("n_name").collect().map(_.getString(0)).toSet ==
+      src.select("n_name").collect().map(_.getString(0)).toSet)
+    intercept[IllegalArgumentException] {
+      OvertureReader.readFormat(spark, dir, "orc-nope")
+    }
+  }
+
   test("projection prunes the parquet read schema") {
     val df = OvertureReader.read(tables, ReadRequest("lineitem", columns = Seq("l_orderkey")))
     val scan = df.queryExecution.executedPlan.toString
