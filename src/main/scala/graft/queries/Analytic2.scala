@@ -265,6 +265,28 @@ object Analytic2 {
       |           - min(value) OVER (PARTITION BY event_type)), 4) + 0 AS scaled
       |FROM events""".stripMargin
 
+  /** D21: bivariate statistics per group — Pearson correlation and
+    * sample covariance between the event value and its JSON metric.
+    */
+  def qCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(corr(col("value"), col("k")), 4).as("pearson"),
+        round(covar_samp(col("value"), col("k")), 4).as("covariance"))
+  }
+
+  val qCorrStatsSql: String =
+    """SELECT event_type,
+      |  round(corr(value, k), 4) + 0 AS pearson,
+      |  round(covar_samp(value, k), 4) + 0 AS covariance
+      |FROM (SELECT event_type, value,
+      |        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+      |      FROM events) x
+      |GROUP BY event_type""".stripMargin
+
   val qTopnHeapSql: String =
     """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) + 0 AS totalprice, rn
       |FROM (
