@@ -86,27 +86,42 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
-  private def permutations(k: Int, seed: Long): Seq[(Long, Long)] = {
+  /** The k (a, b) permutation constants for a given seed. Exposed to
+    * `private[graft]` so the DuckDB oracle SQL can embed the SAME
+    * constants as literals — the signature is then exactly
+    * reproducible outside Spark.
+    */
+  private[graft] def permutations(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(k)((math.abs(rnd.nextLong()) % P + 1, math.abs(rnd.nextLong()) % P))
   }
 
-  /** Base shingle hashes: xxhash64 of each distinct n-gram, mod P. */
+  /** Base shingle hashes: polynomial rolling hash of each distinct
+    * n-gram (values in [0, 1e9+7) ⊂ [0, P)). RollingHash rather than
+    * xxhash64 so the whole signature is expressible in the ANSI-SQL
+    * oracle; the native expression is codegen'd, so this is also the
+    * faster path.
+    */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => pmod(xxhash64(s), lit(P)))
+    transform(shingles(text, n), s => graft.functions.RollingHash(s))
 
-  /** MinHash signature from precomputed shingle hashes: k
-    * permutations h_i(x) = (a_i·x + b_i) mod P. Keep `hashes` a
-    * STORED column (not an inline expression) — each of the k
-    * permutation lambdas walks it, so an inlined expression would
-    * re-shingle the text k times.
+  /** MinHash signature from shingle hashes: k permutations
+    * h_i(x) = (a_i·x + b_i) mod P, folded in ONE pass over the hash
+    * set. `aggregate` evaluates its input collection exactly once per
+    * row, so `hashes` may be an inline expression — no staging
+    * boundary (and no shuffle) is needed to avoid re-shingling k
+    * times. Empty hash sets fold to the all-P sentinel (P itself is
+    * unreachable: (a·x+b) mod P < P).
     */
   def minhashFromHashes(hashes: Column, k: Int, seed: Long): Column = {
     val permArr = array(permutations(k, seed).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
-    transform(permArr, p =>
-      array_min(transform(hashes, h => (p.getField("a") * h + p.getField("b")) % P)))
+    aggregate(
+      hashes,
+      array_repeat(lit(P), k),
+      (acc, h) => zip_with(acc, permArr,
+        (m, p) => least(m, (p.getField("a") * h + p.getField("b")) % P)))
   }
 
   /** One-shot signature (convenience; see [[minhashFromHashes]] for
@@ -133,29 +148,35 @@ object Dedup {
     import spark.implicits._
     val k = bands * rowsPerBand
 
-    // Two staged materialization boundaries: (1) shingle hashes are
-    // stored before the k permutation lambdas walk them (else the
-    // shingling recomputes k times per row); (2) the signature is
-    // stored before band hashing and the self-join (else it inlines
-    // into every band and both join sides). Each exchange moves only
-    // (id, small-array) rows.
-    // Docs shorter than n tokens have an EMPTY shingle set → an
-    // all-null signature shared by every such doc → one gigantic LSH
-    // bucket whose self-join is O(m²). They cannot be near-dup
-    // candidates under this shingling, so drop them up front.
-    val hashed = docs
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), n).as("hashes"))
-      .filter(size(col("hashes")) > 0)
-      .repartition(col("doc"))
-    val signed = hashed
-      .select(col("doc"), minhashFromHashes(col("hashes"), k, seed).as("sig"))
-      .repartition(col("doc"))
+    // ONE map-only pass builds (doc, sig) via the native codegen'd
+    // MinHashSig expression (same semantics as
+    // minhashFromHashes∘shingleHashes, one tight loop instead of
+    // interpreted HOF lambdas). The single materialization barrier is
+    // an executor-local checkpoint — no network shuffle — read by
+    // both self-join sides; ReuseExchange then dedups the one
+    // (band, bucket) exchange the join needs. Net: ONE shuffle for
+    // the whole operator (was three).
+    // Docs shorter than n tokens have an EMPTY shingle set → the
+    // all-P sentinel signature shared by every such doc → one
+    // gigantic LSH bucket whose self-join is O(m²). They cannot be
+    // near-dup candidates under this shingling, so drop them after
+    // the checkpoint (a cheap stored-column predicate — no text
+    // re-tokenization).
+    val signed = docs
+      .select(col(idCol).as("doc"),
+        graft.functions.MinHashSig(col(textCol), n, k, seed).as("sig"))
+      .localCheckpoint(true)
+      .filter(col("sig")(0) < P)
 
+    // Band bucket = rolling-hash fold of the band's signature slice
+    // (not murmur3): same join semantics, reproducible in the SQL
+    // oracle.
     val banded = signed.select(
       $"doc", $"sig",
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+          b => aggregate(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)),
+            lit(0L), (acc, v) => (acc * 31 + v) % P))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -173,21 +194,32 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"est_jaccard")
   }
 
-  /** 64-bit SimHash over token xxhashes, as a single higher-order
-    * expression: per bit, sum +1/−1 votes across tokens; bit set if
-    * the vote is positive. No shuffle, no UDF.
+  /** Number of SimHash bits: two independent 30-bit rolling hashes
+    * (forward + reversed token) concatenated. 60 rather than 64 so
+    * every intermediate stays overflow-free in BOTH Spark and the
+    * ANSI-SQL oracle (no 64-bit wraparound to emulate).
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over token hashes, as a single higher-order
+    * expression: per bit, sum +1/−1 votes across distinct tokens; bit
+    * set if the vote is positive. No shuffle, no UDF. Token hash =
+    * rolling(token) << 30 | rolling(reverse(token)) — reproducible in
+    * the SQL oracle, unlike xxhash64.
     */
   def simhash(text: Column): Column = {
-    val toks   = array_distinct(split(lower(trim(text)), "\\s+"))
-    val hashes = transform(toks, t => xxhash64(t))
+    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    val hashes = transform(toks, t =>
+      shiftleft(graft.functions.RollingHash(t), 30)
+        .bitwiseOR(graft.functions.RollingHash(reverse(t))))
     val votes = aggregate(
       hashes,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), SimhashBits),
       (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(63)),
+        zip_with(acc, sequence(lit(0), lit(SimhashBits - 1)),
           (a, bit) => a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
+      zip_with(votes, sequence(lit(0), lit(SimhashBits - 1)),
         (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(0L)),
       lit(0L),
       (acc, b) => acc.bitwiseOR(b))

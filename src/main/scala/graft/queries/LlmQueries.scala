@@ -23,18 +23,88 @@ object LlmQueries {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** E2: MinHash+LSH candidate pairs (no SQL oracle — verified by
-    * ScalaTest against exact Jaccard; rows-only here).
+  /** E2: MinHash+LSH candidate pairs. Fully deterministic (fixed
+    * permutation seed, integer math), so it has a real SQL oracle:
+    * the same rolling-hash shingles, the same (a, b) permutation
+    * constants (embedded as literals below), the same band folds.
     */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables(spark, dir).documents, "text", "doc_id")
 
-  /** E3: SimHash fingerprints (rows-only; determinism spec'd in
-    * ScalaTest).
+  /** Rolling hash of a string expression, as oracle SQL — the exact
+    * semantics of [[graft.functions.RollingHash]]: fold (h·31 + cp)
+    * mod 1e9+7 over codepoints; empty string → 0 (guarded, because
+    * `unicode('')` is -1 in the oracle engine while an empty string
+    * contributes nothing on the Spark side).
+    */
+  private def rollingSql(e: String): String =
+    s"""(CASE WHEN $e = '' THEN CAST(0 AS BIGINT) ELSE
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(regexp_split_to_array($e, ''),
+       |      c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007) END)""".stripMargin
+
+  val ddMinhashLshSql: String = {
+    val perms = Dedup.permutations(32, 42L)
+    val permRows = perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |shh AS (
+       |  SELECT doc_id, ${rollingSql("s")} AS h FROM sh),
+       |perms(i, a, b) AS (VALUES
+       |    $permRows),
+       |sigs AS (
+       |  SELECT doc_id, list(m ORDER BY i) AS sig FROM (
+       |    SELECT shh.doc_id, p.i, min((p.a * shh.h + p.b) % 2147483647) AS m
+       |    FROM shh CROSS JOIN perms p GROUP BY 1, 2) g
+       |  GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, b.band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b.band*4+1 : b.band*4+4]),
+       |      (acc, v) -> (acc * 31 + v) % 2147483647) AS bucket,
+       |    sig
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(list_sum(list_transform(range(1, 33),
+       |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 4)
+       |    AS est_jaccard
+       |FROM cand""".stripMargin
+  }
+
+  /** E3: SimHash fingerprints — deterministic integer math, oracled
+    * bit-for-bit (60-bit fingerprint; see [[Dedup.simhash]]).
     */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  val ddSimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_transform(t, tok ->
+       |    (${rollingSql("tok")} << 30) | ${rollingSql("reverse(tok)")}) AS hs
+       |  FROM toks)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 60), bit ->
+       |    CASE WHEN list_sum(list_transform(hs,
+       |           hv -> CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS simhash
+       |FROM h""".stripMargin
 
   /** Session-scoped materialization of the Jaccard candidate pairs:
     * three registry queries (E4, E6, E7) consume the same candidate

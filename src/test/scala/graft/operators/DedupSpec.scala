@@ -44,6 +44,20 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("native MinHashSig matches the HOF formulation on normal, short, empty, and messy docs") {
+    val mixed = corpus.union(Seq(
+      (10L, ""), (11L, "one"), (12L, "  Tabs\tand\nNEWLINES  mixed \t spacing today "),
+      (13L, "répétition unicode çà et là répétition unicode çà encore une fois")
+    ).toDF("doc_id", "text"))
+    val hof = mixed.select($"doc_id",
+      Dedup.minhashFromHashes(Dedup.shingleHashes(col("text"), 3), 32, 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = mixed.select($"doc_id",
+      graft.functions.MinHashSig(col("text"), 3, 32, 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hof == native)
+  }
+
   test("simhash: identical texts same bits, near-dups close, unrelated far") {
     val fp = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
