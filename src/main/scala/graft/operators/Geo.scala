@@ -115,6 +115,49 @@ object Geo {
     struct(cx.as("x"), cy.as("y"))
   }
 
+  /** Literal ring column from coordinate pairs (array<struct<x,y>>,
+    * no repeated closing vertex).
+    */
+  def ringLit(pts: Seq[(Double, Double)]): Column =
+    array(pts.map { case (px, py) =>
+      struct(lit(px).as("x"), lit(py).as("y"))
+    }: _*)
+
+  /** TRUE point-in-ring containment by ray casting (even-odd rule) —
+    * the real polygon-clip math the reference applies when clipping
+    * by country geometry (source.py:464-494), not a bbox or keyed
+    * analogue. One pass over the ring's edges per point; pure column
+    * math, no UDF.
+    *
+    * Uses the division-free cross-product form of the PNPOLY edge
+    * test: `x < px + (qx-px)(y-py)/(qy-py)` is evaluated as a
+    * sign-adjusted multiply, so no divide-by-zero semantics are
+    * involved and every operation is plain IEEE double arithmetic —
+    * exactly reproducible in the SQL oracle. Points exactly ON an
+    * edge get a deterministic (side-dependent) answer, the standard
+    * ray-casting contract.
+    */
+  def pointInRing(x: Column, y: Column, ring: Column): Column = {
+    val crossings = aggregate(
+      zip_with(ring, rotated(ring), (p, q) => {
+        val px = p.getField("x"); val py = p.getField("y")
+        val qx = q.getField("x"); val qy = q.getField("y")
+        val straddles = (py > y) =!= (qy > y)
+        val leftOfEdge = when(qy > py,
+          (x - px) * (qy - py) < (qx - px) * (y - py))
+          .otherwise((x - px) * (qy - py) > (qx - px) * (y - py))
+        when(straddles && leftOfEdge, 1).otherwise(0)
+      }),
+      lit(0), (a, v) => a + v)
+    crossings % 2 === 1
+  }
+
+  /** Point in a polygon with optional interior rings: inside the
+    * outer ring and not inside any hole (even-odd rule).
+    */
+  def pointInPolygon(x: Column, y: Column, outer: Column, holes: Seq[Column] = Nil): Column =
+    holes.foldLeft(pointInRing(x, y, outer))((acc, h) => acc && !pointInRing(x, y, h))
+
   /** Polyline length per trajectory: consecutive-point segment
     * lengths summed in event order. One shuffle (window by key);
     * degenerate polylines below `minLength` dropped — the

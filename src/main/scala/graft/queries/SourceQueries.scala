@@ -202,4 +202,79 @@ object SourceQueries {
       |WHERE c_nationkey IN (
       |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'ASIA')""".stripMargin
+
+  // ----------------------------------------------------------------
+  // A10: TRUE polygon clip — ray-casting containment, not a bbox or
+  // keyed analogue (source.py:464-494 clips by actual country
+  // polygon geometry; this is that math over coordinate rings).
+  // ----------------------------------------------------------------
+
+  // Literal clip polygons. Coordinates sit on the quarter grid so the
+  // Scala double literal and its decimal rendering in the oracle SQL
+  // are the SAME binary64 value — the cross-product edge tests then
+  // agree bit-for-bit across engines.
+  private val Wedge: Seq[(Double, Double)] =
+    Seq((10.0, 20.0), (120.0, 20.0), (120.0, 80.0), (65.5, 45.25), (10.0, 80.0))
+  private val FrameOuter: Seq[(Double, Double)] =
+    Seq((30.0, 30.0), (90.0, 30.0), (90.0, 70.0), (30.0, 70.0))
+  private val FrameHole: Seq[(Double, Double)] =
+    Seq((50.0, 42.5), (72.5, 42.5), (72.5, 60.0), (50.0, 60.0))
+
+  /** A10: clip event points by real polygons — a concave ring and a
+    * ring with an interior hole. The polygon's bounding box is ANDed
+    * in front as the cheap prefilter that reaches the parquet scan
+    * (PushedFilters); the ray cast is the exact test behind it —
+    * the same prefilter-then-exact shape `gridJoin` uses at the
+    * many-polygons scale.
+    */
+  def srcPolygonClip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Geo
+    val pts = Tables(spark, dir).events.select(
+      col("event_id"),
+      col("value").as("x"),
+      get_json_object(col("props"), "$.k").cast("double").as("y"))
+    def bbox(rings: Seq[(Double, Double)]) = Geo.inBBox(col("x"), col("y"),
+      rings.map(_._1).min, rings.map(_._2).min, rings.map(_._1).max, rings.map(_._2).max)
+    val inWedge = bbox(Wedge) &&
+      Geo.pointInPolygon(col("x"), col("y"), Geo.ringLit(Wedge))
+    val inFrame = bbox(FrameOuter) &&
+      Geo.pointInPolygon(col("x"), col("y"), Geo.ringLit(FrameOuter), Seq(Geo.ringLit(FrameHole)))
+    pts.filter(inWedge).select(col("event_id"), col("x"), col("y"), lit("wedge").as("poly"))
+      .unionAll(
+        pts.filter(inFrame).select(col("event_id"), col("x"), col("y"), lit("frame").as("poly")))
+  }
+
+  /** Ray-casting containment as oracle SQL: the same division-free
+    * PNPOLY edge test over the same literal ring (`rv` must name a
+    * list<struct(x,y)> column in scope).
+    */
+  private def inRingSql(n: Int, rv: String, xE: String, yE: String): String =
+    s"""(list_sum(list_transform(range(1, ${n + 1}), i ->
+       |  CASE WHEN (($rv[i].y > $yE) != ($rv[1 + i % $n].y > $yE))
+       |        AND (CASE WHEN $rv[1 + i % $n].y > $rv[i].y
+       |             THEN ($xE - $rv[i].x) * ($rv[1 + i % $n].y - $rv[i].y)
+       |                < ($rv[1 + i % $n].x - $rv[i].x) * ($yE - $rv[i].y)
+       |             ELSE ($xE - $rv[i].x) * ($rv[1 + i % $n].y - $rv[i].y)
+       |                > ($rv[1 + i % $n].x - $rv[i].x) * ($yE - $rv[i].y) END)
+       |  THEN 1 ELSE 0 END)) % 2 = 1)""".stripMargin
+
+  private def ringSqlLit(pts: Seq[(Double, Double)]): String =
+    pts.map { case (x, y) => s"{'x': $x, 'y': $y}" }.mkString("[", ", ", "]")
+
+  val srcPolygonClipSql: String = {
+    val pointsSql =
+      """SELECT event_id, value AS x,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y FROM events""".stripMargin
+    s"""WITH pts AS ($pointsSql),
+       |wr AS (SELECT ${ringSqlLit(Wedge)} AS r),
+       |fo AS (SELECT ${ringSqlLit(FrameOuter)} AS r),
+       |fh AS (SELECT ${ringSqlLit(FrameHole)} AS r)
+       |SELECT event_id, x, y, 'wedge' AS poly
+       |FROM pts, wr WHERE ${inRingSql(Wedge.size, "wr.r", "x", "y")}
+       |UNION ALL
+       |SELECT event_id, x, y, 'frame' AS poly
+       |FROM pts, fo, fh
+       |WHERE ${inRingSql(FrameOuter.size, "fo.r", "x", "y")}
+       |  AND NOT ${inRingSql(FrameHole.size, "fh.r", "x", "y")}""".stripMargin
+  }
 }

@@ -88,4 +88,35 @@ class GeoSpec extends SparkSpec {
       assert(r.getDouble(1) <= r.getDouble(3) && r.getDouble(2) <= r.getDouble(4))
     }
   }
+
+  test("pointInRing: convex, concave, and outside cases") {
+    import spark.implicits._
+    // Concave chevron: notch dips to (5, 4) at the top center.
+    val chevron = Geo.ringLit(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 8.0), (5.0, 4.0), (0.0, 8.0)))
+    val cases = Seq(
+      (1L, 2.0, 2.0, true),   // plainly inside
+      (2L, 5.0, 6.0, false),  // inside bbox but in the concave notch
+      (3L, 5.0, 1.0, true),   // below the notch, inside
+      (4L, 11.0, 4.0, false), // right of polygon
+      (5L, 5.0, -1.0, false)  // below polygon
+    ).toDF("id", "x", "y", "expected")
+    val got = cases.select($"id", Geo.pointInRing($"x", $"y", chevron).as("in"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), s"point ${r.getLong(0)}"))
+  }
+
+  test("pointInPolygon honors interior rings (holes)") {
+    import spark.implicits._
+    val outer = Geo.ringLit(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))
+    val hole  = Geo.ringLit(Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)))
+    val cases = Seq(
+      (1L, 2.0, 2.0, true),  // in outer, outside hole
+      (2L, 5.0, 5.0, false), // inside the hole
+      (3L, 12.0, 5.0, false) // outside everything
+    ).toDF("id", "x", "y", "expected")
+    val got = cases
+      .select($"id", Geo.pointInPolygon($"x", $"y", outer, Seq(hole)).as("in"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), s"point ${r.getLong(0)}"))
+  }
 }
