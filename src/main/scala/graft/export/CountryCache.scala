@@ -22,10 +22,17 @@ final class CountryCache(spark: SparkSession, basePath: String) {
 
   def exists(key: CacheKey): Boolean = fs.exists(new HPath(dataPath(key)))
 
-  /** Write-through cache: parquet + metadata sidecar. */
+  /** Write-through cache: parquet + metadata sidecar. The feature
+    * count rides along on the WRITE pass via an `observe` metric —
+    * no post-write re-read of the layer (at 100 TB that re-read is a
+    * whole extra scan).
+    */
   def put(key: CacheKey, df: DataFrame, cachedDate: String): Long = {
-    df.write.mode("overwrite").parquet(dataPath(key))
-    val count = spark.read.parquet(dataPath(key)).count()
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dataPath(key))
+    val count = obs.get("rows").asInstanceOf[Long]
     val meta =
       s"""{"country":"${key.country}","theme":"${key.theme}","type":"${key.typeName}",""" +
         s""""release":"${key.release}","features":$count,"cached_at":"$cachedDate"}"""
@@ -75,17 +82,60 @@ final class CountryCache(spark: SparkSession, basePath: String) {
   def clear(key: CacheKey): Boolean =
     fs.delete(new HPath(s"$basePath/${key.relPath}"), true)
 
-  /** cache → fallback compute → write-through (reference
-    * `_read_single_layer_with_fallback`, source.py:804-936).
+  /** Newest complete cached entry for the same logical layer at ANY
+    * release — the stale-but-complete fallback candidate.
+    */
+  private def latestComplete(
+      country: String,
+      theme: String,
+      typeName: String,
+      expectedColumns: Set[String]
+  ): Option[DataFrame] =
+    list()
+      .filter(k => k.country == country && k.theme == theme && k.typeName == typeName)
+      .sortBy(_.release)(Ordering[String].reverse)
+      .iterator
+      .map(getIfComplete(_, expectedColumns))
+      .collectFirst { case Some(df) => df }
+
+  /** cache → fallback compute → write-through, with the reference's
+    * retry-and-degrade semantics (`_fetch_dual_query_with_retry`,
+    * source.py:1070; `_read_single_layer_with_fallback`,
+    * source.py:804-936): the compute is retried `maxAttempts` times
+    * with exponential backoff; if every attempt fails, a complete
+    * cache entry from an OLDER release is served rather than failing
+    * the pipeline; only when no such entry exists does the last
+    * error propagate.
     */
   def readThrough(
       key: CacheKey,
       expectedColumns: Set[String],
-      cachedDate: String
+      cachedDate: String,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 100L
   )(compute: => DataFrame): DataFrame =
     getIfComplete(key, expectedColumns).getOrElse {
-      val fresh = compute
-      put(key, fresh, cachedDate)
-      spark.read.parquet(dataPath(key))
+      // NOTE: no `return` in this block — it is a closure (getOrElse's
+      // by-name argument), where `return` compiles to a thrown
+      // NonLocalReturnControl that a broad catch would swallow as a
+      // "failed attempt".
+      var lastErr: Throwable = null
+      var result: Option[DataFrame] = None
+      var attempt = 0
+      while (result.isEmpty && attempt < maxAttempts) {
+        try {
+          val fresh = compute
+          put(key, fresh, cachedDate)
+          result = Some(spark.read.parquet(dataPath(key)))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            lastErr = e
+            attempt += 1
+            if (attempt < maxAttempts) Thread.sleep(backoffMs << (attempt - 1))
+        }
+      }
+      result
+        .orElse(latestComplete(key.country, key.theme, key.typeName, expectedColumns))
+        .getOrElse(throw lastErr)
     }
 }

@@ -27,6 +27,36 @@ object FeatureService {
   def layerExists(spark: SparkSession, servicePath: String, layer: String): Boolean =
     fs(spark, servicePath).exists(new HPath(layerPath(servicePath, layer)))
 
+  /** Repair a layer left mid-swap by a crash (see the Auto upsert
+    * swap order below). Idempotent; returns true if the layer is
+    * live afterwards. States:
+    *   - live present → drop leftover staging/backup;
+    *   - staging present, live absent → the crash hit between the two
+    *     renames; staging is a COMPLETE merged layer (it is fully
+    *     written before the swap starts) → promote it;
+    *   - only backup present → the crash hit after rename-aside but
+    *     before promote AND staging vanished (shouldn't happen, but
+    *     restore the backup rather than lose data).
+    */
+  def recoverLayer(spark: SparkSession, servicePath: String, layer: String): Boolean = {
+    val f = fs(spark, servicePath)
+    val live = new HPath(layerPath(servicePath, layer))
+    val staging = new HPath(layerPath(servicePath, layer) + ".staging")
+    val backup = new HPath(layerPath(servicePath, layer) + ".backup")
+    if (f.exists(live)) {
+      f.delete(staging, true)
+      f.delete(backup, true)
+      true
+    } else if (f.exists(staging)) {
+      f.rename(staging, live)
+      f.delete(backup, true)
+      true
+    } else if (f.exists(backup)) {
+      f.rename(backup, live)
+      true
+    } else false
+  }
+
   /** Publish one layer.
     *
     * - Initial: fail if the layer exists (reference INITIAL forces
@@ -46,6 +76,9 @@ object FeatureService {
   ): Unit = {
     val spark = df.sparkSession
     val path = layerPath(servicePath, layer)
+    // Heal any half-finished swap from a previous crashed publish
+    // before deciding create-vs-upsert.
+    recoverLayer(spark, servicePath, layer)
     val exists = layerExists(spark, servicePath, layer)
     mode match {
       case PublishMode.Initial =>
@@ -64,16 +97,25 @@ object FeatureService {
           // is the generic non-transactional fallback; a table format
           // with merge (or partition-scoped overwrite) replaces it.
           // Writing to a staging path means the source is read and
-          // the result written in ONE pass; the source dir is only
-          // replaced after the staging write completes.
+          // the result written in ONE pass.
           val existing = spark.read.parquet(path)
           val merged = existing
             .join(df.select(col(upsertKey)).distinct(), Seq(upsertKey), "left_anti")
             .unionByName(df, allowMissingColumns = true)
           merged.write.mode("overwrite").parquet(s"$path.staging")
+          // CRASH-SAFE swap: the old layer is renamed ASIDE, never
+          // deleted while it is the only copy. A crash at any point
+          // leaves either the old layer live, or staging/backup dirs
+          // that recoverLayer (run on the next publish, or manually)
+          // promotes — data loss requires losing BOTH copies.
           val f = fs(spark, servicePath)
-          f.delete(new HPath(path), true)
-          f.rename(new HPath(s"$path.staging"), new HPath(path))
+          val live = new HPath(path)
+          val staging = new HPath(s"$path.staging")
+          val backup = new HPath(s"$path.backup")
+          f.delete(backup, true) // clear any stale backup first
+          f.rename(live, backup)
+          f.rename(staging, live)
+          f.delete(backup, true)
         }
     }
   }

@@ -122,4 +122,76 @@ class ExportSpec extends SparkSpec {
     }
     assert(c.columns.contains("extra_col") && computes == 2)
   }
+
+  test("FeatureService: every crashed-swap state recovers to a readable layer") {
+    val svc = tmpDir() + "/svc"
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val df2 = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    FeatureService.publish(df1, svc, "pts", PublishMode.Initial)
+    val live    = Paths.get(svc, "layer=pts")
+    val staging = Paths.get(svc, "layer=pts.staging")
+    val backup  = Paths.get(svc, "layer=pts.backup")
+
+    // Crash BEFORE the swap started (staging written, live untouched):
+    // old layer stays live, leftovers removed.
+    df2.write.parquet(staging.toString)
+    assert(FeatureService.recoverLayer(spark, svc, "pts"))
+    assert(Files.exists(live) && !Files.exists(staging))
+    assert(FeatureService.readLayer(spark, svc, "pts").count() == 2)
+
+    // Crash BETWEEN the two renames (live moved aside, staging not yet
+    // promoted): the complete staging layer is promoted — no data loss.
+    df2.write.parquet(staging.toString)
+    Files.move(live, backup)
+    assert(FeatureService.recoverLayer(spark, svc, "pts"))
+    assert(Files.exists(live) && !Files.exists(staging) && !Files.exists(backup))
+    val promoted = FeatureService.readLayer(spark, svc, "pts")
+    assert(promoted.count() == 2 &&
+      promoted.filter(col("id") === 3L).count() == 1)
+
+    // Crash AFTER promote but before backup cleanup: live wins,
+    // backup dropped.
+    df1.write.parquet(backup.toString)
+    assert(FeatureService.recoverLayer(spark, svc, "pts"))
+    assert(!Files.exists(backup) &&
+      FeatureService.readLayer(spark, svc, "pts").count() == 2)
+
+    // A normal Auto upsert after recovery works and leaves no debris.
+    FeatureService.publish(Seq((3L, "C"), (4L, "d")).toDF("id", "v"),
+      svc, "pts", PublishMode.Auto)
+    val merged = FeatureService.readLayer(spark, svc, "pts")
+    assert(merged.count() == 3 && !Files.exists(staging) && !Files.exists(backup))
+  }
+
+  test("CountryCache readThrough retries transient failures and degrades to a stale release") {
+    val cache = new CountryCache(spark, tmpDir() + "/cache")
+    cache.put(CacheKey("AF", "places", "place", "2026-01"), pointsDf, "2026-01-01")
+
+    // failing-then-succeeding compute: retried to success, cached.
+    val newKey = CacheKey("AF", "places", "place", "2026-02")
+    var calls = 0
+    val ok = cache.readThrough(newKey, Set("id", "kind"), "2026-02-01",
+      maxAttempts = 3, backoffMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient") else pointsDf
+    }
+    assert(ok.count() == 20 && calls == 3 && cache.exists(newKey))
+
+    // every attempt fails -> the newest complete OLDER release is
+    // served instead of failing the pipeline; nothing is cached for
+    // the failed release.
+    val newer = CacheKey("AF", "places", "place", "2026-03")
+    var fails = 0
+    val stale = cache.readThrough(newer, Set("id", "kind"), "2026-03-01",
+      maxAttempts = 2, backoffMs = 1L) { fails += 1; throw new RuntimeException("down") }
+    assert(fails == 2 && stale.count() == 20 && !cache.exists(newer))
+
+    // no stale fallback anywhere -> the last error propagates.
+    intercept[RuntimeException] {
+      cache.readThrough(CacheKey("KE", "roads", "road", "2026-01"), Set("id"),
+        "2026-01-01", maxAttempts = 2, backoffMs = 1L) {
+        throw new RuntimeException("down")
+      }
+    }
+  }
 }
