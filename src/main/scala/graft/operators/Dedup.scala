@@ -230,54 +230,85 @@ object Dedup {
 
   /** Connected components over near-dup pairs → dedup groups: each
     * node labeled with the minimum doc id reachable from it.
-    *
-    * Min-label propagation with a driver-side convergence loop —
-    * each iteration is one join+agg (shuffle on node id); iterations
-    * scale with graph diameter, which for near-dup clusters is tiny
-    * (dup groups are cliques or near-cliques). For adversarial
-    * long-chain graphs swap in large-star/small-star; the API stays
-    * the same.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): rounds scale with
+    * O(log n) — NOT graph diameter — so adversarial long chains
+    * converge as fast as near-dup cliques. Each round is two
+    * window-min passes (one shuffle each) over the shrinking edge
+    * set; per-round `localCheckpoint` truncates the self-referencing
+    * lineage (the plan would otherwise double every round).
+    *
+    *  - large-star: per node x over BOTH edge directions, connect
+    *    every larger neighbor to m = min(Γ(x) ∪ x);
+    *  - small-star: per larger endpoint x of canonical (u<v) edges,
+    *    connect every smaller neighbor and x itself to the minimum
+    *    smaller neighbor.
+    *
+    * At the fixed point every component is a star rooted at its
+    * minimum id; labels read directly off the edges. Returns
+    * (labels, rounds) — rounds exposed so tests can assert the
+    * logarithmic bound.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20
+  ): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // Materialize the pair source ONCE: `pairs` is referenced by both
-    // union branches, so an expensive upstream (the Jaccard candidate
-    // pipeline) would run twice before the edges cache ever fills.
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
-    val edges = p
-      .select($"a".as("src"), $"b".as("dst"))
-      .union(p.select($"b".as("src"), $"a".as("dst")))
+    import org.apache.spark.sql.expressions.Window
+    // Materialize the pair source ONCE: `pairs` is referenced by two
+    // branches below, so an expensive upstream (the Jaccard candidate
+    // pipeline) would run twice otherwise.
+    val raw = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
+    val nodes = raw.select($"a".as("node")).union(raw.select($"b".as("node"))).distinct()
+    var edges = raw
+      .filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
       .distinct()
-      .cache()
-    // localCheckpoint (not cache) each iteration: `labels` is
-    // referenced twice per step, so without lineage truncation the
-    // logical plan DOUBLES every iteration — exponential planning
-    // cost by ~iteration 10.
-    var labels = edges.select($"src".as("node")).distinct()
-      .withColumn("component", $"node")
       .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("component", "dst_comp"), "dst")
-        .groupBy($"src".as("node"))
-        .agg(min($"dst_comp").as("nbr_comp"))
-      val updated = labels
-        .join(neighborMin, Seq("node"), "left")
-        .select($"node",
-          least($"component", coalesce($"nbr_comp", $"component")).as("component"))
-        .localCheckpoint(true)
-      val changes = updated.as("u")
-        .join(labels.as("l"), "node")
-        .filter($"u.component" =!= $"l.component")
-        .count()
-      labels = updated
-      converged = changes == 0
-      iter += 1
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"x")
+      e.select($"u".as("x"), $"v".as("y"))
+        .union(e.select($"v".as("x"), $"u".as("y")))
+        .withColumn("m", least(min($"y").over(w), $"x"))
+        .filter($"y" > $"x" && $"m" =!= $"y")
+        .select($"m".as("u"), $"y".as("v"))
+        .distinct()
     }
-    edges.unpersist()
-    labels
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"v")
+      val withMin = e.withColumn("m", min($"u").over(w))
+      withMin.select($"m".as("u"), $"u".as("v"))
+        .union(withMin.select($"m".as("u"), $"v".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    var rounds = 0
+    var converged = edges.isEmpty
+    var count = if (converged) 0L else edges.count()
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
+      // Exact fixed-point test: same cardinality and no new edges.
+      converged = nextCount == count && next.except(edges).isEmpty
+      edges = next
+      count = nextCount
+      rounds += 1
+    }
+    // Fixed point = disjoint stars: every non-root appears exactly
+    // once as v with its root as u; roots label themselves.
+    val labels = nodes
+      .join(edges.groupBy($"v".as("node")).agg(min($"u").as("root")), Seq("node"), "left")
+      .select($"node", coalesce($"root", $"node").as("component"))
+    (labels, rounds)
   }
 }

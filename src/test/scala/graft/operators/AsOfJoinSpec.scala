@@ -49,4 +49,15 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(out == Set(1L))
   }
+
+  test("connectedComponents is logarithmic, not diameter-bound, on an adversarial chain") {
+    // A 256-node path has diameter 255: min-label propagation needs
+    // ~255 rounds; large-star/small-star must finish in O(log n).
+    val n = 256L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "a", "b", maxIter = 20)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == n.toInt && comps.forall(_._2 == 1L))
+    assert(rounds <= 10, s"expected O(log n) rounds, took $rounds")
+  }
 }
