@@ -1,0 +1,71 @@
+package graft
+
+import graft.`export`.FeatureService
+import java.nio.file.{Files, Paths}
+
+class CliSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-cli").toString
+
+  private def writeCatalog(dir: String): String = {
+    val path = Paths.get(dir, "catalog.json")
+    Files.writeString(path,
+      """[
+        |  {"name": "supplier_sites", "theme": "supplier", "type": "site",
+        |   "sector_title": "Supplier Sites", "upsert_key": "s_suppkey"},
+        |  {"name": "asia_nations", "theme": "nation", "type": "division",
+        |   "filter": "n_regionkey = '2'"}
+        |]""".stripMargin)
+    path.toString
+  }
+
+  test("export verb: catalog entry -> pipeline -> geojsonseq and parquet") {
+    val dir = tmp()
+    val catalog = writeCatalog(dir)
+    val sf = "/root/testdata/sf0.001"
+
+    val out = s"$dir/suppliers.geojsonseq"
+    Cli.run(spark, Seq("export", catalog, "supplier_sites", sf, out,
+      "--geom=s_acctbal,s_nationkey", "--country=KEN"))
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.nonEmpty && lines.forall(_.startsWith("""{"type":"Feature"""")))
+    assert(lines.head.contains(""""country_iso3":"KEN""""))
+
+    val pq = s"$dir/nations.parquet"
+    Cli.run(spark, Seq("export", catalog, "asia_nations", sf, pq))
+    val nations = spark.read.parquet(pq)
+    assert(nations.count() == 5) // 5 nations per region in TPC-H
+    assert(nations.columns.contains("data_sector") == false) // no sector_title configured
+    assert(nations.columns.contains("country_iso3"))
+  }
+
+  test("publish verb: initial create then auto upsert through the catalog") {
+    val dir = tmp()
+    val catalog = writeCatalog(dir)
+    val sf = "/root/testdata/sf0.001"
+    val svc = s"$dir/svc"
+
+    Cli.run(spark, Seq("publish", catalog, "supplier_sites", sf, svc, "--mode=initial"))
+    val n1 = FeatureService.readLayer(spark, svc, "supplier_sites").count()
+    assert(n1 > 0)
+    // auto mode now upserts on s_suppkey: same data -> same count
+    Cli.run(spark, Seq("publish", catalog, "supplier_sites", sf, svc, "--mode=auto"))
+    assert(FeatureService.readLayer(spark, svc, "supplier_sites").count() == n1)
+  }
+
+  test("cache verbs and errors") {
+    val dir = tmp()
+    val catalog = writeCatalog(dir)
+    // unknown query name lists the available ones
+    val err = intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("export", catalog, "nope", "/root/testdata/sf0.001", s"$dir/x.parquet"))
+    }
+    assert(err.getMessage.contains("asia_nations") && err.getMessage.contains("supplier_sites"))
+    // unknown command
+    intercept[IllegalArgumentException] { Cli.run(spark, Seq("frobnicate")) }
+    // cache list on an empty path is empty, clear reports not found
+    Cli.run(spark, Seq("list-cache", s"$dir/cache"))
+    Cli.run(spark, Seq("clear-cache", s"$dir/cache", "2026-01", "AF", "places", "place"))
+    Cli.run(spark, Seq("version"))
+  }
+}
