@@ -87,11 +87,14 @@ object Cli {
         val cfg = loadEntry(spark, catalogPath, name)
         val df = runPipeline(spark, cfg, sfDir, opt.getOrElse("country", "AFG"), date)
         val fmt = ExportFormat.fromPath(outPath)
-        val geom = opt.get("geom").map { g =>
+        val geomCols = opt.get("geom").map { g =>
           val Array(xc, yc) = g.split(",", 2)
-          GeoJson.pointGeometry(col(xc).cast("double"), col(yc).cast("double"))
+          (col(xc).cast("double"), col(yc).cast("double"))
         }
-        Exporter.write(df, outPath, fmt, geom, target = name, generatedAt = date)
+        Exporter.write(df, outPath, fmt,
+          geometryJson = geomCols.map { case (x, y) => GeoJson.pointGeometry(x, y) },
+          target = name, generatedAt = date,
+          geometryWkb = geomCols.map { case (x, y) => graft.functions.Wkb.wkbFromXY(x, y) })
         println(s"exported ${cfg.name} -> $outPath ($fmt)")
 
       case Seq("publish", catalogPath, name, sfDir, servicePath) =>

@@ -41,7 +41,8 @@ object Exporter {
       format: ExportFormat.Value,
       geometryJson: Option[Column] = None,
       target: String = "features",
-      generatedAt: String = "1970-01-01T00:00:00"
+      generatedAt: String = "1970-01-01T00:00:00",
+      geometryWkb: Option[Column] = None
   ): Unit = format match {
     case ExportFormat.GeoJson =>
       val geom = geometryJson.getOrElse(
@@ -55,10 +56,18 @@ object Exporter {
     case ExportFormat.Csv =>
       df.write.mode("overwrite").option("header", "true").csv(path)
     case ExportFormat.Json => df.write.mode("overwrite").json(path)
-    case ExportFormat.Gpkg | ExportFormat.Fgdb =>
+    case ExportFormat.Gpkg =>
+      // Self-contained GeoPackage (no GDAL/sqlite dependency): the
+      // pure-JVM SQLite writer in Gpkg.scala — the reference CLI's
+      // default format (cli.py:1163).
+      val wkb = geometryWkb.getOrElse(
+        throw new IllegalArgumentException(
+          "GPKG export needs a WKB geometry column (geometryWkb)"))
+      Gpkg.write(df.withColumn("geom", wkb), path, target)
+    case ExportFormat.Fgdb =>
       throw new UnsupportedOperationException(
-        s"$format requires GDAL/sqlite drivers unavailable in this environment " +
-          "(reference parity gap documented in SURVEY.md §6)")
+        s"$format is a proprietary ESRI container with no public spec; " +
+          "unsupported by design (documented in SURVEY.md §6)")
   }
 
   /** Default export filename (reference: export.py:468-511

@@ -18,9 +18,15 @@ import org.apache.spark.sql.types._
 object Wkb {
 
   /** Little-endian 2D point → 21-byte WKB. */
-  def encodePoint(bytes: (Double, Double)): Array[Byte] = {
+  def encodePoint(bytes: (Double, Double)): Array[Byte] =
+    encodePointXY(bytes._1, bytes._2)
+
+  /** Two-arg form (also the codegen entry point — static forwarder
+    * callable from generated Java).
+    */
+  def encodePointXY(x: Double, y: Double): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put(1.toByte).putInt(1).putDouble(bytes._1).putDouble(bytes._2)
+    buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
     buf.array()
   }
 
@@ -29,6 +35,29 @@ object Wkb {
 
   def wkbGeometryType(c: Column): Column =
     GraftBridge.column(WkbGeometryType(GraftBridge.expression(c)))
+
+  /** Column-level point ENCODER: (x, y) doubles → 21-byte LE WKB
+    * (the inverse of [[wkbPointXY]]; feeds the GPKG writer).
+    */
+  def wkbFromXY(x: Column, y: Column): Column =
+    GraftBridge.column(WkbFromXY(GraftBridge.expression(x), GraftBridge.expression(y)))
+}
+
+/** Encode (x, y) doubles as a little-endian 2D-point WKB. */
+case class WkbFromXY(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    Wkb.encodePoint((x.asInstanceOf[Double], y.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.Wkb.encodePointXY($x, $y);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): WkbFromXY =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Decode a WKB 2D Point into struct(x, y). Honors the byte-order

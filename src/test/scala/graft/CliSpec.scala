@@ -31,6 +31,13 @@ class CliSpec extends SparkSpec {
     assert(lines.nonEmpty && lines.forall(_.startsWith("""{"type":"Feature"""")))
     assert(lines.head.contains(""""country_iso3":"KEN""""))
 
+    // gpkg (the reference CLI's default format) through the same verb
+    val gp = s"$dir/suppliers.gpkg"
+    Cli.run(spark, Seq("export", catalog, "supplier_sites", sf, gp,
+      "--geom=s_acctbal,s_nationkey"))
+    val gpBytes = Files.readAllBytes(Paths.get(gp))
+    assert(new String(gpBytes.slice(68, 72), "ISO-8859-1") == "GPKG")
+
     val pq = s"$dir/nations.parquet"
     Cli.run(spark, Seq("export", catalog, "asia_nations", sf, pq))
     val nations = spark.read.parquet(pq)

@@ -40,14 +40,21 @@ class ExportSpec extends SparkSpec {
     assert(parsed.columns.contains("features") && parsed.columns.contains("metadata"))
   }
 
-  test("Exporter routes formats and rejects GPKG/FGDB explicitly") {
+  test("Exporter routes formats, writes real GPKG, rejects FGDB explicitly") {
     val dir = tmpDir()
     Exporter.write(pointsDf, s"$dir/t.parquet", ExportFormat.Parquet)
     assert(spark.read.parquet(s"$dir/t.parquet").count() == 20)
     Exporter.write(pointsDf, s"$dir/t.csv", ExportFormat.Csv)
     assert(spark.read.option("header", "true").csv(s"$dir/t.csv").count() == 20)
+    Exporter.write(pointsDf, s"$dir/t.gpkg", ExportFormat.Gpkg,
+      geometryWkb = Some(graft.functions.Wkb.wkbFromXY(col("x"), col("y"))))
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/t.gpkg"))
+    assert(new String(bytes.slice(68, 72), "ISO-8859-1") == "GPKG")
+    intercept[IllegalArgumentException] { // gpkg without geometry
+      Exporter.write(pointsDf, s"$dir/t2.gpkg", ExportFormat.Gpkg)
+    }
     intercept[UnsupportedOperationException] {
-      Exporter.write(pointsDf, s"$dir/t.gpkg", ExportFormat.Gpkg)
+      Exporter.write(pointsDf, s"$dir/t.gdb", ExportFormat.Fgdb)
     }
   }
 
