@@ -158,6 +158,33 @@ object Geo {
   def pointInPolygon(x: Column, y: Column, outer: Column, holes: Seq[Column] = Nil): Column =
     holes.foldLeft(pointInRing(x, y, outer))((acc, h) => acc && !pointInRing(x, y, h))
 
+  /** Make-valid analogue of the reference's geometry rules
+    * (transform.py:252-294 `enforce_geometry_rules`, :207-214
+    * force-2D): drop an explicit closing vertex, collapse
+    * consecutive duplicate vertices, and normalize winding to CCW
+    * (reverse when the signed area is negative). Force-2D is
+    * inherent here — the ring representation carries only x/y (the
+    * WKB path drops Z the same way: WkbPointXY → WkbFromXY).
+    */
+  def normalizeRing(ring: Column): Column = {
+    val opened = when(
+      size(ring) > 1 && ring.getItem(0) === element_at(ring, -1),
+      slice(ring, lit(1), size(ring) - 1)).otherwise(ring)
+    // i is 0-based; element_at is 1-based, so element_at(opened, i)
+    // IS the predecessor of element i.
+    val dedup = filter(opened, (p, i) => i === 0 || p =!= element_at(opened, i))
+    when(polygonArea(dedup) < 0, reverse(dedup)).otherwise(dedup)
+  }
+
+  /** Validity predicate over the NORMALIZED ring: at least 3 distinct
+    * vertices and non-degenerate area (MIN_POLYGON_AREA rule,
+    * transform.py:29).
+    */
+  def ringIsValid(ring: Column, minArea: Double = 1e-9): Column = {
+    val n = normalizeRing(ring)
+    size(n) >= 3 && abs(polygonArea(n)) > minArea
+  }
+
   /** Polyline length per trajectory: consecutive-point segment
     * lengths summed in event order. One shuffle (window by key);
     * degenerate polylines below `minLength` dropped — the

@@ -327,14 +327,11 @@ object LlmQueries {
   def txBigrams(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     import org.apache.spark.sql.expressions.Window
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    // Same short-doc guard as Dedup.shingles: sequence(1, 0) is the
-    // descending [1, 0], and slice(…, 0, 2) throws.
-    val bigramArr = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-    val bigrams = t.documents.select(col("lang"), explode(bigramArr).as("bigram"))
+    // Native codegen'd bigram array (one loop per row) — same
+    // semantics as the HOF transform-over-token-slices formulation
+    // (short docs -> empty array), pinned by NativeExprSpec.
+    val bigrams = t.documents.select(col("lang"),
+      explode(graft.functions.WordBigrams(col("text"))).as("bigram"))
     val counted = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
     counted

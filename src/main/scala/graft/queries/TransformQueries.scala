@@ -187,4 +187,72 @@ object TransformQueries {
     """SELECT event_id, event_type, round(value, 4) + 0 AS value FROM events
       |WHERE event_type IS NOT NULL AND event_type != ''
       |  AND value IS NOT NULL AND value > 1.0""".stripMargin
+
+  /** B11: make-valid geometry rules over REAL coordinate rings —
+    * closing-vertex drop, consecutive-duplicate collapse, CCW
+    * winding normalization, degenerate-area validity
+    * (transform.py:252-294 `enforce_geometry_rules` + :29
+    * MIN_POLYGON_AREA). Rings derive from each user's event points
+    * in (ts, event_id) order with the first vertex re-appended, so
+    * the closing-vertex rule actually fires on every row.
+    */
+  def trGeometryRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Geo
+    val t = Tables(spark, dir)
+    val pts = t.events.select(
+      col("user_id"), col("ts"), col("event_id"),
+      col("value").as("x"),
+      get_json_object(col("props"), "$.k").cast("double").as("y"))
+      .filter(col("y").isNotNull)
+    val rings = pts
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("x"), col("y")))).as("s"))
+      .select(col("user_id"),
+        transform(col("s"), e =>
+          struct(e.getField("x").as("x"), e.getField("y").as("y"))).as("open"))
+    val raw = concat(col("open"), slice(col("open"), 1, 1))
+    val valid = Geo.normalizeRing(raw)
+    rings.select(
+      col("user_id"),
+      size(raw).cast("long").as("n_raw"),
+      size(valid).cast("long").as("n_valid"),
+      round(abs(Geo.polygonArea(valid)), 4).as("area_abs"),
+      Geo.ringIsValid(raw).cast("int").cast("long").as("is_valid"))
+  }
+
+  val trGeometryRulesSql: String = {
+    // Sequential list_reduce (not list_sum) mirrors the engine's
+    // left-to-right fold — identical IEEE addition order.
+    def areaSql(d: String): String =
+      s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len($d) + 1),
+         |    i -> $d[i].x * $d[1 + i % len($d)].y - $d[1 + i % len($d)].x * $d[i].y)),
+         |  (a, b) -> a + b) / 2)""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT user_id, ts, event_id, value AS x,
+       |    CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS y
+       |  FROM events
+       |  WHERE CAST(json_extract_string(props, '$$.k') AS DOUBLE) IS NOT NULL),
+       |rings AS (
+       |  SELECT user_id, list({'x': x, 'y': y} ORDER BY ts, event_id) AS opn
+       |  FROM pts GROUP BY user_id),
+       |raw AS (SELECT user_id, list_concat(opn, opn[1:1]) AS r FROM rings),
+       |opened AS (
+       |  SELECT user_id, len(r) AS n_raw,
+       |    CASE WHEN len(r) > 1 AND r[1] = r[-1] THEN r[1:len(r)-1] ELSE r END AS o
+       |  FROM raw),
+       |dedup AS (
+       |  SELECT user_id, n_raw,
+       |    list_filter(o, (p, i) -> i = 1 OR p != o[i-1]) AS d
+       |  FROM opened),
+       |norm AS (
+       |  SELECT user_id, n_raw,
+       |    CASE WHEN ${areaSql("d")} < 0 THEN list_reverse(d) ELSE d END AS n
+       |  FROM dedup)
+       |SELECT user_id, n_raw, len(n) AS n_valid,
+       |  round(abs(${areaSql("n")}), 4) + 0 AS area_abs,
+       |  CAST(CASE WHEN len(n) >= 3 AND abs(${areaSql("n")}) > 1e-9
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_valid
+       |FROM norm""".stripMargin
+  }
 }

@@ -105,6 +105,31 @@ class GeoSpec extends SparkSpec {
     got.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), s"point ${r.getLong(0)}"))
   }
 
+  test("normalizeRing: closing vertex dropped, consecutive dups collapsed, winding forced CCW") {
+    import spark.implicits._
+    // clockwise square, explicitly closed, with a doubled vertex
+    val ring = Geo.ringLit(Seq(
+      (0.0, 0.0), (0.0, 4.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)))
+    val out = Seq(1).toDF("i").select(
+      Geo.normalizeRing(ring).as("n"),
+      Geo.ringIsValid(ring).as("valid"),
+      round(Geo.polygonArea(Geo.normalizeRing(ring)), 4).as("area"))
+      .head()
+    val n = out.getSeq[org.apache.spark.sql.Row](0)
+    assert(n.length == 4)                 // 6 raw -> closing + dup dropped
+    assert(out.getBoolean(1))
+    assert(out.getDouble(2) == 16.0)      // positive = CCW after reversal
+  }
+
+  test("ringIsValid rejects degenerate rings") {
+    import spark.implicits._
+    val line = Geo.ringLit(Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))) // zero area
+    val tiny = Geo.ringLit(Seq((0.0, 0.0), (1.0, 0.0)))             // < 3 vertices
+    val out = Seq(1).toDF("i")
+      .select(Geo.ringIsValid(line).as("a"), Geo.ringIsValid(tiny).as("b")).head()
+    assert(!out.getBoolean(0) && !out.getBoolean(1))
+  }
+
   test("pointInPolygon honors interior rings (holes)") {
     import spark.implicits._
     val outer = Geo.ringLit(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))
