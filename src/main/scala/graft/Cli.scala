@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions.col
   *   graft.Cli list-queries <catalog.json>
   *   graft.Cli list-cache   <cachePath>
   *   graft.Cli clear-cache  <cachePath> <release> <country> <theme> <type>
+  *   graft.Cli cleanup      <servicePath> <keep,names> [--dry-run]
   *   graft.Cli version
   * }}}
   */
@@ -125,6 +126,13 @@ object Cli {
         val ok = new CountryCache(spark, cachePath)
           .clear(CacheKey(country, theme, typeName, release))
         println(if (ok) "cleared" else "not found")
+
+      case Seq("cleanup", servicePath, keepList) =>
+        val report = FeatureService.cleanup(spark, servicePath,
+          keep = keepList.split(",").map(_.trim).filter(_.nonEmpty).toSet,
+          dryRun = opt.contains("dry-run"))
+        println(s"recovered=${report.recovered.mkString(",")} " +
+          s"removed=${report.orphansRemoved.mkString(",")} kept=${report.kept.mkString(",")}")
 
       case Seq("version") =>
         println(s"graft $Version (spark ${spark.version})")

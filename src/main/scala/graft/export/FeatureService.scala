@@ -155,6 +155,89 @@ object FeatureService {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** What [[FeatureService.cleanup]] did (or would do, when dryRun). */
+  final case class CleanupReport(
+      recovered: Seq[String],
+      orphansRemoved: Seq[String],
+      kept: Seq[String]
+  )
+
+  /** All live layer names in a service directory. */
+  def listLayers(spark: SparkSession, servicePath: String): Seq[String] = {
+    val f = fs(spark, servicePath)
+    val base = new HPath(servicePath)
+    if (!f.exists(base)) Seq.empty
+    else
+      f.listStatus(base).toIndexedSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("layer=") && !n.endsWith(".staging") && !n.endsWith(".backup"))
+        .map(_.stripPrefix("layer="))
+        .sorted
+  }
+
+  /** Delete with bounded retries (reference cleanup.py:132
+    * `_remove_path_with_retries` — transient FS errors shouldn't
+    * fail a maintenance sweep).
+    */
+  private def removeWithRetries(f: FileSystem, p: HPath, retries: Int, delayMs: Long): Boolean = {
+    var attempt = 0
+    while (attempt < retries) {
+      try {
+        f.delete(p, true)
+        return true
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          attempt += 1
+          if (attempt < retries) Thread.sleep(delayMs)
+      }
+    }
+    false
+  }
+
+  /** Maintenance sweep (the engine-side model of reference
+    * cleanup.py: orphan detection/removal + stale debris):
+    *
+    *  1. heal every half-finished swap (recoverLayer) — this also
+    *     clears stale `.staging`/`.backup` debris;
+    *  2. remove live layers NOT in `keep` (orphans — the analogue of
+    *     AGOL items no query config references);
+    *  3. report, without touching anything, when `dryRun`.
+    */
+  def cleanup(
+      spark: SparkSession,
+      servicePath: String,
+      keep: Set[String],
+      dryRun: Boolean = false,
+      retries: Int = 3,
+      retryDelayMs: Long = 100L
+  ): CleanupReport = {
+    val f = fs(spark, servicePath)
+    val base = new HPath(servicePath)
+    if (!f.exists(base)) return CleanupReport(Nil, Nil, Nil)
+    // every layer name mentioned by ANY entry (live, staging, backup)
+    val mentioned = f.listStatus(base).toIndexedSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("layer="))
+      .map(_.stripPrefix("layer=").stripSuffix(".staging").stripSuffix(".backup"))
+      .distinct.sorted
+    val recovered = mentioned.filter { n =>
+      val hadDebris =
+        f.exists(new HPath(layerPath(servicePath, n) + ".staging")) ||
+          f.exists(new HPath(layerPath(servicePath, n) + ".backup"))
+      if (hadDebris && !dryRun) recoverLayer(spark, servicePath, n)
+      hadDebris
+    }
+    val live = listLayers(spark, servicePath)
+    val (keepers, orphans) = live.partition(keep.contains)
+    val removed =
+      if (dryRun) orphans
+      else orphans.filter(n =>
+        removeWithRetries(f, new HPath(layerPath(servicePath, n)), retries, retryDelayMs))
+    CleanupReport(recovered, removed, keepers)
+  }
+
   /** Chunking for batched uploads (reference: utils.py:331-374
     * `chunk_dataframe`/`estimate_chunk_size`): repartition so each
     * task writes ≈`maxRowsPerChunk` rows — partition count derives

@@ -170,6 +170,28 @@ class ExportSpec extends SparkSpec {
     assert(merged.count() == 3 && !Files.exists(staging) && !Files.exists(backup))
   }
 
+  test("FeatureService.cleanup: heals swaps, removes orphans, keeps configured layers") {
+    val svc = tmpDir() + "/svc"
+    val df = Seq((1L, "a")).toDF("id", "v")
+    FeatureService.publish(df, svc, "wanted", PublishMode.Initial)
+    FeatureService.publish(df, svc, "orphan", PublishMode.Initial)
+    // half-finished swap for a third layer: staging only, no live
+    df.write.parquet(Paths.get(svc, "layer=crashed.staging").toString)
+
+    val dry = FeatureService.cleanup(spark, svc, keep = Set("wanted", "crashed"), dryRun = true)
+    assert(dry.recovered == Seq("crashed") && dry.orphansRemoved == Seq("orphan"))
+    // dry run touched nothing
+    assert(Files.exists(Paths.get(svc, "layer=crashed.staging")))
+    assert(FeatureService.listLayers(spark, svc) == Seq("orphan", "wanted"))
+
+    val real = FeatureService.cleanup(spark, svc, keep = Set("wanted", "crashed"))
+    assert(real.recovered == Seq("crashed") && real.orphansRemoved == Seq("orphan")
+      && real.kept.toSet == Set("crashed", "wanted"))
+    assert(FeatureService.listLayers(spark, svc) == Seq("crashed", "wanted"))
+    assert(FeatureService.readLayer(spark, svc, "crashed").count() == 1)
+    assert(!Files.exists(Paths.get(svc, "layer=orphan")))
+  }
+
   test("CountryCache readThrough retries transient failures and degrades to a stale release") {
     val cache = new CountryCache(spark, tmpDir() + "/cache")
     cache.put(CacheKey("AF", "places", "place", "2026-01"), pointsDf, "2026-01-01")
