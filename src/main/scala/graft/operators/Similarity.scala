@@ -51,13 +51,20 @@ object Similarity {
       .select(col("query_id"), col("base_id"), col("score"), col("rank"))
   }
 
+  /** The seeded hyperplane matrix — exposed to `private[graft]` so
+    * oracle SQL can embed the SAME constants as literals.
+    */
+  private[graft] def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane signature: `planes` sign bits packed into a
     * long. Hyperplane components are seeded pseudo-random literals —
     * deterministic across runs and engines.
     */
   def hyperplaneSig(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val hp: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val hp: Seq[Seq[Double]] = hyperplanes(dim, planes, seed)
     // One array-of-arrays literal + nested HOF loop instead of
     // `planes` unrolled dot products: keeps the expression (and the
     // generated code) O(1) in `planes`.
@@ -99,6 +106,33 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("base_id"), col("score"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidate
+    * generation (vectors agreeing on every hyperplane sign bit) then
+    * the exact cosine filter — the embedding-space member of the
+    * dedup suite. The self-join shuffles on the bucket key only and
+    * ReuseExchange computes the signature subtree once; N² pairs are
+    * never materialized. Deterministic end-to-end (seeded planes,
+    * rounded scores), so it carries a full SQL oracle.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int,
+      threshold: Double,
+      seed: Long = 42L
+  ): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSig(col(vecCol), dim, planes, seed).as("bucket"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(cosine(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
   /** Per-label centroids (the coarse-quantizer build step of an IVF

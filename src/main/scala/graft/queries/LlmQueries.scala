@@ -222,6 +222,41 @@ object LlmQueries {
       |  FROM scored) x
       |WHERE rank <= 5""".stripMargin
 
+  /** E8: embedding-cosine near-duplicate pairs — LSH buckets then
+    * exact cosine ≥ threshold. The synthetic embeddings have no true
+    * near-dups (max pairwise cosine ≈ 0.51), so the threshold sits
+    * where bucket-agreeing pairs actually land; the semantics under
+    * test are candidate generation + exact filter, fully oracled
+    * (hyperplane constants as SQL literals).
+    */
+  def ddEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(Tables(spark, dir).embeddings,
+      "vec_id", "embedding", dim = 64, planes = 6, threshold = 0.35, seed = 42L)
+
+  val ddEmbeddingNeardupSql: String = {
+    val hp = Similarity.hyperplanes(64, 6, 42L)
+    val hpLit = hp.map(_.mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    val cosSql =
+      """round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      4)""".stripMargin
+    s"""WITH hp(m) AS (SELECT $hpLit),
+       |sig AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, 7), i ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                   list_transform(list_zip(embedding, m[i]),
+       |                     p -> CAST(p[1] AS DOUBLE) * p[2])), (x, y) -> x + y) > 0
+       |           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |  FROM embeddings, hp)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql + 0 AS cosine
+       |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE $cosSql >= 0.35""".stripMargin
+  }
+
   /** F2: LSH-bucketed ANN (rows-only; recall spec'd in ScalaTest). */
   def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
