@@ -239,9 +239,14 @@ object SourceQueries {
       Geo.pointInPolygon(col("x"), col("y"), Geo.ringLit(Wedge))
     val inFrame = bbox(FrameOuter) &&
       Geo.pointInPolygon(col("x"), col("y"), Geo.ringLit(FrameOuter), Seq(Geo.ringLit(FrameHole)))
-    pts.filter(inWedge).select(col("event_id"), col("x"), col("y"), lit("wedge").as("poly"))
-      .unionAll(
-        pts.filter(inFrame).select(col("event_id"), col("x"), col("y"), lit("frame").as("poly")))
+    // ONE scan (one JSON parse per row): each point emits the names
+    // of the polygons containing it, then explodes — equivalent to a
+    // union of per-polygon filters but without the second pass.
+    pts
+      .select(col("event_id"), col("x"), col("y"),
+        explode(filter(
+          array(when(inWedge, "wedge"), when(inFrame, "frame")),
+          p => p.isNotNull)).as("poly"))
   }
 
   /** Ray-casting containment as oracle SQL: the same division-free
