@@ -18,7 +18,9 @@ object PlanCheck {
           "BroadcastExchange".r.findAllIn(plan).length
         val bcasts = "BroadcastExchange|BroadcastQueryStage".r.findAllIn(plan).size
         val pushed = plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")
-        val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+        // Spark 4 executedPlan.toString marks codegen stages as
+        // "*(n) Operator"; count distinct stage ids.
+        val wsc = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         println(f"${q.name}%-22s shuffles=$shuffles%-3d bcast=$bcasts%-3d pushedFilters=$pushed%-5s codegenSpans=$wsc")
       } catch { case e: Throwable => println(s"${q.name} EXPLAIN FAILED: ${e.getMessage.take(100)}") }
     }

@@ -239,10 +239,18 @@ object SourceQueries {
       Geo.pointInPolygon(col("x"), col("y"), Geo.ringLit(Wedge))
     val inFrame = bbox(FrameOuter) &&
       Geo.pointInPolygon(col("x"), col("y"), Geo.ringLit(FrameOuter), Seq(Geo.ringLit(FrameHole)))
-    // ONE scan (one JSON parse per row): each point emits the names
-    // of the polygons containing it, then explodes — equivalent to a
-    // union of per-polygon filters but without the second pass.
+    // ONE scan (one JSON parse per row). The y coordinate is
+    // JSON-derived (never pushable), so the pushable part is the
+    // x-envelope over all rings — a pure source-column range that
+    // reaches the parquet scan (PushedFilters → row-group pruning at
+    // scale); the exact per-polygon bboxes prune the rest before any
+    // ray casting. Then each surviving point emits the names of the
+    // polygons containing it and explodes — equivalent to a union of
+    // per-polygon filters without the second pass.
+    val allX = (Wedge ++ FrameOuter).map(_._1)
     pts
+      .filter(col("x") >= allX.min && col("x") <= allX.max &&
+        (bbox(Wedge) || bbox(FrameOuter)))
       .select(col("event_id"), col("x"), col("y"),
         explode(filter(
           array(when(inWedge, "wedge"), when(inFrame, "frame")),
