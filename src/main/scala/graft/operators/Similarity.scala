@@ -141,6 +141,50 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN search: per-label centroids are the
+    * coarse quantizer; each query probes its `nprobe` nearest
+    * centroids and exact cosine runs ONLY over the probed labels'
+    * vectors. At scale: centroids are |labels|·dim (broadcast), the
+    * probe assignment is a broadcast nested-loop over that tiny
+    * table, and the search is a broadcast join on label — the base
+    * table is never shuffled and never fully scored. Centroid dims
+    * round to 4 dp so the quantizer is reproducible cross-engine
+    * (deterministic → full SQL oracle, unlike the random-hyperplane
+    * path).
+    */
+  def ivfAnn(
+      base: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val cents = base
+      .select(col(labelCol).as("clabel"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("clabel"), col("d"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("clabel"))
+      .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("clabel"), transform(col("dc"), s => round(s.getField("c"), 4)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("clabel"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(cosine(col("qv"), col("cvec")), 4))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("clabel").as("label"))
+    val b = base.select(col(labelCol).as("label"), col(idCol).as("base_id"), col(vecCol).as("bv"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
+    b.join(broadcast(probes), Seq("label"))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("bv")), 4))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("base_id"), col("score"), col("rank"))
+  }
+
   /** Per-label centroids (the coarse-quantizer build step of an IVF
     * index): posexplode to (label, dim) partial sums — shuffle width
     * is |labels|·dim, independent of N.

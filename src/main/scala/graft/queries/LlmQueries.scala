@@ -277,6 +277,52 @@ object LlmQueries {
       |  count(*) AS dim
       |FROM percomp GROUP BY label""".stripMargin
 
+  /** F4: IVF ANN search — coarse-quantize by per-label centroids,
+    * probe the 2 nearest lists per query, exact cosine only inside
+    * probed lists. Fully deterministic (rounded centroids), so fully
+    * oracled — the scale path the LSH variant approximates.
+    */
+  def simIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Similarity.ivfAnn(t.embeddings, queryVectors(t), "vec_id", "embedding", "label",
+      nprobe = 2, k = 5)
+  }
+
+  val simIvfAnnSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_sum(list_transform(list_zip($a, $b),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH percomp AS (
+       |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+       |  GROUP BY label, d),
+       |cents AS (
+       |  SELECT label AS clabel, list(round(c, 4) ORDER BY d) AS cvec
+       |  FROM percomp GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |assign AS (
+       |  SELECT query_id, clabel AS label FROM (
+       |    SELECT q.query_id, c.clabel,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(${cosSql("q.qv", "c.cvec")}, 4) DESC, c.clabel) AS crank
+       |    FROM q, cents c) x
+       |  WHERE crank <= 2),
+       |scored AS (
+       |  SELECT a.query_id, b.vec_id AS base_id,
+       |    round(${cosSql("q.qv", "b.embedding")}, 4) + 0 AS score
+       |  FROM assign a
+       |  JOIN embeddings b ON b.label = a.label
+       |  JOIN q ON q.query_id = a.query_id
+       |  WHERE b.vec_id != a.query_id)
+       |SELECT query_id, base_id, score, rank FROM (
+       |  SELECT query_id, base_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, base_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // G. Text analysis
   // ----------------------------------------------------------------

@@ -57,4 +57,94 @@ object StreamQueries {
 
   /** Oracle: identical to the batch twin D5 (q_events_window). */
   val stWindowedAggSql: String = Analytic.qEventsWindowSql
+
+  /** I2 end-to-end: gap-based sessionization via `session_window`
+    * through the file streaming source. Session windows only support
+    * append/update output, and append only emits sessions the
+    * WATERMARK has passed — so the stage directory gets a second
+    * file holding one far-future sentinel event (user_id −1,
+    * excluded from the result): batch 1 processes the real data,
+    * batch 2 the sentinel (advancing max event time), and the final
+    * no-data micro-batch's watermark then flushes every real
+    * session. This is exactly how a production stream drains — event
+    * time, not wall clock, closes sessions.
+    */
+  def stSessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_sessions_")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("a_events.parquet"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // Two sentinel batches (user −1, far-future ts): the first
+    // advances max event time past all real data; the SECOND gives
+    // the engine a further batch whose eviction pass runs with that
+    // advanced watermark — flushing every real session. (The final
+    // no-data micro-batch alone does not evict here.)
+    val tenYearsNanos = 10L * 365 * 24 * 3600 * 1000L * 1000 * 1000
+    val maxTs = batch.agg(max(col("ts"))).head().getLong(0)
+    val baseTime = Files.getLastModifiedTime(stage.resolve("a_events.parquet")).toMillis
+    Seq(1, 2).foreach { i =>
+      // The file source lists PLAIN files in the stage dir — write
+      // the sentinel through a scratch dir and hoist its part file
+      // up as z_sentinel_<i>.parquet (a Spark parquet "file" is a
+      // directory, which the source would skip).
+      val scratch = Files.createTempDirectory(s"graft_sentinel_$i")
+      batch.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(maxTs + i * tenYearsNanos))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(scratch.resolve("out").toString)
+      val part = Files.list(scratch.resolve("out")).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = stage.resolve(s"z_sentinel_$i.parquet")
+      Files.copy(part, dest)
+      // strictly increasing mtimes so the file source orders them last
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(baseTime + i * 60000L))
+    }
+
+    val raw = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventStream.sessionWindows(events, "30 minutes", "1 hour")
+    val qName = "st_session_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = out.writeStream
+      .format("memory")
+      .queryName(qName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qName)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("session_value"))
+  }
+
+  /** Lag-based gap islands in integer microseconds — strictly
+    * `> gap` starts a new session: `session_window` still merges an
+    * event landing exactly on the previous session's end.
+    */
+  val stSessionAggSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flags AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM ordered),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) + 0 AS session_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
 }
