@@ -54,6 +54,39 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame reference. */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("byte_offset", LongType, nullable = false)))
+
+  /** Frame sampling: every `step`-th frame of each media payload,
+    * one output row per sampled frame with its byte offset — the
+    * video-pipeline shape where the decoder ITERATES frames and the
+    * stage flat-maps them out (mapPartitions, so a real codec opens
+    * one context per batch). Frame count comes from the stubbed
+    * decode; offsets assume fixed-size frames (real codecs read the
+    * container index instead — same plumbing).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, step: Int): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val spark = df.sparkSession
+    val input = df
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .filter(col(payloadCol).isNotNull)
+    val rows = input.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val frames = FakeDecoder.decode(payload)._3
+        val frameBytes = math.max(1, payload.length / frames)
+        (0 until frames by step).iterator.map(i =>
+          Row(id, i.toLong, i.toLong * frameBytes))
+      }
+    }
+    spark.createDataFrame(rows, FrameSchema)
+  }
+
   /** Partition-batched decode: mapPartitions so a real decoder can
     * amortize per-batch setup (codec contexts, device handles) —
     * the Spark analogue of `mapInPandas` batch processing. Input

@@ -59,6 +59,26 @@ object Analytic2 {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** D9b: CUBE over the same dims as the rollup — all grouping-set
+    * combinations including per-nation-across-regions margins.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 4).as("total_bal"), count(lit(1)).as("n_customers"))
+  }
+
+  val qCubeSql: String =
+    """SELECT r_name, n_name, round(sum(c_acctbal), 4) + 0 AS total_bal,
+      |  count(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, n_name)""".stripMargin
+
   /** D10: exact interpolated percentiles per group. */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

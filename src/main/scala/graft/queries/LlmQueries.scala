@@ -607,4 +607,23 @@ object LlmQueries {
       |  round(list_sum(list_transform(regexp_split_to_array(text, ''),
       |    c -> CAST(unicode(c) AS DOUBLE))) / n, 4) + 0 AS mean_intensity
       |FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents) x""".stripMargin
+
+  /** K4: frame sampling — every 2nd frame of each payload, one row
+    * per sampled frame (flat-mapped out of the per-batch decoder).
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Multimodal.sampleFrames(
+      t.documents.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload", step = 2)
+  }
+
+  val mmFrameSampleSql: String =
+    """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(i AS BIGINT) * greatest(1, n // frames) AS byte_offset
+      |FROM (
+      |  SELECT doc_id, n, 1 + (n % 4) AS frames FROM (
+      |    SELECT doc_id, octet_length(encode(text)) AS n FROM documents) y) x,
+      |  (SELECT unnest(range(0, 4, 2)) AS i) s
+      |WHERE i < frames""".stripMargin
 }
