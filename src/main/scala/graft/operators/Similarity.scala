@@ -83,10 +83,13 @@ object Similarity {
   }
 
   /** ANN via LSH buckets: vectors sharing a hyperplane-sign bucket
-    * are candidates; exact cosine only within buckets; top-k per
-    * query among candidates. Recall grows with fewer planes /
-    * multiple tables; this single-table variant is the scale
-    * skeleton (bucket-key shuffle only).
+    * in ANY of `tables` independent hash tables are candidates;
+    * exact cosine only within candidates; top-k per query. Recall
+    * grows with more tables (each an independent chance to collide)
+    * — the standard multi-table construction the single-table
+    * skeleton scales into. Candidates stay bucket-joined: signatures
+    * for all tables ride in ONE array column, the bucket join is on
+    * (table, bucket), and N² pairs are never materialized.
     */
   def lshAnn(
       base: DataFrame,
@@ -96,16 +99,26 @@ object Similarity {
       dim: Int,
       planes: Int,
       k: Int,
-      seed: Long = 42L
+      seed: Long = 42L,
+      tables: Int = 1
   ): DataFrame = {
-    val sig = (df: DataFrame, id: String, vec: String) =>
+    val sigs = (vec: Column) =>
+      array((0 until tables).map(t =>
+        hyperplaneSig(vec, dim, planes, seed + t)): _*)
+    val explodeTables = (df: DataFrame, id: String, vec: String) =>
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        hyperplaneSig(col(vecCol), dim, planes, seed).as(s"${id}_bucket"))
-    val b = sig(base, "base_id", "base_vec")
-    val q = sig(queries, "query_id", "query_vec")
-    val scored = b
+          posexplode(sigs(col(vecCol))).as(Seq(s"${id}_table", s"${id}_bucket")))
+    val b = explodeTables(base, "base_id", "base_vec")
+    val q = explodeTables(queries, "query_id", "query_vec")
+    val candidates = b
       .join(broadcast(q),
-        col("base_id") =!= col("query_id") && col("base_id_bucket") === col("query_id_bucket"))
+        col("base_id") =!= col("query_id") &&
+          col("base_id_table") === col("query_id_table") &&
+          col("base_id_bucket") === col("query_id_bucket"))
+      // a pair colliding in several tables is still ONE candidate
+      .select(col("query_id"), col("base_id"), col("query_vec"), col("base_vec"))
+      .dropDuplicates("query_id", "base_id")
+    val scored = candidates
       .withColumn("score", round(cosine(col("base_vec"), col("query_vec")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
     scored

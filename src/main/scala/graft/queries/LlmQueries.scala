@@ -261,7 +261,7 @@ object LlmQueries {
   def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     Similarity.lshAnn(t.embeddings, queryVectors(t), "vec_id", "embedding",
-      dim = 64, planes = 8, k = 5)
+      dim = 64, planes = 8, k = 5, tables = 3)
   }
 
   /** F3: per-label centroids (IVF coarse-quantizer build). */

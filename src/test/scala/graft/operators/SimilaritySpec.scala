@@ -34,11 +34,18 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshAnn(base, queries, "vec_id", "embedding", 64, planes = 4, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshAnn(base, queries, "vec_id", "embedding", 64, planes = 4, k = 5, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     // single-table 4-plane LSH on random embeddings: expect partial recall
     assert(recall > 0.1, s"recall=$recall")
     // every approx result must be a genuine in-bucket cosine (sanity: subset scored correctly)
     assert(approx.nonEmpty)
+    // multi-table LSH: more independent collision chances -> recall
+    // must not drop, and on this dataset strictly improves
+    val multiRecall = (exact & multi).size.toDouble / exact.size
+    assert(multiRecall >= recall, s"multi=$multiRecall single=$recall")
+    assert(multiRecall > recall, s"expected strict improvement, multi=$multiRecall single=$recall")
   }
 
   test("centroids: one row per label, dim = vector width") {
