@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{RollingHash, WkbGeometryType, WkbPointXY}
+import graft.functions.{CosineSim, MinHashSig, RollingHash, WkbFromXY, WkbGeometryType, WkbPointXY, WordBigrams}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -13,6 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   SELECT graft_rolling_hash(text) FROM documents
   *   SELECT graft_wkb_point(geometry).x FROM features
   *   SELECT graft_wkb_type(geometry) FROM features
+  *   SELECT graft_wkb_from_xy(x, y) FROM points
+  *   SELECT graft_cosine(vec_a, vec_b) FROM pairs
+  *   SELECT graft_word_bigrams(text) FROM documents
+  *   SELECT graft_minhash(text, 3, 32, 42) FROM documents
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -33,5 +38,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WkbGeometryType].getName, "graft_wkb_type"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WkbGeometryType(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wkb_from_xy"),
+      new ExpressionInfo(classOf[WkbFromXY].getName, "graft_wkb_from_xy"),
+      (children: Seq[Expression]) => WkbFromXY(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
+      (children: Seq[Expression]) => WordBigrams(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash $name must be an integer literal, got $other")
+        }
+        MinHashSig(children(0),
+          n = intArg(children(1), "n"),
+          k = intArg(children(2), "k"),
+          seed = intArg(children(3), "seed").toLong)
+      }))
   }
 }

@@ -78,6 +78,16 @@ class FunctionsSpec extends SparkSpec {
       assert(h == 97L * 31 + 98)
       val t = s.sql("SELECT graft_wkb_type(X'0101000000') AS t").head().getInt(0)
       assert(t == 1)
+      val c = s.sql(
+        "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
+      assert(c == 1.0)
+      val bg = s.sql("SELECT graft_word_bigrams('a b c') AS b").head().getSeq[String](0)
+      assert(bg == Seq("a b", "b c"))
+      val rt = s.sql("SELECT graft_wkb_point(graft_wkb_from_xy(2.5D, -3.5D)) AS p")
+        .selectExpr("p.x", "p.y").head()
+      assert(rt.getDouble(0) == 2.5 && rt.getDouble(1) == -3.5)
+      val mh = s.sql("SELECT graft_minhash('a b c d e', 3, 8, 42) AS m").head().getSeq[Long](0)
+      assert(mh.length == 8 && mh.forall(_ < 2147483647L))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
