@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions.col
   * read → normalize/enrich → export or publish; every step is the
   * same public API the registry queries exercise.
   *
-  * Usage:
+  * Usage (valued flags use `--key=value`):
   * {{{
-  *   graft.Cli export   <catalog.json> <query> <sfDir> <outPath> [--country ISO3] [--geom xCol,yCol] [--date ISO]
-  *   graft.Cli publish  <catalog.json> <query> <sfDir> <servicePath> [--mode auto|initial|overwrite|append] [--country ISO3] [--date ISO]
+  *   graft.Cli export   <catalog.json> <query> <sfDir> <outPath> [--country=ISO3] [--geom=xCol,yCol] [--date=ISO]
+  *   graft.Cli publish  <catalog.json> <query> <sfDir> <servicePath> [--mode=auto|initial|overwrite|append] [--country=ISO3] [--date=ISO]
   *   graft.Cli list-queries <catalog.json>
   *   graft.Cli list-cache   <cachePath>
   *   graft.Cli clear-cache  <cachePath> <release> <country> <theme> <type>
@@ -89,8 +89,11 @@ object Cli {
         val df = runPipeline(spark, cfg, sfDir, opt.getOrElse("country", "AFG"), date)
         val fmt = ExportFormat.fromPath(outPath)
         val geomCols = opt.get("geom").map { g =>
-          val Array(xc, yc) = g.split(",", 2)
-          (col(xc).cast("double"), col(yc).cast("double"))
+          g.split(",", 2) match {
+            case Array(xc, yc) if yc.nonEmpty => (col(xc).cast("double"), col(yc).cast("double"))
+            case _ => throw new IllegalArgumentException(
+              s"--geom expects xCol,yCol (got '$g')")
+          }
         }
         Exporter.write(df, outPath, fmt,
           geometryJson = geomCols.map { case (x, y) => GeoJson.pointGeometry(x, y) },

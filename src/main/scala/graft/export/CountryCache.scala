@@ -83,7 +83,11 @@ final class CountryCache(spark: SparkSession, basePath: String) {
     fs.delete(new HPath(s"$basePath/${key.relPath}"), true)
 
   /** Newest complete cached entry for the same logical layer at ANY
-    * release — the stale-but-complete fallback candidate.
+    * release — the stale-but-complete fallback candidate. "Newest"
+    * is lexicographic descending on the release string: the release
+    * naming contract is sortable ISO dates (`2026-01`,
+    * `2026-01-15.0` — the reference's scheme); non-padded numeric
+    * names would mis-order here.
     */
   private def latestComplete(
       country: String,

@@ -48,11 +48,17 @@ object FeatureService {
       f.delete(backup, true)
       true
     } else if (f.exists(staging)) {
-      f.rename(staging, live)
+      // rename returns false (not throws) on several Hadoop FSs —
+      // never drop the backup unless the promote actually happened.
+      if (!f.rename(staging, live))
+        throw new java.io.IOException(
+          s"recoverLayer: failed to promote $staging to $live; backup left intact")
       f.delete(backup, true)
       true
     } else if (f.exists(backup)) {
-      f.rename(backup, live)
+      if (!f.rename(backup, live))
+        throw new java.io.IOException(
+          s"recoverLayer: failed to restore $backup to $live")
       true
     } else false
   }
@@ -108,13 +114,20 @@ object FeatureService {
           // leaves either the old layer live, or staging/backup dirs
           // that recoverLayer (run on the next publish, or manually)
           // promotes — data loss requires losing BOTH copies.
+          // Hadoop rename/delete signal failure by RETURNING FALSE on
+          // several filesystems — every step is checked, and the
+          // backup is only dropped after a confirmed promote.
           val f = fs(spark, servicePath)
           val live = new HPath(path)
           val staging = new HPath(s"$path.staging")
           val backup = new HPath(s"$path.backup")
-          f.delete(backup, true) // clear any stale backup first
-          f.rename(live, backup)
-          f.rename(staging, live)
+          if (f.exists(backup) && !f.delete(backup, true))
+            throw new java.io.IOException(s"upsert: cannot clear stale backup $backup")
+          if (!f.rename(live, backup))
+            throw new java.io.IOException(s"upsert: cannot move $live aside; layer unchanged")
+          if (!f.rename(staging, live))
+            throw new java.io.IOException(
+              s"upsert: promote failed; old layer preserved at $backup (recoverLayer restores it)")
           f.delete(backup, true)
         }
     }

@@ -41,14 +41,45 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
   private val X = U - 35                    // max local payload, table leaf
   private val M = (U - 12) * 32 / 255 - 23  // min local payload
 
-  /** Build one table b-tree from rowid-ordered rows; registers it in
-    * sqlite_master and returns the root page.
+  /** Build one table b-tree from STRICTLY ASCENDING rowid rows
+    * (validated while streaming — the b-tree's binary search silently
+    * corrupts on unordered or duplicate keys); registers the table in
+    * sqlite_master and returns the root page. The master-page fit is
+    * checked BEFORE any data streams, so a too-wide DDL fails fast
+    * instead of at close() after a full export.
     */
   def createTable(name: String, sql: String, rows: Iterator[(Long, Array[Byte])]): Int = {
-    val root = buildTree(rows)
+    // Would sqlite_master still fit on page 1 with this table added?
+    // (root not yet known — a 4-byte-int serial is the upper bound.)
+    val probeCells = (masterRows.toSeq :+ ((name, name, Int.MaxValue, sql)))
+      .zipWithIndex.map { case ((n, t, r, s), i) =>
+        makeProbeCell(i + 1L, record(Seq(
+          SqlText("table"), SqlText(n), SqlText(t), SqlInt(r.toLong), SqlText(s))))
+      }
+    val masterBytes = 8 + probeCells.map(c => 2 + c).sum
+    require(100 + masterBytes <= pageSize,
+      s"sqlite_master would overflow page 1 (${100 + masterBytes} > $pageSize bytes) — " +
+        s"table '$name' has too wide a schema for this writer")
+    var prev = Long.MinValue
+    val validated = rows.map { case (rowid, payload) =>
+      require(rowid > prev,
+        s"table '$name': rowids must be strictly ascending and unique " +
+          s"(got $rowid after $prev) — sort by the fid column and dedupe first")
+      prev = rowid
+      (rowid, payload)
+    }
+    val root = buildTree(validated)
     masterRows += ((name, name, root, sql))
     root
   }
+
+  /** Worst-case inline cell size for the page-fit probe (payloads
+    * under the overflow threshold, which master records with DDL of
+    * page-1 scale always are).
+    */
+  private def makeProbeCell(rowid: Long, payload: Array[Byte]): Int =
+    varint(payload.length.toLong).length + varint(rowid).length +
+      math.min(payload.length, X) + (if (payload.length > X) 4 else 0)
 
   /** cellBytes = varint(P) ++ varint(rowid) ++ local-payload
     * [++ be32(firstOverflowPage)]; overflow pages are written
@@ -377,13 +408,23 @@ object Gpkg {
     val fidIdx = if (hasFid) schema.fieldIndex("fid") else -1
     val attrIdx = attrFields.map(f => schema.fieldIndex(f.name))
     var rowNum = 0L
-    val featureRows = df.toLocalIterator()
+    // The b-tree needs strictly ascending rowids: a user fid column
+    // drives an explicit global sort (toLocalIterator on an unsorted
+    // distributed frame yields arbitrary order); otherwise arrival
+    // order gets sequential rowids. Duplicate/null fids fail fast in
+    // createTable's ascending check / here.
+    val ordered = if (hasFid) df.orderBy(org.apache.spark.sql.functions.col("fid")) else df
+    val featureRows = ordered.toLocalIterator()
     w.createTable(table, ddl, new Iterator[(Long, Array[Byte])] {
       def hasNext: Boolean = featureRows.hasNext
       def next(): (Long, Array[Byte]) = {
         val r = featureRows.next()
         rowNum += 1
-        val fid = if (hasFid && !r.isNullAt(fidIdx)) r.getLong(fidIdx) else rowNum
+        val fid =
+          if (!hasFid) rowNum
+          else if (r.isNullAt(fidIdx))
+            throw new IllegalArgumentException(s"GPKG: null fid at input row $rowNum")
+          else r.getLong(fidIdx)
         val geom =
           if (r.isNullAt(geomIdx)) SqlNull
           else SqlBlob(geometryBlob(r.getAs[Array[Byte]](geomIdx), srsId))

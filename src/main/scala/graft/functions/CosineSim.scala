@@ -20,6 +20,24 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
 
+  /** Analysis-time contract: both sides array<float|double> — a
+    * wrong input is an AnalysisException, not an executor
+    * ClassCastException (or silently misread unsafe bytes).
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
       org.apache.spark.sql.types.FloatType

@@ -49,6 +49,14 @@ case class WkbFromXY(left: Expression, right: Expression)
 
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wkb_from_xy requires (double, double), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
   override def nullSafeEval(x: Any, y: Any): Any =
     Wkb.encodePoint((x.asInstanceOf[Double], y.asInstanceOf[Double]))
 

@@ -72,8 +72,8 @@ object Multimodal {
     require(step >= 1, "step must be >= 1")
     val spark = df.sparkSession
     val input = df
-      .select(col(idCol).cast("long"), col(payloadCol))
-      .filter(col(payloadCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), col(payloadCol))
+      .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
     val rows = input.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
@@ -94,11 +94,11 @@ object Multimodal {
     */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
-    // Null/missing payloads are a fact of life in media corpora:
-    // skip them rather than NPE the job on one bad row.
+    // Null/missing ids and payloads are a fact of life in media
+    // corpora: skip them rather than NPE the job on one bad row.
     val input = df
-      .select(col(idCol).cast("long"), col(payloadCol))
-      .filter(col(payloadCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), col(payloadCol))
+      .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
     val rows = input.rdd.mapPartitions { it =>
       // One decoder context per partition (the expensive-setup seam).
       it.map { r =>

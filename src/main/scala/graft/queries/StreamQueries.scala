@@ -15,6 +15,27 @@ import java.nio.file.{Files, Paths}
   */
 object StreamQueries {
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  /** Materialize the memory sink's rows and DROP its temp view —
+    * these queries run repeatedly (bench min-of-two, verify), so
+    * sink tables must not accumulate in the session for the rest of
+    * its lifetime. The result rows are aggregate-sized.
+    */
+  private def drainMemorySink(spark: SparkSession, qName: String): DataFrame = {
+    val sink = spark.table(qName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** I1 end-to-end: tumbling 1-hour event-time windows over the
     * events table consumed INCREMENTALLY through the file streaming
     * source. AvailableNow processes the backlog in bounded batches
@@ -47,11 +68,8 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    val result = spark.table(qName)
-    // The memory sink holds the (small) aggregated windows on the
-    // driver; the staged copy is no longer needed.
-    Files.deleteIfExists(stage.resolve("events.parquet"))
-    Files.deleteIfExists(stage)
+    val result = drainMemorySink(spark, qName)
+    deleteRecursively(stage)
     result
   }
 
@@ -92,10 +110,13 @@ object StreamQueries {
         .withColumn("ts", lit(maxTs + i * tenYearsNanos))
         .coalesce(1)
         .write.mode("overwrite").parquet(scratch.resolve("out").toString)
-      val part = Files.list(scratch.resolve("out")).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = Files.list(scratch.resolve("out"))
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       val dest = stage.resolve(s"z_sentinel_$i.parquet")
       Files.copy(part, dest)
+      deleteRecursively(scratch)
       // strictly increasing mtimes so the file source orders them last
       Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(baseTime + i * 60000L))
@@ -114,12 +135,14 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.table(qName)
+    val result = drainMemorySink(spark, qName)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         unix_micros(col("session_end")).as("session_end_us"),
         col("n_events"), col("session_value"))
+    deleteRecursively(stage)
+    result
   }
 
   /** Lag-based gap islands in integer microseconds — strictly
