@@ -100,6 +100,27 @@ class GpkgSpec extends SparkSpec {
     assert(sqliteQuery(path, "SELECT fid FROM big WHERE rowid = 2999") == Seq("2999"))
   }
 
+  test("unsorted fid input is sorted for the rowid b-tree; duplicate fids fail fast") {
+    val path = tmp() + "/sorted.gpkg"
+    // deliberately shuffled fids — write must globally sort them
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b"))
+      .map { case (i, s) => (i, s, Wkb.encodePoint((i * 1.0, 0.0))) }
+      .toDF("fid", "name", "geom")
+    Gpkg.write(df, path, "t")
+    assert(sqliteQuery(path, "PRAGMA integrity_check") == Seq("ok"))
+    assert(sqliteQuery(path, "SELECT fid, name FROM t ORDER BY fid")
+      == Seq("1|a", "2|b", "3|c"))
+    assert(sqliteQuery(path, "SELECT name FROM t WHERE fid = 2") == Seq("b"))
+
+    val dup = Seq((1L, "a"), (1L, "b"))
+      .map { case (i, s) => (i, s, Wkb.encodePoint((0.0, 0.0))) }
+      .toDF("fid", "name", "geom")
+    val err = intercept[IllegalArgumentException] {
+      Gpkg.write(dup, tmp() + "/dup.gpkg", "t")
+    }
+    assert(err.getMessage.contains("strictly ascending"))
+  }
+
   test("null handling and fid-less frames") {
     val path = tmp() + "/nulls.gpkg"
     val df = Seq(
