@@ -27,6 +27,21 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 shape: common
+    * English contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace) — WITHOUT the original's
+    * trailing-space lookahead, so the same pattern means the same
+    * thing in Java regex and RE2-based engines. A real tokenizer's
+    * token count tracks these pre-tokens far better than whitespace
+    * splitting does (contractions and punctuation count separately).
+    */
+  val BpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token count under BPE-style pre-tokenization. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePretokenPattern)).cast("long")
+
   /** Count of punctuation chars (quality signal). */
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, Punct, ""))).cast("long")

@@ -340,6 +340,26 @@ object LlmQueries {
       |  length(text) AS n_chars_actual
       |FROM documents""".stripMargin
 
+  /** G1b: BPE-style pre-token count beside the whitespace count —
+    * the ratio is the "tokens per word" fertility signal a training
+    * pipeline budgets by.
+    */
+  def txTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  val txTokensBpeSql: String = {
+    // same runtime pattern; only the embedded single quote needs SQL
+    // escaping (standard SQL strings pass backslashes through)
+    val pat = TextOps.BpePretokenPattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '$pat')) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+  }
+
   /** G2: composite quality score. */
   def txQuality(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents.select(
