@@ -36,6 +36,15 @@ class DedupSpec extends SparkSpec {
     assert(nearPair.isDefined && nearPair.get.getDouble(2) > 0.5)
   }
 
+  test("minhashLsh plan regression: at most ONE data shuffle (the band-bucket exchange)") {
+    val plan = Dedup.minhashLsh(corpus, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected <=1 data shuffle, plan:\n$plan")
+  }
+
   test("minhash signature is stable across evaluations") {
     val a = corpus.select(Dedup.minhashSignature(col("text"), 3, 16, 42L).as("s"))
       .collect().map(_.getSeq[Long](0))
