@@ -379,11 +379,24 @@ object Gpkg {
       srsId: Int = 4326,
       lastChange: String = "2026-01-01T00:00:00.000Z"
   ): Unit = {
-    val schema = df.schema
+    // A 'fid' column becomes the rowid: narrower integral types are
+    // widened to long; anything non-integral is an error rather than
+    // a silent drop-and-renumber.
+    val input = if (df.schema.fieldNames.contains("fid")) {
+      df.schema("fid").dataType match {
+        case LongType => df
+        case ByteType | ShortType | IntegerType =>
+          df.withColumn("fid", org.apache.spark.sql.functions.col("fid").cast(LongType))
+        case other =>
+          throw new IllegalArgumentException(
+            s"GPKG: 'fid' must be an integral type to serve as rowid, got $other")
+      }
+    } else df
+    val schema = input.schema
     require(schema.fieldNames.contains(geomCol), s"GPKG: missing geometry column '$geomCol'")
     require(schema(geomCol).dataType == BinaryType, s"GPKG: '$geomCol' must be BINARY (WKB)")
     val attrFields = schema.fields.filter(f => f.name != geomCol && f.name != "fid")
-    val hasFid = schema.fieldNames.contains("fid") && schema("fid").dataType == LongType
+    val hasFid = schema.fieldNames.contains("fid")
 
     val w = new SqliteWriter(path)
 
