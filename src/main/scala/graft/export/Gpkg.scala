@@ -426,7 +426,7 @@ object Gpkg {
     // distributed frame yields arbitrary order); otherwise arrival
     // order gets sequential rowids. Duplicate/null fids fail fast in
     // createTable's ascending check / here.
-    val ordered = if (hasFid) df.orderBy(org.apache.spark.sql.functions.col("fid")) else df
+    val ordered = if (hasFid) input.orderBy(org.apache.spark.sql.functions.col("fid")) else input
     val featureRows = ordered.toLocalIterator()
     w.createTable(table, ddl, new Iterator[(Long, Array[Byte])] {
       def hasNext: Boolean = featureRows.hasNext

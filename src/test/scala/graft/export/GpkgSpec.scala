@@ -121,6 +121,26 @@ class GpkgSpec extends SparkSpec {
     assert(err.getMessage.contains("strictly ascending"))
   }
 
+  test("narrow integral fid is widened to rowid; non-integral fid is rejected") {
+    val path = tmp() + "/intfid.gpkg"
+    // IntegerType fid — the widening path must feed the iterator, not
+    // just the schema check (regression: widened frame was discarded)
+    val df = Seq((30, "c"), (10, "a"), (20, "b"))
+      .map { case (i, s) => (i, s, Wkb.encodePoint((i * 1.0, 0.0))) }
+      .toDF("fid", "name", "geom")
+    Gpkg.write(df, path, "t")
+    assert(sqliteQuery(path, "PRAGMA integrity_check") == Seq("ok"))
+    assert(sqliteQuery(path, "SELECT rowid, fid, name FROM t ORDER BY rowid")
+      == Seq("10|10|a", "20|20|b", "30|30|c"))
+
+    val bad = Seq(("x1", "a")).map { case (i, s) => (i, s, Wkb.encodePoint((0.0, 0.0))) }
+      .toDF("fid", "name", "geom")
+    val err = intercept[IllegalArgumentException] {
+      Gpkg.write(bad, tmp() + "/badfid.gpkg", "t")
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("null handling and fid-less frames") {
     val path = tmp() + "/nulls.gpkg"
     val df = Seq(
