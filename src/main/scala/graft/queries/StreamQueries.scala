@@ -23,6 +23,22 @@ object StreamQueries {
       finally s.close()
     }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily
+    * lowered for a streaming query. Stateful streaming fans out one
+    * state-store instance per shuffle partition PER MICRO-BATCH
+    * (each committing a checkpoint delta file); at local scale that
+    * fixed fan-out dwarfs the data. The partition count is pinned
+    * into the checkpoint at first start, so it is a per-query
+    * sizing decision — a production deployment sizes it to state
+    * volume (keys/partition), exactly as done here.
+    */
+  private def withStreamingShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Materialize the memory sink's rows and DROP its temp view —
     * these queries run repeatedly (bench min-of-two, verify), so
     * sink tables must not accumulate in the session for the rest of
@@ -61,13 +77,15 @@ object StreamQueries {
     // would withhold the trailing windows; the append/eviction
     // behavior is covered by the MemoryStream ScalaTests.)
     val qName = "st_windowed_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = out.writeStream
-      .format("memory")
-      .queryName(qName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = out.writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     val result = drainMemorySink(spark, qName)
     deleteRecursively(stage)
     result
@@ -99,28 +117,33 @@ object StreamQueries {
     val tenYearsNanos = 10L * 365 * 24 * 3600 * 1000L * 1000 * 1000
     val maxTs = batch.agg(max(col("ts"))).head().getLong(0)
     val baseTime = Files.getLastModifiedTime(stage.resolve("a_events.parquet")).toMillis
+    // ONE sentinel write job; its part file is staged twice. Batch 2
+    // (sentinel copy 1) advances max event time 10 years past the
+    // real data; batch 3 (copy 2 — identical bytes, later mtime) then
+    // runs its eviction pass under that advanced watermark, flushing
+    // every real session. The sentinel's own session stays in state
+    // (never emitted) — it is filtered out below anyway.
+    val scratch = Files.createTempDirectory("graft_sentinel_")
+    batch.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", lit(maxTs + tenYearsNanos))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(scratch.resolve("out").toString)
+    val listing = Files.list(scratch.resolve("out"))
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     Seq(1, 2).foreach { i =>
-      // The file source lists PLAIN files in the stage dir — write
-      // the sentinel through a scratch dir and hoist its part file
-      // up as z_sentinel_<i>.parquet (a Spark parquet "file" is a
-      // directory, which the source would skip).
-      val scratch = Files.createTempDirectory(s"graft_sentinel_$i")
-      batch.limit(1)
-        .withColumn("user_id", lit(-1L))
-        .withColumn("ts", lit(maxTs + i * tenYearsNanos))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(scratch.resolve("out").toString)
-      val listing = Files.list(scratch.resolve("out"))
-      val part =
-        try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        finally listing.close()
+      // The file source lists PLAIN files in the stage dir (a Spark
+      // parquet "file" is a directory, which the source would skip) —
+      // hoist the part file up as z_sentinel_<i>.parquet, with
+      // strictly increasing mtimes so the source orders them last.
       val dest = stage.resolve(s"z_sentinel_$i.parquet")
       Files.copy(part, dest)
-      deleteRecursively(scratch)
-      // strictly increasing mtimes so the file source orders them last
       Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(baseTime + i * 60000L))
     }
+    deleteRecursively(scratch)
 
     val raw = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -128,13 +151,15 @@ object StreamQueries {
     val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = EventStream.sessionWindows(events, "30 minutes", "1 hour")
     val qName = "st_session_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = out.writeStream
-      .format("memory")
-      .queryName(qName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = out.writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     val result = drainMemorySink(spark, qName)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
