@@ -58,16 +58,16 @@ object Dedup {
     import spark.implicits._
 
     // The repartition is a deliberate materialization boundary: the
-    // shingle HOF expression would otherwise be inlined (and
-    // recomputed) into the window, the set-size agg, AND both sides
-    // of the self-join. It also pre-partitions by shingle, which the
+    // shingle expression would otherwise be inlined (and recomputed)
+    // into the window, the set-size agg, AND both sides of the
+    // self-join. It also pre-partitions by shingle, which the
     // doc-frequency window and the join key reuse. Shingles are
-    // carried as xxhash64 longs, not strings: same equality
-    // semantics (collision odds ~N²/2⁶⁵), a fraction of the shuffle
-    // bytes and comparison cost.
+    // carried as xxhash64 longs (native NgramXxHashes, one codegen'd
+    // loop), not strings: same equality semantics (collision odds
+    // ~N²/2⁶⁵), a fraction of the shuffle bytes and comparison cost.
     val exploded = docs
       .select(col(idCol).as("doc"),
-        explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
+        explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
       .repartition(col("sh"))
     val setSizes = exploded.groupBy($"doc").agg(count(lit(1)).as("set_size"))
     val index = exploded
@@ -310,5 +310,39 @@ object Dedup {
       .join(edges.groupBy($"v".as("node")).agg(min($"u").as("root")), Seq("node"), "left")
       .select($"node", coalesce($"root", $"node").as("component"))
     (labels, rounds)
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word n-gram with an evaluation set — the filter every serious
+    * pretraining pipeline runs so eval benchmarks don't leak into
+    * the training corpus. Returns (doc_id, n_shared) for
+    * contaminated docs only.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of
+    * docs, not billions) — its distinct shingle set is BROADCAST, so
+    * the 100 TB training scan is map-only; the lone shuffle
+    * aggregates the (contaminated-docs-only) hits by doc id.
+    */
+  def decontaminate(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int
+  ): DataFrame = {
+    // Native codegen'd shingle hashing (NgramXxHashes): hash
+    // equality == shingle-string equality at 2^-64 collision odds,
+    // 8-byte keys through the broadcast and the scan.
+    val evalShingles = evalDocs
+      .select(explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col("doc_id"))
+      // the hash set is already distinct per doc, so count(*) IS the
+      // number of distinct shared shingles — no countDistinct state.
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

@@ -118,6 +118,126 @@ object TextOps {
     regexp_replace(noEmail, "[0-9]+", "<NUM>")
   }
 
+  /** Gopher-style repetition metrics per document — the filters a
+    * training corpus applies to drop boilerplate/spam: fraction of
+    * tokens claimed by the single most frequent word, by the most
+    * frequent bigram, and the duplicate-trigram fraction
+    * (1 − distinct/total). Three explode→count branches joined on
+    * doc id; each shuffle is token-mass with map-side combine, the
+    * same shape as TF (no per-row O(n²) mode computation).
+    *
+    * `repetitive` flags docs past the thresholds (Gopher's published
+    * cutoffs are the same order: top-2gram > 0.18, dup-ngram > 0.30).
+    */
+  def repetitionMetrics(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      topWordMax: Double = 0.20,
+      topBigramMax: Double = 0.18,
+      dupTrigramMax: Double = 0.30
+  ): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+
+    val words = docs.select(id.as("doc_id"), explode(toks).as("w"))
+    val topWord = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_w"), sum(col("c")).as("n_tok"))
+
+    val bigrams = docs.select(id.as("doc_id"),
+      explode(graft.functions.WordBigrams(col(textCol))).as("b"))
+    val topBigram = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_bg"))
+
+    // trigram = tokens at (i, i+1, i+2), positions 1..n-2. Short docs
+    // must short-circuit to an empty array: step-less sequence(1, 0)
+    // counts DOWN ([1, 0]), it is not empty.
+    val triArr = when(size(toks) >= 3,
+      transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    ).otherwise(array())
+    val tri = docs.select(id.as("doc_id"), explode(triArr).as("t"))
+    val dupTri = tri.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), countDistinct(col("t")).as("d_tri"))
+
+    topWord
+      .join(topBigram, Seq("doc_id"), "left")
+      .join(dupTri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(col("top_w").cast("double") / col("n_tok"), 4).as("top_word_frac"),
+        round(coalesce(col("top_b").cast("double") / col("n_bg"), lit(0.0)), 4).as("top_bigram_frac"),
+        round(coalesce(lit(1.0) - col("d_tri").cast("double") / col("n_tri"), lit(0.0)), 4).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") > topWordMax ||
+          col("top_bigram_frac") > topBigramMax ||
+          col("dup_trigram_frac") > dupTrigramMax)
+  }
+
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window preparation step before tokenization/training.
+    * Chunk starts stride apart (stride = size − overlap); every doc
+    * emits at least one chunk; a final partial chunk is emitted iff
+    * it extends past the previous chunk's end. Map-only: the explode
+    * multiplies rows but nothing shuffles.
+    */
+  def chunk(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkSize: Int,
+      overlap: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunk: need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val stride = chunkSize - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = graft.operators.TextOps.tokenCount(col(textCol))
+    // number of chunk starts: ceil((n - overlap)/stride), clamped >= 1.
+    val nChunks = greatest(ceil((n - lit(overlap)).cast("double") / stride).cast("long"), lit(1L))
+    docs.select(
+      col(idCol).as("doc_id"), toks.as("_t"), n.as("_n"),
+      explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        slice(col("_t"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)).as("_c"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("_c")).cast("long").as("chunk_tokens"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
+
+  /** Corpus unigram language-model score per document: mean
+    * ln P(token) under the corpus unigram distribution — the cheap
+    * fluency/perplexity proxy used to rank documents before the
+    * expensive model-based filters. One token-count shuffle
+    * (vocabulary-sized output), then a broadcast join back onto the
+    * exploded tokens; the only N-proportional shuffle is the final
+    * per-doc mean.
+    */
+  def unigramLogprob(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(
+      col(idCol).as("doc_id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // Corpus size from the vocabulary-sized freq table — NOT a second
+    // corpus pass.
+    val total = freq.agg(sum(col("tf")).as("n_total"))
+    terms
+      .join(broadcast(freq), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("tf").cast("double") / col("n_total"))), 4).as("mean_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** TF-IDF top-k terms per document: tf = in-doc term count,
     * idf = ln(N/df). Shuffles on (doc, term) for tf and on term for
     * df; the df table is vocabulary-sized and broadcast back — at

@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, RangeJoin, Sampling, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 coverage: interval joins, range-frame windows, and the
+  * corpus-preparation operators a pretraining pipeline runs after
+  * cleaning — repetition filters, chunking, sequence packing,
+  * temperature rebalancing, unigram LM scoring. Every entry is a
+  * SURVEY §2 row with a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  /** D22: interval join on `lo <= l_quantity < hi` via unit-cell
+    * binning ([[RangeJoin.binned]]) — the equi-join scale path for
+    * range predicates; per-range aggregate keeps the output
+    * range-table-sized.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ranges = t.nation.select(
+      col("n_nationkey").cast("long").as("range_id"),
+      col("n_nationkey").cast("double").as("lo"),
+      (col("n_nationkey") + 1 + pmod(col("n_nationkey"), lit(9))).cast("double").as("hi"))
+    RangeJoin.binned(t.lineitem, col("l_quantity"), ranges, col("lo"), col("hi"))
+      .groupBy(col("range_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        // Exact decimal sum (prices are 2-dec values stored as
+        // double): a double sum's last 4-dp digit is summation-order
+        // dependent at 1e9 magnitudes — engine-divergent.
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("sum_price"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH ranges AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS range_id,
+      |         CAST(n_nationkey AS DOUBLE) AS lo,
+      |         CAST(n_nationkey + 1 + (n_nationkey % 9) AS DOUBLE) AS hi
+      |  FROM nation)
+      |SELECT range_id, count(*) AS n_lines,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) + 0 AS sum_price
+      |FROM lineitem JOIN ranges
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY range_id""".stripMargin
+
+  /** D23: event-time RANGE-frame window — per-user trailing 1-hour
+    * sum/count by event time (not row count). One shuffle on the
+    * partition key; the range frame slides in event-time units, the
+    * formulation rows-windows can't express when event spacing is
+    * irregular.
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    t.events.select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("trail_sum", round(sum(col("value")).over(w), 4))
+      .withColumn("trail_n", count(lit(1)).over(w))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+      |  round(sum(value) OVER w, 4) + 0 AS trail_sum,
+      |  count(*) OVER w AS trail_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** G9: Gopher-style repetition metrics + flag per document. */
+  def txRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionMetrics(Tables(spark, dir).documents, "text", "doc_id")
+      .withColumn("repetitive", col("repetitive").cast("int").cast("long"))
+
+  val txRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |wc AS (
+      |  SELECT doc_id, max(c) AS top_w, sum(c) AS n_tok FROM (
+      |    SELECT doc_id, w, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(t) AS w FROM toks) x GROUP BY 1, 2) y
+      |  GROUP BY 1),
+      |bc AS (
+      |  SELECT doc_id, max(c) AS top_b, sum(c) AS n_bg FROM (
+      |    SELECT doc_id, b, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      |        i -> concat_ws(' ', t[i], t[i+1]))) AS b
+      |      FROM toks) x GROUP BY 1, 2) y
+      |  GROUP BY 1),
+      |tc AS (
+      |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS d_tri FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      |    FROM toks) x
+      |  GROUP BY 1)
+      |SELECT doc_id,
+      |  round(top_w / n_tok, 4) + 0 AS top_word_frac,
+      |  round(coalesce(top_b / n_bg, 0), 4) + 0 AS top_bigram_frac,
+      |  round(coalesce(1.0 - d_tri / n_tri, 0), 4) + 0 AS dup_trigram_frac,
+      |  CAST(CASE WHEN round(top_w / n_tok, 4) > 0.20
+      |         OR round(coalesce(top_b / n_bg, 0), 4) > 0.18
+      |         OR round(coalesce(1.0 - d_tri / n_tri, 0), 4) > 0.30
+      |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+      |FROM wc LEFT JOIN bc USING (doc_id) LEFT JOIN tc USING (doc_id)""".stripMargin
+
+  /** G10: fixed-size token chunking with overlap (40-token chunks,
+    * 10-token overlap — context-window preparation).
+    */
+  def txChunk(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(Tables(spark, dir).documents, "text", "doc_id", 40, 10)
+
+  val txChunkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, n,
+      |    unnest(range(0, greatest(CAST(ceil((n - 10) / 30.0) AS BIGINT), 1))) AS chunk_idx
+      |  FROM toks)
+      |SELECT doc_id, chunk_idx,
+      |  len(list_slice(t, chunk_idx * 30 + 1, chunk_idx * 30 + 40)) AS chunk_tokens,
+      |  array_to_string(list_slice(t, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' ') AS chunk_text
+      |FROM idx""".stripMargin
+
+  /** N3: concat-and-chunk sequence packing into 256-token budgets per
+    * language shard; per-pack rollup keeps the output pack-sized.
+    */
+  def smPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(
+      col("lang"), col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    Sampling.packSequences(docs, "lang", "doc_id", "n_tokens", 256)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        sum(col("straddles").cast("long")).as("n_straddle"))
+  }
+
+  val smPackSequencesSql: String =
+    """WITH docs AS (
+      |  SELECT lang, doc_id,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM docs)
+      |SELECT lang, (cum - n_tokens) // 256 AS pack_id,
+      |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+      |  sum(CASE WHEN (cum - 1) // 256 > (cum - n_tokens) // 256
+      |      THEN 1 ELSE 0 END) AS n_straddle
+      |FROM packed GROUP BY 1, 2""".stripMargin
+
+  /** N4: temperature (α = 0.7) source rebalancing — keep rate per
+    * source ∝ token-mass^(α−1) (kept mass ∝ mass^α), id-bucket keep
+    * decisions. Output is the per-source kept/total census so the
+    * oracle checks every row's keep decision in aggregate.
+    */
+  def smTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(
+      col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    // Aggregate-sized (one row per source) — collected and folded
+    // into literal thresholds; the data pass stays map-only.
+    val masses = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keep = Sampling.temperatureKeep(col("doc_id"), col("source"), masses, 0.7)
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_total"),
+      sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  val smTemperatureSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |m AS (SELECT source, sum(n_tokens) AS mass FROM docs GROUP BY 1),
+      |r AS (SELECT source,
+      |        CAST(round(round(pow(mass, 0.7 - 1) / (SELECT max(pow(mass, 0.7 - 1)) FROM m), 4)
+      |          * 1000000, 0) AS BIGINT) AS thr
+      |      FROM m)
+      |SELECT source, count(*) AS n_total,
+      |  sum(CASE WHEN (((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007)
+      |        % 1000000 < thr THEN 1 ELSE 0 END) AS n_kept
+      |FROM docs JOIN r USING (source) GROUP BY 1""".stripMargin
+
+  /** G11: corpus unigram LM score per document (mean ln P(token)) —
+    * the cheap fluency proxy before model-based filtering.
+    */
+  def txUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogprob(Tables(spark, dir).documents, "text", "doc_id")
+
+  val txUnigramLogprobSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |freq AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+      |total AS (SELECT count(*) AS n_total FROM terms)
+      |SELECT doc_id,
+      |  round(avg(ln(tf / n_total)), 4) + 0 AS mean_logprob,
+      |  count(*) AS n_tokens
+      |FROM terms JOIN freq USING (term) CROSS JOIN total
+      |GROUP BY doc_id""".stripMargin
+
+  /** E9: benchmark decontamination — train docs (doc_id % 97 ≠ 0)
+    * sharing any 5-gram with the eval slice (doc_id % 97 = 0);
+    * broadcast eval shingle set, map-only train scan.
+    */
+  def ddDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "text", "doc_id", 5)
+  }
+
+  val ddDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS s
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM sh JOIN ev USING (s)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id""".stripMargin
+
+  /** N5: per-source document cap — top 50 docs per source by
+    * quality score (ties by doc_id), the per-domain cap of a
+    * pretraining mix.
+    */
+  def smCapPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(
+      col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    Sampling.capPerGroup(docs, "source", "quality", "doc_id", 50)
+  }
+
+  val smCapPerSourceSql: String =
+    s"""WITH q AS (${LlmQueries.txQualitySql})
+       |SELECT doc_id, source, quality,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY quality DESC, doc_id) AS BIGINT) AS rank_in_group
+       |FROM q JOIN documents USING (doc_id)
+       |QUALIFY rank_in_group <= 50""".stripMargin
+
+  /** C8: Z-order (Morton) spatial key per event point over the
+    * (0,0)-(500,100) frame — the clustering key that makes
+    * range-sorted parquet footers tight spatial tiles (file-level
+    * bbox pruning at 100 TB).
+    */
+  def geoZorder(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir).events.select(
+      col("event_id"),
+      col("value").as("x"),
+      get_json_object(col("props"), "$.k").cast("double").as("y"))
+    pts.select(
+      col("event_id"),
+      graft.operators.Geo.mortonKey(col("x"), col("y"), 0.0, 0.0, 500.0, 100.0).as("zkey"))
+      .withColumn("zbucket", shiftright(col("zkey"), 20))
+  }
+
+  val geoZorderSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, value AS x,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+      |  FROM events),
+      |q AS (
+      |  SELECT event_id,
+      |    least(greatest(CAST(floor((x - 0.0) / 500.0 * 65535) AS BIGINT), 0), 65535) AS qx,
+      |    least(greatest(CAST(floor((y - 0.0) / 100.0 * 65535) AS BIGINT), 0), 65535) AS qy
+      |  FROM pts),
+      |s1 AS (SELECT event_id, (qx | (qx << 8)) & 16711935 AS x1, (qy | (qy << 8)) & 16711935 AS y1 FROM q),
+      |s2 AS (SELECT event_id, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+      |s3 AS (SELECT event_id, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+      |s4 AS (SELECT event_id, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+      |SELECT event_id, x4 | (y4 << 1) AS zkey, (x4 | (y4 << 1)) >> 20 AS zbucket
+      |FROM s4""".stripMargin
+}

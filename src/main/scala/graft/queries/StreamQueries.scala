@@ -33,10 +33,19 @@ object StreamQueries {
     * volume (keys/partition), exactly as done here.
     */
   private def withStreamingShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    val keys = Map(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      // AvailableNow appends a trailing no-data micro-batch by
+      // default; in these queries it neither emits nor evicts (the
+      // sentinel batches below do the flushing), so it's a pure
+      // state-store/checkpoint round-trip — skip it.
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = keys.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Materialize the memory sink's rows and DROP its temp view —
@@ -97,36 +106,45 @@ object StreamQueries {
   /** I2 end-to-end: gap-based sessionization via `session_window`
     * through the file streaming source. Session windows only support
     * append/update output, and append only emits sessions the
-    * WATERMARK has passed — so the stage directory gets a second
-    * file holding one far-future sentinel event (user_id −1,
-    * excluded from the result): batch 1 processes the real data,
-    * batch 2 the sentinel (advancing max event time), and the final
-    * no-data micro-batch's watermark then flushes every real
-    * session. This is exactly how a production stream drains — event
-    * time, not wall clock, closes sessions.
+    * WATERMARK has passed — so the stage directory gets sentinel
+    * files holding one far-future event each (user_id −1, excluded
+    * from the result): batch 1 processes the real data plus sentinel
+    * 1 (advancing max event time to 2200), and batch 2 (sentinel 2)
+    * runs its eviction pass under that watermark, flushing every
+    * real session in exactly two stateful micro-batches. This is how
+    * a production stream drains — event time, not wall clock, closes
+    * sessions.
     */
   def stSessionAgg(spark: SparkSession, dir: String): DataFrame = {
     val stage = Files.createTempDirectory("graft_stream_sessions_")
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("a_events.parquet"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    // Two sentinel batches (user −1, far-future ts): the first
-    // advances max event time past all real data; the SECOND gives
-    // the engine a further batch whose eviction pass runs with that
-    // advanced watermark — flushing every real session. (The final
-    // no-data micro-batch alone does not evict here.)
-    val tenYearsNanos = 10L * 365 * 24 * 3600 * 1000L * 1000 * 1000
-    val maxTs = batch.agg(max(col("ts"))).head().getLong(0)
+    // Footer-only read: the schema, not the data.
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val baseTime = Files.getLastModifiedTime(stage.resolve("a_events.parquet")).toMillis
-    // ONE sentinel write job; its part file is staged twice. Batch 2
-    // (sentinel copy 1) advances max event time 10 years past the
-    // real data; batch 3 (copy 2 — identical bytes, later mtime) then
-    // runs its eviction pass under that advanced watermark, flushing
-    // every real session. The sentinel's own session stays in state
-    // (never emitted) — it is filtered out below anyway.
+    // Two sentinel files (user −1, fixed far-future ts — 2200-01-01,
+    // beyond any event the generator emits, so no data scan needed to
+    // place it). Micro-batch 1 (events + sentinel 1, via
+    // maxFilesPerTrigger=2) advances max event time to 2200; batch 2
+    // (sentinel 2 — identical bytes, later mtime) then runs its
+    // eviction pass under that advanced watermark, flushing every
+    // real session. The sentinels' own session stays in state (never
+    // emitted) — it is filtered out below anyway. ONE driver-built
+    // single-row write job; its part file is staged twice.
+    val farFutureNanos = 7258118400000000000L // 2200-01-01T00:00Z, epoch nanos
+    val sentinelRow = org.apache.spark.sql.Row(schema.fields.map { f =>
+      f.name match {
+        case "ts"      => farFutureNanos
+        case "user_id" => -1L
+        case _ => f.dataType match {
+          case org.apache.spark.sql.types.LongType    => -1L
+          case org.apache.spark.sql.types.DoubleType  => 0.0
+          case org.apache.spark.sql.types.IntegerType => -1
+          case _                                      => "sentinel"
+        }
+      }
+    }.toIndexedSeq: _*)
     val scratch = Files.createTempDirectory("graft_sentinel_")
-    batch.limit(1)
-      .withColumn("user_id", lit(-1L))
-      .withColumn("ts", lit(maxTs + tenYearsNanos))
+    spark.createDataFrame(java.util.Collections.singletonList(sentinelRow), schema)
       .coalesce(1)
       .write.mode("overwrite").parquet(scratch.resolve("out").toString)
     val listing = Files.list(scratch.resolve("out"))
@@ -145,8 +163,8 @@ object StreamQueries {
     }
     deleteRecursively(scratch)
 
-    val raw = spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", "1")
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
       .parquet(stage.toString)
     val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = EventStream.sessionWindows(events, "30 minutes", "1 hour")
@@ -169,6 +187,57 @@ object StreamQueries {
     deleteRecursively(stage)
     result
   }
+
+  /** I4 end-to-end: streaming EXACT dedup via
+    * `dropDuplicatesWithinWatermark` — exactly-once ingestion
+    * semantics when the transport redelivers (the streaming twin of
+    * E1). The stage directory holds the events file TWICE, so every
+    * row is delivered twice; the stream keeps one copy per event_id.
+    * Emission is immediate (append, not watermark-gated), so no
+    * sentinel machinery is needed; the watermark bounds how long a
+    * key's fingerprint stays in state — the knob that makes dedup
+    * state finite on an unbounded stream. The per-user census is
+    * aggregated on the sink table BEFORE collecting, and equals the
+    * batch aggregate over the single-copy table iff dedup worked.
+    */
+  def stDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_dedup_")
+    Seq("a", "b").foreach { p =>
+      Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve(s"${p}_events.parquet"))
+    }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val qName = "st_dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamingShufflePartitions(spark, 4) {
+      val query = deduped.writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    val agg = spark.table(qName)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+    val rows = java.util.Arrays.asList(agg.collect(): _*)
+    val out = spark.createDataFrame(rows, agg.schema)
+    spark.catalog.dropTempView(qName)
+    deleteRecursively(stage)
+    out
+  }
+
+  /** The deduplicated stream collapses to the plain batch aggregate
+    * over the single-copy events table.
+    */
+  val stDedupStreamSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(sum(value), 4) + 0 AS total_value
+      |FROM events GROUP BY user_id""".stripMargin
 
   /** Lag-based gap islands in integer microseconds — strictly
     * `> gap` starts a new session: `session_window` still merges an

@@ -67,6 +67,23 @@ class DedupSpec extends SparkSpec {
     assert(hof == native)
   }
 
+  test("native NgramXxHashes matches the HOF transform∘shingles∘xxhash64 formulation") {
+    val mixed = corpus.union(Seq(
+      (10L, ""), (11L, "one two"), (12L, "  Tabs\tand\nNEWLINES  mixed \t spacing today "),
+      (13L, "répétition unicode çà et là répétition unicode çà et là encore"),
+      (14L, "a b a b a b a b") // heavy in-doc duplication
+    ).toDF("doc_id", "text"))
+    for (n <- Seq(3, 5)) {
+      val hof = mixed.select($"doc_id",
+        transform(Dedup.shingles(col("text"), n), s => xxhash64(s)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = mixed.select($"doc_id",
+        graft.functions.NgramXxHashes(col("text"), n).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(hof == native, s"n=$n")
+    }
+  }
+
   test("simhash: identical texts same bits, near-dups close, unrelated far") {
     val fp = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

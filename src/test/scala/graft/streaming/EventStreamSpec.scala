@@ -90,4 +90,15 @@ class EventStreamSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/layer=stream").count() == 4)
     } finally q.stop()
   }
+
+  test("st_dedup_stream collapses double delivery to the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.StreamQueries.stDedupStream(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = tables.events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+  }
 }
