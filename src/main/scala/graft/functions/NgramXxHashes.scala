@@ -39,6 +39,16 @@ case class NgramXxHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object NgramXxHashes {
 
+  /** Tokenization shared with [[WordBigrams]] — identical to the SQL
+    * formulation `split(lower(trim(s)), "\s+")`. Pre-compiled
+    * pattern: `String.split("\\s+", -1)` recompiles the regex per
+    * call, a per-ROW compile in an expression hot path.
+    */
+  private[functions] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  private[functions] def wsTokens(text: UTF8String): Array[String] =
+    Whitespace.split(text.trim().toLowerCase.toString, -1)
+
   /** Same byte hashing `xxhash64(string)` performs (seed 42). */
   private def xxh64(s: String): Long = {
     val u = UTF8String.fromString(s)
@@ -46,8 +56,7 @@ object NgramXxHashes {
   }
 
   def compute(text: UTF8String, n: Int): ArrayData = {
-    // Identical tokenization to Dedup.shingles: split(lower(trim(s)), "\s+").
-    val toks = text.trim().toLowerCase.toString.split("\\s+", -1)
+    val toks = wsTokens(text)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.HashSet[String]()

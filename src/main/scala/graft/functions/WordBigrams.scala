@@ -32,7 +32,7 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
 object WordBigrams {
 
   def compute(text: UTF8String): ArrayData = {
-    val toks = text.trim().toLowerCase.toString.split("\\s+", -1)
+    val toks = NgramXxHashes.wsTokens(text)
     if (toks.length < 2) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](toks.length - 1)

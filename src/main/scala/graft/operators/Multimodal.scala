@@ -119,4 +119,34 @@ object Multimodal {
     features.select(
       col("media_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Media near-dup pairs by decoded-feature blocking — the
+    * perceptual-hash pipeline shape (block on coarse features, verify
+    * candidates exactly) over the stubbed decoder's features: block
+    * key = (width, height, n_frames), verify = mean-intensity delta
+    * ≤ `meanEps` on 4-dp-rounded means (rounded BEFORE comparing so
+    * the boundary is engine-deterministic). A real build swaps the
+    * block key for pHash bands; the join shape is identical.
+    *
+    * `features` is materialized once (localCheckpoint) before the
+    * self-join — decode is the expensive stage and must not run
+    * twice for the two join sides.
+    */
+  def featureNearDup(features: DataFrame, meanEps: Double): DataFrame = {
+    val f = features
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        round(col("mean_intensity"), 4).as("mi"))
+      .localCheckpoint(true)
+    f.as("a")
+      .join(f.as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.n_frames") === col("b.n_frames") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(abs(col("a.mi") - col("b.mi")) <= meanEps)
+      .select(
+        col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        round(abs(col("a.mi") - col("b.mi")), 4).as("intensity_delta"))
+  }
 }

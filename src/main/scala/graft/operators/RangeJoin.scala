@@ -36,6 +36,7 @@ object RangeJoin {
       hi: Column,
       binWidth: Double = 1.0
   ): DataFrame = {
+    require(binWidth > 0, s"RangeJoin.binned: binWidth must be > 0, got $binWidth")
     val cellOfValue = floor(value / binWidth).cast("long")
     // sequence() is inclusive on both ends; hi exactly on a cell
     // boundary still needs that cell (values just below hi live there).

@@ -83,6 +83,10 @@ object Sampling {
       masses: Map[String, Long],
       alpha: Double
   ): Column = {
+    require(masses.nonEmpty, "temperatureKeep: masses must be non-empty")
+    require(masses.values.forall(_ > 0),
+      s"temperatureKeep: every source mass must be > 0 (zero mass makes pow(m, alpha-1) " +
+        s"degenerate): ${masses.filter(_._2 <= 0).keys.mkString(", ")}")
     val maxW = masses.values.map(m => math.pow(m.toDouble, alpha - 1)).max
     // Integer thresholds out of the 4-dp rates (0.8187 → 818700):
     // double·1e6 is not exact, so the comparison is long vs long.

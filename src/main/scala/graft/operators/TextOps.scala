@@ -199,7 +199,7 @@ object TextOps {
     // number of chunk starts: ceil((n - overlap)/stride), clamped >= 1.
     val nChunks = greatest(ceil((n - lit(overlap)).cast("double") / stride).cast("long"), lit(1L))
     docs.select(
-      col(idCol).as("doc_id"), toks.as("_t"), n.as("_n"),
+      col(idCol).as("doc_id"), toks.as("_t"),
       explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
       .select(
         col("doc_id"), col("chunk_idx"),

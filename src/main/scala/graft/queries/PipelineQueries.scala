@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, RangeJoin, Sampling, TextOps}
+import graft.operators.{Dedup, RangeJoin, Sampling, SnapshotDiff, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -275,6 +275,86 @@ object PipelineQueries {
       graft.operators.Geo.mortonKey(col("x"), col("y"), 0.0, 0.0, 500.0, 100.0).as("zkey"))
       .withColumn("zbucket", shiftright(col("zkey"), 20))
   }
+
+  /** D24: non-hierarchical GROUPING SETS — per-returnflag, per-
+    * linestatus, and grand-total aggregates in ONE pass (rollup/cube
+    * can't express this set list). Exact decimal sum as in D22.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 4).as("sum_qty"))
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) + 0 AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** D25: CDC snapshot diff — previous snapshot simulated as the
+    * docs with doc_id % 7 ≠ 0 (docs % 5 = 0 carrying edited text),
+    * current as docs with doc_id % 11 ≠ 0; classify added / removed
+    * / changed from (key, content-hash) pairs only.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val cur = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+    SnapshotDiff.diff(prev, cur, "doc_id", Seq("text"))
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH prev AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+      |j AS (
+      |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+      |    CASE WHEN p.doc_id IS NULL THEN 'added'
+      |         WHEN c.doc_id IS NULL THEN 'removed'
+      |         WHEN md5(p.text) <> md5(c.text) THEN 'changed' END AS change
+      |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+      |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin
+
+  /** K5: media near-dup via decoded-feature blocking (the pHash
+    * pipeline shape): block on (width, height, n_frames), verify
+    * mean-intensity delta ≤ 0.5 on 4-dp means.
+    */
+  def mmFeatureNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val feats = graft.operators.Multimodal.decodeFeatures(
+      t.documents.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+    graft.operators.Multimodal.featureNearDup(feats, 0.5)
+  }
+
+  val mmFeatureNeardupSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    16 + (n % 64) AS width, 16 + ((n // 64) % 64) AS height,
+      |    1 + (n % 4) AS n_frames,
+      |    round(list_sum(list_transform(regexp_split_to_array(text, ''),
+      |      c -> CAST(unicode(c) AS DOUBLE))) / n, 4) + 0 AS mi
+      |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents) x)
+      |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+      |  round(abs(a.mi - b.mi), 4) + 0 AS intensity_delta
+      |FROM f a JOIN f b
+      |  ON a.width = b.width AND a.height = b.height
+      | AND a.n_frames = b.n_frames AND a.doc_id < b.doc_id
+      |WHERE abs(a.mi - b.mi) <= 0.5""".stripMargin
 
   val geoZorderSql: String =
     """WITH pts AS (

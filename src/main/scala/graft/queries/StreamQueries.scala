@@ -131,6 +131,15 @@ object StreamQueries {
     // emitted) — it is filtered out below anyway. ONE driver-built
     // single-row write job; its part file is staged twice.
     val farFutureNanos = 7258118400000000000L // 2200-01-01T00:00Z, epoch nanos
+    // Guard the constant: the sentinel only flushes sessions if it is
+    // BEYOND every real event. One column-pruned scan of the ts
+    // column — cheap, and it fails FAST instead of silently
+    // withholding sessions if the data ever reaches the sentinel era.
+    val maxTs =
+      spark.read.parquet(s"$dir/events.parquet").agg(max(col("ts"))).head().getLong(0)
+    require(maxTs < farFutureNanos - 2L * 3600 * 1000 * 1000 * 1000,
+      s"stSessionAgg sentinel (2200-01-01) is not beyond the data (max ts $maxTs); " +
+        "sessions would be silently withheld")
     val sentinelRow = org.apache.spark.sql.Row(schema.fields.map { f =>
       f.name match {
         case "ts"      => farFutureNanos
@@ -139,7 +148,9 @@ object StreamQueries {
           case org.apache.spark.sql.types.LongType    => -1L
           case org.apache.spark.sql.types.DoubleType  => 0.0
           case org.apache.spark.sql.types.IntegerType => -1
-          case _                                      => "sentinel"
+          case org.apache.spark.sql.types.StringType  => "sentinel"
+          case other => throw new IllegalArgumentException(
+            s"stSessionAgg sentinel: unsupported events field ${f.name}: $other")
         }
       }
     }.toIndexedSeq: _*)

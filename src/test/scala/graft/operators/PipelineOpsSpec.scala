@@ -202,6 +202,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"train join must be broadcast, not SMJ:\n$plan")
   }
 
+  // --- SnapshotDiff ---
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
+    val cur = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "text")
+    val got = SnapshotDiff.diff(prev, cur, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff multi-column hash does not alias across column boundaries") {
+    // ("ab", "c") vs ("a", "bc") concatenate identically without a
+    // separator — must be reported as changed.
+    val prev = Seq((1L, "ab", "c")).toDF("id", "t1", "t2")
+    val cur = Seq((1L, "a", "bc")).toDF("id", "t1", "t2")
+    val got = SnapshotDiff.diff(prev, cur, "id", Seq("t1", "t2")).collect()
+    assert(got.length == 1 && got.head.getString(1) == "changed")
+  }
+
+  // --- Multimodal.featureNearDup ---
+
+  test("featureNearDup pairs same-block media within the intensity epsilon") {
+    // Same byte length -> same (width,height,n_frames) block under the
+    // stub decoder; intensity = mean byte value.
+    val media = Seq(
+      (1L, "aaaa".getBytes), // mean 97
+      (2L, "aaab".getBytes), // mean 97.25 -> pairs with 1
+      (3L, "zzzz".getBytes), // mean 122 -> same block, outside eps
+      (4L, "aa".getBytes)    // different length -> different block
+    ).toDF("media_id", "payload")
+    val feats = Multimodal.decodeFeatures(media, "media_id", "payload")
+    val pairs = Multimodal.featureNearDup(feats, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("temperatureKeep decisions are stable under repartitioning") {
     val masses = Map("a" -> 500L, "b" -> 50L)
     val df = (1L to 500L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "source")
