@@ -238,6 +238,38 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Corpus bigram language-model score per document: mean
+    * ln P(w₂ | w₁) under corpus MLE bigram statistics — one step up
+    * from [[unigramLogprob]]'s fluency proxy (word-order-aware, so
+    * shuffled text scores low even with common words). Conditional
+    * probabilities are derived entirely from the bigram frequency
+    * table: c(w₁ ·) = Σ over bigrams starting with w₁ — a
+    * vocabulary-sized rollup, NOT a second corpus pass. The bigram
+    * table broadcasts back onto the exploded bigrams; the only
+    * N-proportional shuffle is the per-doc mean. Docs with fewer
+    * than two tokens have no bigrams and drop out (same on the SQL
+    * side).
+    */
+  def bigramLogprob(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val bg = docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.WordBigrams(col(textCol))).as("b"))
+    val freq = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val firstFreq = freq.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val probs = freq.join(firstFreq, "w1")
+      .select(col("b"), (col("cb").cast("double") / col("cw")).as("p"))
+    bg.join(broadcast(probs), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(log(col("p"))), 4).as("mean_bigram_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** TF-IDF top-k terms per document: tf = in-doc term count,
     * idf = ln(N/df). Shuffles on (doc, term) for tf and on term for
     * df; the df table is vocabulary-sized and broadcast back — at

@@ -199,6 +199,42 @@ object StreamQueries {
     result
   }
 
+  /** I7 end-to-end: stream-static broadcast enrichment — the most
+    * common production streaming shape: an unbounded fact stream
+    * joined to a bounded dimension table (customer) that is loaded
+    * as a plain batch frame and BROADCAST into every micro-batch,
+    * then aggregated per segment in complete mode. No watermark: the
+    * join is stateless (dimension side is static), so state is only
+    * the segment aggregate. Oracle = the batch twin D12 SQL.
+    */
+  def stEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_enrich_")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val out = raw
+      .join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+    val qName = "st_enrich_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamingShufflePartitions(spark, 4) {
+      val query = out.writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    val result = drainMemorySink(spark, qName)
+    deleteRecursively(stage)
+    result
+  }
+
+  /** Oracle: identical to the batch twin D12 (q_enrich_join). */
+  val stEnrichJoinSql: String = Analytic2.qEnrichJoinSql
+
   /** I4 end-to-end: streaming EXACT dedup via
     * `dropDuplicatesWithinWatermark` — exactly-once ingestion
     * semantics when the transport redelivers (the streaming twin of

@@ -90,6 +90,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(m(2L) - exp2) < 1e-3)
   }
 
+  test("bigramLogprob is the mean corpus-bigram conditional ln-probability") {
+    // corpus bigrams: "a b" x2, "b a" x1, "b c" x1.
+    // c(a ·)=2, c(b ·)=2 → P(b|a)=1, P(a|b)=1/2, P(c|b)=1/2.
+    val docs = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextOps.bigramLogprob(docs, "text", "doc_id").collect()
+    assert(rows.length == 1) // single-token doc has no bigrams
+    val r = rows.head
+    val exp = (math.log(1.0) + math.log(0.5) + math.log(1.0) + math.log(0.5)) / 4
+    assert(r.getLong(0) == 1L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(1) - exp) < 1e-3)
+  }
+
   // --- Sampling.packSequences ---
 
   test("packSequences assigns packs by running token sum and flags straddlers") {
