@@ -235,6 +235,70 @@ object StreamQueries {
   /** Oracle: identical to the batch twin D12 (q_enrich_join). */
   val stEnrichJoinSql: String = Analytic2.qEnrichJoinSql
 
+  /** I8 end-to-end: watermarked STREAM-STREAM inner join — the
+    * funnel/attribution shape (click followed by an error within an
+    * hour, same user). Both sides are unbounded streams, so each must
+    * buffer rows in the state store until the other side can no
+    * longer produce a match; the two watermarks PLUS the event-time
+    * range condition are what let Spark compute that horizon and
+    * evict — without them, join state grows without bound. Inner
+    * join emits in append mode as soon as a match lands. The raw
+    * pair stream is aggregated per user on the (bounded) sink table;
+    * oracle = the same self-join in batch SQL.
+    */
+  def stStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_ss_join_")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // Two independent file-source streams over the same backlog —
+    // the production analogue is two topics (clicks, errors).
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+        .select(
+          col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val clicks = side("click", "c")
+    val errors = side("error", "e")
+    val pairs = clicks.join(
+      errors,
+      expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 1 hour"))
+    val qName = "st_ss_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamingShufflePartitions(spark, 4) {
+      val query = pairs.writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    val agg = spark.table(qName)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("e_value")), 4).as("err_value"))
+    val rows = java.util.Arrays.asList(agg.collect(): _*)
+    val out = spark.createDataFrame(rows, agg.schema)
+    spark.catalog.dropTempView(qName)
+    deleteRecursively(stage)
+    out
+  }
+
+  /** Batch self-join twin of the streaming click→error funnel. */
+  val stStreamStreamJoinSql: String =
+    """SELECT c.user_id,
+      |  count(*) AS n_pairs,
+      |  round(sum(e.value), 4) + 0 AS err_value
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      | AND c.event_type = 'click' AND e.event_type = 'error'
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      |GROUP BY c.user_id""".stripMargin
+
   /** I4 end-to-end: streaming EXACT dedup via
     * `dropDuplicatesWithinWatermark` — exactly-once ingestion
     * semantics when the transport redelivers (the streaming twin of

@@ -110,6 +110,22 @@ object OvertureReader {
     df.withColumn("geometry_family", fam)
   }
 
+  /** Hive-partitioned dataset read — the reference's lake layout is
+    * exactly this (`theme=…/type=…` directory keys under a release
+    * prefix, source.py:418-507 builds reads against it). Partition
+    * columns come from directory names, so a filter on them prunes
+    * whole directories at PLANNING time (`PartitionFilters` in the
+    * scan, zero data-file IO for pruned values) — at 100 TB the
+    * difference between scanning one theme and scanning the lake.
+    */
+  def readHivePartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      filter: Option[String] = None): DataFrame = {
+    val base = spark.read.parquet(root)
+    filter.map(FilterDsl(base, _)).getOrElse(base)
+  }
+
   /** Divisions-clip analogue: keep only rows whose key falls inside
     * a named region, resolved through the dims (reference:
     * source.py:464-494 clips features by the country polygon from
