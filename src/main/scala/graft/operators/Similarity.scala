@@ -198,6 +198,62 @@ object Similarity {
       .select(col("query_id"), col("base_id"), col("score"), col("rank"))
   }
 
+  /** Lloyd's k-means over the embedding column — the semantic-
+    * clustering primitive (cluster-then-curate / SemDeDup-style
+    * dedup buckets, IVF coarse-quantizer training). Deterministic
+    * end-to-end: init centroids are the `k` lowest-id vectors,
+    * assignment is argmax cosine with 4-dp rounding and first-index
+    * tie-break, recomputed centroids round to 4 dp — so the whole
+    * trajectory is engine-reproducible and fully SQL-oracled.
+    *
+    * Scale shape (the same one MLlib KMeans uses): per iteration,
+    * ONE map-only assignment pass with the k·dim centroid matrix as
+    * a broadcast literal (no join, no shuffle of the base table)
+    * plus ONE aggregation whose shuffle width is k·dim partial
+    * sums — independent of N. Centroids ride through the driver
+    * between iterations (k·dim doubles, bytes).
+    *
+    * Returns (id, cluster ∈ 1..k, score) for the final assignment.
+    */
+  def kmeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // Deterministic seeding: the k lowest-id vectors (k rows to the
+    // driver — the k-means++ analogue a reproducible pipeline wants).
+    var centroids: Seq[Seq[Double]] = base.orderBy(col("id")).limit(k)
+      .select(transform(col("vec"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def assigned = {
+      val mat = typedlit(centroids)
+      val scores = transform(mat, c => round(cosine(col("vec"), c), 4))
+      base.select(col("id"), col("vec"), scores.as("scores"))
+        .withColumn("cluster", array_position(col("scores"), array_max(col("scores"))))
+        .withColumn("score", array_max(col("scores")))
+    }
+    for (_ <- 1 until iters) {
+      // Recompute: (cluster, d) partial means — k·dim shuffle rows.
+      val cents = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("d", "v")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(round(avg(col("v").cast("double")), 4).as("c"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+        .select(col("cluster"), transform(col("dc"), s => s.getField("c")).as("cvec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      require(cents.size == k,
+        s"kmeans: iteration left ${k - cents.size} cluster(s) empty; " +
+          "seed vectors do not spread over this data")
+      centroids = (1 to k).map(i => cents(i.toLong))
+    }
+    assigned.select(col("id"), col("cluster"), col("score"))
+  }
+
   /** Per-label centroids (the coarse-quantizer build step of an IVF
     * index): posexplode to (label, dim) partial sums — shuffle width
     * is |labels|·dim, independent of N.

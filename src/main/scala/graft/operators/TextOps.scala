@@ -109,6 +109,29 @@ object TextOps {
   private def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** Character-level Shannon entropy (nats) — the gibberish/
+    * boilerplate signal quality filters threshold on (low entropy =
+    * repeated filler, high = random noise). Pure column HOFs over
+    * the char array: counts come from `filter` per distinct char
+    * (O(len·alphabet) compute, zero shuffle) so the whole metric is
+    * a map-only scan — at 100 TB this rides the same pass as every
+    * other per-doc quality column instead of exploding len× rows
+    * into a shuffle.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    val n = size(chars).cast("double")
+    val terms = transform(array_distinct(chars), u => {
+      val p = size(filter(chars, c => c === u)).cast("double") / n
+      p * log(p)
+    })
+    lit(0.0) - aggregate(terms, lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Distinct-character count — charEntropy's support size. */
+  def charAlphabet(text: Column): Column =
+    size(array_distinct(filter(split(text, ""), c => length(c) > 0))).cast("long")
+
   /** PII-style pattern redaction (emails, phone-like digit runs) —
     * the scrubbing pass every training corpus gets before release.
     * Pure regexp_replace: map-only at scan speed.

@@ -323,6 +323,48 @@ object LlmQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** F5: Lloyd k-means (k=4, 2 assignment passes) — semantic
+    * clustering over the embedding column; deterministic seeding and
+    * rounding make the whole trajectory SQL-oracled (the oracle
+    * unrolls both iterations as CTEs).
+    */
+  def simKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      k = 4, iters = 2)
+
+  val simKmeansSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_sum(list_transform(list_zip($a, $b),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    s"""WITH init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |a1 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, i.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "i.cvec")}, 4) DESC, i.cluster) AS rk
+       |    FROM embeddings e, init i) x
+       |  WHERE rk = 1),
+       |cent1 AS (
+       |  SELECT cluster, d, round(avg(CAST(e.embedding[d] AS DOUBLE)), 4) AS c
+       |  FROM a1 JOIN embeddings e USING (vec_id),
+       |    (SELECT unnest(range(1, 65)) AS d)
+       |  GROUP BY cluster, d),
+       |cvec1 AS (SELECT cluster, list(c ORDER BY d) AS cvec FROM cent1 GROUP BY cluster),
+       |a2 AS (
+       |  SELECT vec_id, cluster, score,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rk
+       |  FROM (
+       |    SELECT e.vec_id, c.cluster,
+       |      round(${cosSql("e.embedding", "c.cvec")}, 4) AS score
+       |    FROM embeddings e, cvec1 c) x)
+       |SELECT vec_id AS id, cluster, score + 0 AS score FROM a2 WHERE rk = 1""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // G. Text analysis
   // ----------------------------------------------------------------
@@ -339,6 +381,30 @@ object LlmQueries {
       |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
       |  length(text) AS n_chars_actual
       |FROM documents""".stripMargin
+
+  /** G13: character-level Shannon entropy + alphabet size per doc —
+    * the gibberish/boilerplate quality signal. Map-only HOFs on the
+    * Spark side (no explode, no shuffle); the oracle reproduces the
+    * same counts via unnest+group.
+    */
+  def txEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      round(TextOps.charEntropy(col("text")), 4).as("char_entropy"),
+      TextOps.charAlphabet(col("text")).as("n_chars_distinct"))
+
+  val txEntropySql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, ch, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+      |        FROM documents) x
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS alphabet FROM cnt GROUP BY 1)
+      |SELECT c.doc_id,
+      |  round(-sum((c.c / t.n) * ln(c.c / t.n)), 4) + 0 AS char_entropy,
+      |  t.alphabet AS n_chars_distinct
+      |FROM cnt c JOIN tot t USING (doc_id)
+      |GROUP BY c.doc_id, t.alphabet""".stripMargin
 
   /** G1b: BPE-style pre-token count beside the whitespace count —
     * the ratio is the "tokens per word" fertility signal a training

@@ -72,6 +72,48 @@ object PipelineQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** D26: time-series densification + gap fill — per-user hourly
+    * grid between that user's first and last hour, missing hours
+    * carry the last observed hourly sum forward (LOCF). The grid is
+    * generated per group (`sequence` explode bounded by the user's
+    * own span — no global calendar cross join), re-joined on the
+    * (user, hour) key the hourly rollup already shuffled on, and
+    * filled with one running `last(ignoreNulls)` window — the
+    * resample+ffill shape feature pipelines run before windowed
+    * training joins.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hourly = t.events
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("hr_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("hr_value"), ignoreNulls = true).over(w), 4).as("carried_value"))
+  }
+
+  val qGapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+      |    count(*) AS n, sum(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM spans)
+      |SELECT g.user_id, g.hr, coalesce(h.n, 0) AS n_events,
+      |  round(last_value(h.v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0 AS carried_value
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr""".stripMargin
+
   /** G9: Gopher-style repetition metrics + flag per document. */
   def txRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionMetrics(Tables(spark, dir).documents, "text", "doc_id")

@@ -235,6 +235,37 @@ object SourceQueries {
     """SELECT event_id, user_id, value, event_type
       |FROM events WHERE event_type IN ('click', 'error')""".stripMargin
 
+  private val evoStage = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A14: schema-evolution read — two release generations of the
+    * events table, the older one written BEFORE `event_type` existed
+    * (even event_ids), the newer one with it (odd event_ids), read
+    * back as one dataset via merge-by-name. Old-generation rows
+    * surface `event_type` as null; the merge is footer-only work at
+    * planning time.
+    */
+  def srcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = evoStage.computeIfAbsent(dir, d => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_evo_events_")
+      val events = Tables(spark, d).events
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      events.filter(col("event_id") % 2 === 0)
+        .drop("event_type")
+        .write.mode("overwrite").parquet(s"$stage/release_a")
+      events.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$stage/release_b")
+      stage.toString
+    })
+    OvertureReader
+      .readMergedSchema(spark, Seq(s"$root/release_a", s"$root/release_b"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+  }
+
+  val srcSchemaEvolutionSql: String =
+    """SELECT event_id, user_id, value,
+      |  CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+      |FROM events""".stripMargin
+
   // ----------------------------------------------------------------
   // A10: TRUE polygon clip — ray-casting containment, not a bbox or
   // keyed analogue (source.py:464-494 clips by actual country

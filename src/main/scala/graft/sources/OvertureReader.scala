@@ -126,6 +126,19 @@ object OvertureReader {
     filter.map(FilterDsl(base, _)).getOrElse(base)
   }
 
+  /** Schema-evolution read: union-by-name over parquet files whose
+    * schemas drifted across releases (columns added over time — the
+    * reference's monthly release layout guarantees this; source.py
+    * reads across releases). `mergeSchema` unions footer schemas at
+    * PLANNING time; rows from files lacking a column read as null.
+    * At scale the cost is one footer read per file (no data pass) —
+    * set once here rather than relying on the session default.
+    */
+  def readMergedSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Divisions-clip analogue: keep only rows whose key falls inside
     * a named region, resolved through the dims (reference:
     * source.py:464-494 clips features by the country polygon from

@@ -48,6 +48,32 @@ class SimilaritySpec extends SparkSpec {
     assert(multiRecall > recall, s"expected strict improvement, multi=$multiRecall single=$recall")
   }
 
+  test("kmeans separates two obvious clusters and assigns every vector") {
+    // Two tight groups on opposite axes; seeds (ids 0,1) land one in
+    // each group, so one Lloyd round must separate them perfectly.
+    val rows = (0 until 10).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.05f * i) else Array(0.05f * i, 1.0f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.kmeans(df, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10)
+    val evens = (0 until 10 by 2).map(i => out(i.toLong)).toSet
+    val odds = (1 until 10 by 2).map(i => out(i.toLong)).toSet
+    assert(evens.size == 1 && odds.size == 1 && evens != odds)
+  }
+
+  test("kmeans is deterministic across repartitioning") {
+    val base = tables.embeddings
+    val a = Similarity.kmeans(base, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = Similarity.kmeans(base.repartition(7), "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.map(_._2).distinct.length == 4) // all clusters populated
+  }
+
   test("centroids: one row per label, dim = vector width") {
     val out = Similarity.centroids(tables.embeddings, "label", "embedding").collect()
     assert(out.length == 10)

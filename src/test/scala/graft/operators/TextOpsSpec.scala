@@ -39,6 +39,15 @@ class TextOpsSpec extends SparkSpec {
     assert(out == "contact <EMAIL> or call <NUM> <NUM> ext <NUM>")
   }
 
+  test("charEntropy: uniform alphabet gives ln(k), single char gives 0") {
+    val df = Seq("abcd", "aaaa", "aabb").toDF("t")
+    val out = df.select(TextOps.charEntropy(col("t")), TextOps.charAlphabet(col("t")))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(math.abs(out(0)._1 - math.log(4)) < 1e-12 && out(0)._2 == 4L)
+    assert(out(1)._1 == 0.0 && out(1)._2 == 1L)
+    assert(math.abs(out(2)._1 - math.log(2)) < 1e-12 && out(2)._2 == 2L)
+  }
+
   test("fingerprint is deterministic and whitespace-normalized") {
     val df = Seq(("a", "Hello  World"), ("b", "hello world"), ("c", "different")).toDF("id", "t")
     val fp = df.select(col("id"), TextOps.fingerprint(col("t")).as("f"))
