@@ -651,6 +651,52 @@ object LlmQueries {
        |SELECT k.doc_id, k.lang_pred, k.quality
        |FROM kept k JOIN surv USING (doc_id)""".stripMargin
 
+  /** M6: canonicalization — the "keep the best copy" stage after
+    * near-dup detection: connected components over the n-gram
+    * near-dup pairs label each doc with its duplicate group
+    * (singletons label themselves), then ONE window pass per group
+    * picks the survivor by quality (tie → lowest doc_id) and counts
+    * members. Downstream of the CC labels this is a single shuffle
+    * on the component key; the expensive stages (pairs, CC) are the
+    * already-shared candidates subtree.
+    */
+  def pipeCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cc = Dedup.connectedComponents(ngramPairs(spark, dir), "doc_a", "doc_b")
+    val scored = t.documents.select(
+      col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    val labeled = scored.join(cc, scored("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"), col("quality"))
+    val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val ranked = byComp.orderBy(col("quality").desc, col("doc_id"))
+    labeled
+      .withColumn("rk", row_number().over(ranked))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("survivor_doc"),
+        col("quality"), col("n_members"))
+  }
+
+  val pipeCanonicalizeSql: String =
+    s"""WITH RECURSIVE pairs AS ($ddNgramJaccardSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |q AS ($txQualitySql),
+       |labeled AS (
+       |  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.quality
+       |  FROM q LEFT JOIN comp c ON q.doc_id = c.node)
+       |SELECT component, doc_id AS survivor_doc, quality, n_members FROM (
+       |  SELECT component, doc_id, quality,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY quality DESC, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY component) AS n_members
+       |  FROM labeled) x
+       |WHERE rk = 1""".stripMargin
+
   /** K1: binary payload + typed metadata (text bytes stand in for
     * media payloads; the plumbing is payload-agnostic).
     */

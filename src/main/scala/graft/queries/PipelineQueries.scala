@@ -72,6 +72,27 @@ object PipelineQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** D27: per-column data profile (rows / nulls / exact distinct)
+    * in ONE aggregation pass — the release-validation report; see
+    * [[graft.operators.Profiler]] for the Expand-based scale shape.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(
+      Tables(spark, dir).events,
+      Seq("event_id", "user_id", "value", "event_type"))
+
+  val qProfileSql: String =
+    """WITH s AS (SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS a_n, count(DISTINCT event_id) AS a_d,
+      |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS b_n, count(DISTINCT user_id) AS b_d,
+      |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS c_n, count(DISTINCT value) AS c_d,
+      |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS d_n, count(DISTINCT event_type) AS d_d
+      |  FROM events)
+      |SELECT 'event_id' AS "column", n_rows, a_n AS n_nulls, a_d AS n_distinct FROM s
+      |UNION ALL SELECT 'user_id', n_rows, b_n, b_d FROM s
+      |UNION ALL SELECT 'value', n_rows, c_n, c_d FROM s
+      |UNION ALL SELECT 'event_type', n_rows, d_n, d_d FROM s""".stripMargin
+
   /** D26: time-series densification + gap fill — per-user hourly
     * grid between that user's first and last hour, missing hours
     * carry the last observed hourly sum forward (LOCF). The grid is

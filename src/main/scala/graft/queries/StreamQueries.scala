@@ -299,6 +299,58 @@ object StreamQueries {
       | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
       |GROUP BY c.user_id""".stripMargin
 
+  /** I9 end-to-end: foreachBatch → keyed-layer upsert — the
+    * streaming WRITE path production pipelines actually run (micro-
+    * batch → merge-by-key into the serving layer) rather than a
+    * memory sink. The backlog is delivered TWICE (two copies of the
+    * file, one micro-batch each via maxFilesPerTrigger=1); because
+    * the sink merge is idempotent on the upsert key, redelivery
+    * converges to exactly one row per event — exactly-once effects
+    * from at-least-once delivery, the foreachBatch contract. The
+    * registered result reads the FINAL layer back and aggregates,
+    * so the oracle is the plain batch aggregate over the
+    * single-copy table.
+    */
+  def stForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_fb_")
+    val service = Files.createTempDirectory("graft_stream_fb_svc_")
+    Seq("a", "b").foreach { p =>
+      Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve(s"${p}_events.parquet"))
+    }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val slim = raw.select(col("event_id"), col("user_id"), col("value"))
+    withStreamingShufflePartitions(spark, 4) {
+      val query = slim.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.export.FeatureService.publish(
+            batch.toDF(), service.toString, "events",
+            graft.export.PublishMode.Auto, upsertKey = "event_id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    val agg = graft.export.FeatureService.readLayer(spark, service.toString, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+    val rows = java.util.Arrays.asList(agg.collect(): _*)
+    val out = spark.createDataFrame(rows, agg.schema)
+    deleteRecursively(stage)
+    deleteRecursively(service)
+    out
+  }
+
+  /** Redelivered-but-idempotent: the layer holds one copy per key,
+    * so the census equals the batch aggregate (same twin as I6).
+    */
+  val stForeachBatchUpsertSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(sum(value), 4) + 0 AS total_value
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** I4 end-to-end: streaming EXACT dedup via
     * `dropDuplicatesWithinWatermark` — exactly-once ingestion
     * semantics when the transport redelivers (the streaming twin of

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile counts rows, nulls, and exact distincts per column") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, None, Some(2.0)),
+      (3L, Some("a"), None),
+      (4L, Some("b"), Some(2.0))
+    ).toDF("id", "s", "v")
+    val p = Profiler.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("id") == ((4L, 0L, 4L)))
+    assert(p("s") == ((4L, 1L, 2L)))  // null not counted as a distinct value
+    assert(p("v") == ((4L, 1L, 2L)))
+  }
+
+  test("profile of an empty frame reports zeros") {
+    val df = Seq.empty[(Long, String)].toDF("id", "s")
+    val p = Profiler.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("id") == ((0L, 0L, 0L)) && p("s") == ((0L, 0L, 0L)))
+  }
+
+  test("profile is a single-pass plan: one scan, no unpivot row blowup") {
+    val df = tables.events
+    val plan = Profiler.profile(df, Seq("event_id", "event_type"))
+      .queryExecution.executedPlan.toString
+    // One Expand feeding partial aggregates — not a per-column scan.
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+}
