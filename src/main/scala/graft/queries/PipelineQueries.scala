@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, RangeJoin, Sampling, SnapshotDiff, TextOps}
+import graft.operators.{Constraints, Dedup, RangeJoin, Sampling, SnapshotDiff, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,6 +71,91 @@ object PipelineQueries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** B11: rule-based validation report ([[Constraints]]): four
+    * column-local rules folded into one scan + one referential
+    * anti-join — the release gate. `known_event_type` deliberately
+    * omits 'signup' so a domain rule actually fires on this data.
+    */
+  def trConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Constraints.check(t.events, Seq(
+      "event_id_not_null" -> col("event_id").isNotNull,
+      "value_non_negative" -> (col("value") >= 0),
+      "value_within_soft_bound" -> (col("value") <= 100),
+      "known_event_type" -> col("event_type").isin("click", "view", "purchase", "error")))
+      .unionByName(Constraints.referential(
+        t.events, "user_id", t.customer, "c_custkey", "user_in_customer"))
+  }
+
+  val trConstraintsSql: String =
+    """WITH s AS (SELECT
+      |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS r1,
+      |  sum(CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 1 ELSE 0 END) AS r2,
+      |  sum(CASE WHEN NOT coalesce(value <= 100, FALSE) THEN 1 ELSE 0 END) AS r3,
+      |  sum(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','error'), FALSE)
+      |      THEN 1 ELSE 0 END) AS r4
+      |  FROM events),
+      |fk AS (SELECT count(*) AS r5 FROM events e
+      |       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+      |SELECT 'event_id_not_null' AS "rule", r1 AS n_violations FROM s
+      |UNION ALL SELECT 'value_non_negative', r2 FROM s
+      |UNION ALL SELECT 'value_within_soft_bound', r3 FROM s
+      |UNION ALL SELECT 'known_event_type', r4 FROM s
+      |UNION ALL SELECT 'user_in_customer', r5 FROM fk""".stripMargin
+
+  /** D28: cohort retention — users grouped by first-activity week,
+    * distinct-user counts per (cohort, week offset). The first-event
+    * table shuffles on user_id, the same key the weekly projection
+    * aggregates on, so the join reuses the exchange; the final cell
+    * grid is |cohorts|·|offsets|.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val weekly = t.events.select(
+      col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+    val firsts = weekly.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    weekly.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val qRetentionSql: String =
+    """WITH weekly AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      |firsts AS (SELECT user_id, min(week) AS cohort FROM weekly GROUP BY 1)
+      |SELECT cohort, week - cohort AS week_offset,
+      |  count(DISTINCT w.user_id) AS n_users
+      |FROM weekly w JOIN firsts f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** E10: latest-wins compaction — the CDC/log-compaction primitive
+    * (one surviving row per key, newest timestamp wins). max_by on a
+    * composite (µs·1000 + id%1000) long instead of a row_number
+    * window: the aggregate combines map-side, so each partition
+    * reduces to ≤ one row per key BEFORE the shuffle — at 100 TB
+    * that is the difference between shuffling keys and sorting the
+    * whole log. Deterministic while (ts, id mod 1000) is unique per
+    * key (held by this data: no duplicate (user, ts) at any SF).
+    */
+  def ddLatestWins(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = expr("unix_micros(ts) * 1000 + pmod(event_id, 1000)")
+    t.events
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("ts"), col("value")), ord).as("m"))
+      .select(col("user_id"),
+        col("m.event_id").as("latest_event"),
+        unix_micros(col("m.ts")).as("ts_us"),
+        col("m.value").as("value"))
+  }
+
+  val ddLatestWinsSql: String =
+    """SELECT user_id,
+      |  arg_max(event_id, epoch_us(ts) * 1000 + event_id % 1000) AS latest_event,
+      |  arg_max(epoch_us(ts), epoch_us(ts) * 1000 + event_id % 1000) AS ts_us,
+      |  arg_max(value, epoch_us(ts) * 1000 + event_id % 1000) AS value
+      |FROM events GROUP BY user_id""".stripMargin
 
   /** D27: per-column data profile (rows / nulls / exact distinct)
     * in ONE aggregation pass — the release-validation report; see
