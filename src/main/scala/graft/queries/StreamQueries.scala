@@ -33,8 +33,11 @@ object StreamQueries {
     * volume (keys/partition), exactly as done here.
     */
   private def withStreamingShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    // Tuning override for experiments (StreamTune); absent in
+    // normal runs.
+    val eff = sys.props.get("graft.stream.partitions").map(_.toInt).getOrElse(n)
     val keys = Map(
-      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.shuffle.partitions" -> eff.toString,
       // AvailableNow appends a trailing no-data micro-batch by
       // default; in these queries it neither emits nor evicts (the
       // sentinel batches below do the flushing), so it's a pure
@@ -46,6 +49,21 @@ object StreamQueries {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  /** Checkpoint on the fastest scratch volume available: the state
+    * store commits one delta file per partition per micro-batch, so
+    * checkpoint latency is on the critical path of every batch. A
+    * memory-backed mount (when present) takes the fsync cost out of
+    * these bounded correctness/bench runs; a production deployment
+    * points this at its durable store instead — the knob is the
+    * same one (`checkpointLocation`).
+    */
+  private def scratchCheckpointDir(): java.nio.file.Path = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, "graft_ckpt_")
+    else Files.createTempDirectory("graft_ckpt_")
   }
 
   /** Materialize the memory sink's rows and DROP its temp view —
@@ -86,15 +104,18 @@ object StreamQueries {
     // would withhold the trailing windows; the append/eviction
     // behavior is covered by the MemoryStream ScalaTests.)
     val qName = "st_windowed_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
     withStreamingShufflePartitions(spark, 4) {
       val query = out.writeStream
         .format("memory")
         .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
     }
+    deleteRecursively(ckpt)
     val result = drainMemorySink(spark, qName)
     deleteRecursively(stage)
     result
@@ -180,15 +201,18 @@ object StreamQueries {
     val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = EventStream.sessionWindows(events, "30 minutes", "1 hour")
     val qName = "st_session_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
     withStreamingShufflePartitions(spark, 4) {
       val query = out.writeStream
         .format("memory")
         .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
     }
+    deleteRecursively(ckpt)
     val result = drainMemorySink(spark, qName)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
@@ -218,15 +242,18 @@ object StreamQueries {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
     val qName = "st_enrich_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
     withStreamingShufflePartitions(spark, 4) {
       val query = out.writeStream
         .format("memory")
         .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
     }
+    deleteRecursively(ckpt)
     val result = drainMemorySink(spark, qName)
     deleteRecursively(stage)
     result
@@ -268,15 +295,18 @@ object StreamQueries {
       errors,
       expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 1 hour"))
     val qName = "st_ss_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
     withStreamingShufflePartitions(spark, 4) {
       val query = pairs.writeStream
         .format("memory")
         .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
     }
+    deleteRecursively(ckpt)
     val agg = spark.table(qName)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -322,6 +352,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
     val slim = raw.select(col("event_id"), col("user_id"), col("value"))
+    val ckpt = scratchCheckpointDir()
     withStreamingShufflePartitions(spark, 4) {
       val query = slim.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -329,10 +360,12 @@ object StreamQueries {
             batch.toDF(), service.toString, "events",
             graft.export.PublishMode.Auto, upsertKey = "event_id")
         }
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
     }
+    deleteRecursively(ckpt)
     val agg = graft.export.FeatureService.readLayer(spark, service.toString, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
@@ -375,15 +408,18 @@ object StreamQueries {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val qName = "st_dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
     withStreamingShufflePartitions(spark, 4) {
       val query = deduped.writeStream
         .format("memory")
         .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
     }
+    deleteRecursively(ckpt)
     val agg = spark.table(qName)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
