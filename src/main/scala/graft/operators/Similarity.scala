@@ -221,6 +221,19 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int
+  ): DataFrame =
+    kmeansAssign(df, idCol, vecCol, k, iters)
+      .select(col("id"), col("cluster"), col("score"))
+
+  /** Final Lloyd assignment INCLUDING the vector column — the
+    * blocking input [[semanticPairs]] builds on.
+    */
+  private[graft] def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
   ): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -251,7 +264,38 @@ object Similarity {
           "seed vectors do not spread over this data")
       centroids = (1 to k).map(i => cents(i.toLong))
     }
-    assigned.select(col("id"), col("cluster"), col("score"))
+    assigned.select(col("id"), col("vec"), col("cluster"), col("score"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: k-means clusters as the
+    * blocking key (finer k → fewer candidate pairs), exact cosine ≥
+    * `threshold` only WITHIN a cluster. Candidate width is
+    * Σ |cluster|² instead of N² — at scale k grows with N to hold
+    * per-cluster size constant, exactly how SemDeDup shards its
+    * pairwise pass. Deterministic end-to-end (seeded clustering,
+    * rounded scores) → full SQL oracle.
+    */
+  def semanticPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double
+  ): DataFrame = {
+    // The clustering pass is the expensive stage — materialize once
+    // (non-shuffle barrier) so the self-join's two sides don't each
+    // recompute the assignment subtree.
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iters)
+      .select(col("id"), col("vec"), col("cluster"))
+      .localCheckpoint(true)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(cosine(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cluster").as("cluster"), col("cosine"))
   }
 
   /** Per-label centroids (the coarse-quantizer build step of an IVF

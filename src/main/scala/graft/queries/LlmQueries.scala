@@ -332,21 +332,27 @@ object LlmQueries {
     Similarity.kmeans(Tables(spark, dir).embeddings, "vec_id", "embedding",
       k = 4, iters = 2)
 
-  val simKmeansSql: String = {
-    def cosSql(a: String, b: String): String =
-      s"""(list_sum(list_transform(list_zip($a, $b),
-         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
-    s"""WITH init AS (
+  private def cosSqlExpr(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  /** Two unrolled Lloyd iterations as CTEs; terminal table `a2`
+    * holds (vec_id, cluster, score, rk) — rk=1 is the final
+    * assignment. Mirrors [[Similarity.kmeans]] exactly (lowest-id
+    * seeding, 4-dp rounding, first-index tie-break).
+    */
+  private def kmeansCtes(k: Int): String =
+    s"""init AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
        |a1 AS (
        |  SELECT vec_id, cluster FROM (
        |    SELECT e.vec_id, i.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.embedding", "i.cvec")}, 4) DESC, i.cluster) AS rk
+       |        ORDER BY round(${cosSqlExpr("e.embedding", "i.cvec")}, 4) DESC, i.cluster) AS rk
        |    FROM embeddings e, init i) x
        |  WHERE rk = 1),
        |cent1 AS (
@@ -360,10 +366,30 @@ object LlmQueries {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rk
        |  FROM (
        |    SELECT e.vec_id, c.cluster,
-       |      round(${cosSql("e.embedding", "c.cvec")}, 4) AS score
-       |    FROM embeddings e, cvec1 c) x)
+       |      round(${cosSqlExpr("e.embedding", "c.cvec")}, 4) AS score
+       |    FROM embeddings e, cvec1 c) x)""".stripMargin
+
+  val simKmeansSql: String =
+    s"""WITH ${kmeansCtes(4)}
        |SELECT vec_id AS id, cluster, score + 0 AS score FROM a2 WHERE rk = 1""".stripMargin
-  }
+
+  /** E11: SemDeDup-style semantic near-dup pairs — k-means blocking
+    * (k=16) then exact cosine ≥ 0.35 within clusters only.
+    */
+  def ddSemanticPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticPairs(Tables(spark, dir).embeddings,
+      "vec_id", "embedding", k = 16, iters = 2, threshold = 0.35)
+
+  val ddSemanticPairsSql: String =
+    s"""WITH ${kmeansCtes(16)},
+       |asg AS (SELECT vec_id, cluster FROM a2 WHERE rk = 1)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
+       |  round(${cosSqlExpr("ea.embedding", "eb.embedding")}, 4) + 0 AS cosine
+       |FROM asg a
+       |JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |WHERE round(${cosSqlExpr("ea.embedding", "eb.embedding")}, 4) >= 0.35""".stripMargin
 
   // ----------------------------------------------------------------
   // G. Text analysis

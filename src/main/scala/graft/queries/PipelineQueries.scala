@@ -129,6 +129,32 @@ object PipelineQueries {
       |FROM weekly w JOIN firsts f USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** D29: path analysis — each user's first-3-event-type journey,
+    * counted across users (the product-analytics "top paths" report
+    * and the funnel generalization of D28). Per-user event lists
+    * are bounded by per-user activity and assembled with ONE
+    * map-side-combined collect on the user_id shuffle — no global
+    * sort of the event log.
+    */
+  def qTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+      .select(array_join(
+        transform(slice(col("seq"), 1, 3), s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qTopPathsSql: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+      |  FROM events GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p GROUP BY path""".stripMargin
+
   /** E10: latest-wins compaction — the CDC/log-compaction primitive
     * (one surviving row per key, newest timestamp wins). max_by on a
     * composite (µs·1000 + id%1000) long instead of a row_number
