@@ -121,6 +121,19 @@ object LlmQueries {
       Dedup.ngramJaccard(Tables(spark, dir).documents, "text", "doc_id",
         n = 3, threshold = 0.5, maxDocFreq = 100).localCheckpoint(true))
 
+  /** Session-scoped CC labels over [[ngramPairs]]: E6 and M6 both
+    * consume them; the iterative large-star/small-star rounds run
+    * once per (session, dir) — same materialized-view semantics as
+    * the pairs cache (labels are near-dup-member-sized, tiny).
+    */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def ccLabels(spark: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((spark, dir),
+      Dedup.connectedComponents(ngramPairs(spark, dir), "doc_a", "doc_b")
+        .localCheckpoint(true))
+
   /** E4: exact n-gram Jaccard over the inverted shingle index. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir)
@@ -598,7 +611,7 @@ object LlmQueries {
     * Jaccard near-dup pairs (min-reachable-id labeling).
     */
   def ddDedupGroups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(ngramPairs(spark, dir), "doc_a", "doc_b")
+    ccLabels(spark, dir)
 
   val ddDedupGroupsSql: String =
     s"""WITH RECURSIVE pairs AS ($ddNgramJaccardSql),
@@ -688,7 +701,7 @@ object LlmQueries {
     */
   def pipeCanonicalize(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val cc = Dedup.connectedComponents(ngramPairs(spark, dir), "doc_a", "doc_b")
+    val cc = ccLabels(spark, dir)
     val scored = t.documents.select(
       col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
     val labeled = scored.join(cc, scored("doc_id") === cc("node"), "left")
