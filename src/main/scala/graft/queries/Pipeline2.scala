@@ -282,4 +282,138 @@ object Pipeline2 {
       |    4) + 0 AS mix_key
       |FROM documents
       |WINDOW w AS (PARTITION BY source ORDER BY doc_id)""".stripMargin
+
+  /** D34: MERGE INTO — apply a CDC change batch (insert / update /
+    * delete ops) to a dimension snapshot in one full-outer join,
+    * the lakehouse upsert primitive behind the reference's
+    * AUTO/APPEND publish modes (publish.py). The change batch
+    * derives from the event log: any-error users are deletes,
+    * active users update their balance, high-activity users also
+    * insert a shadow row under a fresh (negative) key — guaranteed
+    * key-disjoint from the snapshot at every SF. One shuffle per
+    * side on the merge key.
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val agg = t.events.groupBy(col("user_id")).agg(
+      max(col("event_type") === "error").as("has_err"),
+      round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))), 4).as("delta"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    val changes = agg
+      .select(col("user_id").as("key"),
+        when(col("has_err"), lit("D")).otherwise(lit("U")).as("op"),
+        col("delta"))
+      .unionByName(agg.filter(col("n_purch") >= 3)
+        .select((-col("user_id") - 1).as("key"), lit("I").as("op"), col("delta")))
+    t.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .join(changes, col("c_custkey") === col("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+        col("c_name"),
+        round(coalesce(col("c_acctbal"), lit(0.0)) +
+          when(col("op").isNotNull, col("delta")).otherwise(lit(0.0)), 4).as("bal"),
+        when(col("op").isNull, lit("unchanged"))
+          .when(col("op") === "I", lit("inserted"))
+          .otherwise(lit("updated")).as("status"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH agg AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1 AS has_err,
+      |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
+      |      AS delta,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+      |  FROM events GROUP BY 1),
+      |changes AS (
+      |  SELECT user_id AS key, CASE WHEN has_err THEN 'D' ELSE 'U' END AS op, delta
+      |  FROM agg
+      |  UNION ALL
+      |  SELECT -user_id - 1, 'I', delta FROM agg WHERE n_purch >= 3)
+      |SELECT coalesce(c_custkey, key) AS c_custkey, c_name,
+      |  round(coalesce(c_acctbal, 0.0) +
+      |    CASE WHEN op IS NOT NULL THEN delta ELSE 0.0 END, 4) + 0 AS bal,
+      |  CASE WHEN op IS NULL THEN 'unchanged'
+      |       WHEN op = 'I' THEN 'inserted' ELSE 'updated' END AS status
+      |FROM customer FULL OUTER JOIN changes ON c_custkey = key
+      |WHERE op IS NULL OR op != 'D'""".stripMargin
+
+  /** A15: incremental high-watermark read — the freshness pattern
+    * behind the reference's cache fallback (source.py release
+    * checks): a published snapshot's max timestamp becomes a
+    * pushed-down range predicate on the raw parquet long column, so
+    * parquet row-group stats prune everything already published.
+    * The watermark is one aggregate scalar through the driver; the
+    * incremental scan is map-only.
+    */
+  def srcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // published snapshot = first two weeks; raw nano-long ts column
+    val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    val raw = t.table("events")
+    val wmUs = raw.filter(col("ts") < cutoffUs * 1000)
+      .agg(max(expr("ts div 1000")).as("wm")).head().getLong(0)
+    raw.filter(col("ts") >= (wmUs + 1) * 1000) // pushable raw-long range
+      .select(col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"))
+      .withColumn("watermark_us", lit(wmUs))
+  }
+
+  val srcIncrementalSql: String =
+    """WITH wm AS (
+      |  SELECT max(epoch_us(ts)) AS wm_us FROM events
+      |  WHERE epoch_us(ts) < 1705276800000000)
+      |SELECT event_type, count(*) AS n_new,
+      |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+      |  (SELECT wm_us FROM wm) AS watermark_us
+      |FROM events WHERE epoch_us(ts) > (SELECT wm_us FROM wm)
+      |GROUP BY event_type""".stripMargin
+
+  /** D35: expanding (lifetime-to-date) window — per-user running
+    * engagement totals ordered by event time: the
+    * unbounded-preceding frame that trailing windows (D15) and
+    * range frames (D23) don't cover. One shuffle on the key.
+    */
+  def qExpanding(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("ltd_value", round(sum(col("value")).over(w), 4))
+      .withColumn("ltd_n", count(lit(1)).over(w))
+  }
+
+  val qExpandingSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+      |  round(sum(value) OVER w, 4) + 0 AS ltd_value,
+      |  count(*) OVER w AS ltd_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** E13: sketch-precision report — MinHash estimated Jaccard (E2)
+    * joined to exact n-gram Jaccard (E4) on the confirmed near-dup
+    * pairs, with the absolute estimation error per pair. The
+    * measurement loop that justifies running the sketch at 100 TB
+    * instead of the exact index.
+    */
+  def ddSketchPrecision(spark: SparkSession, dir: String): DataFrame =
+    LlmQueries.ddMinhashLsh(spark, dir)
+      .join(LlmQueries.ngramPairs(spark, dir), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
+
+  val ddSketchPrecisionSql: String =
+    s"""WITH est AS (${LlmQueries.ddMinhashLshSql}),
+       |ex AS (${LlmQueries.ddNgramJaccardSql})
+       |SELECT est.doc_a, est.doc_b, est.est_jaccard, ex.jaccard,
+       |  round(abs(est.est_jaccard - ex.jaccard), 4) + 0 AS abs_err
+       |FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b""".stripMargin
 }

@@ -83,6 +83,49 @@ class Pipeline2Spec extends SparkSpec {
     }
   }
 
+  test("merge upsert: deletes drop, inserts are fresh negative keys, rest partition the snapshot") {
+    val df = Pipeline2.qMergeUpsert(spark, sfDir).cache()
+    val byStatus = df.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCust = tables.customer.count()
+    val errUsers = tables.events.filter(col("event_type") === "error")
+      .select("user_id").distinct().count()
+    assert(byStatus.getOrElse("unchanged", 0L) + byStatus.getOrElse("updated", 0L) ==
+      nCust - errUsers)
+    assert(df.filter(col("status") === "inserted" && col("c_custkey") >= 0).count() == 0)
+    assert(df.filter(col("status") === "inserted").count() ==
+      df.filter(col("c_name").isNull).count())
+    df.unpersist()
+  }
+
+  test("incremental read pushes the watermark predicate to the parquet scan") {
+    val df = Pipeline2.srcIncremental(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"),
+      s"watermark filter not pushed:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) > r.getLong(4))) // first_us > watermark_us
+  }
+
+  test("expanding window: final row per user carries the lifetime totals") {
+    val rows = Pipeline2.qExpanding(spark, sfDir).collect().groupBy(_.getLong(1))
+    val totals = tables.events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.foreach { case (u, rs) =>
+      val last = rs.maxBy(r => (r.getLong(2), r.getLong(0)))
+      assert(last.getLong(5) == totals(u)._1)
+      assert(math.abs(last.getDouble(4) - totals(u)._2) < 1e-6)
+    }
+  }
+
+  test("sketch precision: estimates stay within 0.35 of exact Jaccard on near-dups") {
+    val rows = Pipeline2.ddSketchPrecision(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(4) <= 0.35, s"pair ${r.getLong(0)},${r.getLong(1)} err ${r.getDouble(4)}"))
+  }
+
   test("interleave ranks are dense per source and mix keys scale by weight") {
     val rows = Pipeline2.smInterleave(spark, sfDir).collect()
     val bySrc = rows.groupBy(_.getString(1))
