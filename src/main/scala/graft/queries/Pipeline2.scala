@@ -22,21 +22,42 @@ object Pipeline2 {
     */
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val e = t.events.select(
-      col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-    val s1 = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
-    val s2 = e.filter(col("event_type") === "click")
-      .join(s1, "user_id").where(col("ts_us") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
-    val s3 = e.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").where(col("ts_us") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
-    def stage(df: DataFrame, n: Int, step: String): DataFrame =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(n).as("stage"), lit(step).as("step"), col("n_users"))
-    stage(s1, 1, "view").unionByName(stage(s2, 2, "click"))
-      .unionByName(stage(s3, 3, "purchase"))
+    // Single pass: per-user time-sorted event list folded into the
+    // three stage timestamps (first view, first click after it,
+    // first purchase after that) — ONE shuffle on user_id, vs the
+    // textbook 3-agg + 2-join formulation that moves the user key
+    // five times. The fold is the same greedy the staged joins
+    // compute: min-after == first-in-order.
+    val nul = lit(null).cast("long")
+    val folded = t.events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type").as("et")))).as("seq"))
+      .select(aggregate(col("seq"),
+        struct(nul.as("t1"), nul.as("t2"), nul.as("t3")),
+        (acc, e) => {
+          val ts = e.getField("ts_us"); val et = e.getField("et")
+          struct(
+            when(acc.getField("t1").isNull && et === "view", ts)
+              .otherwise(acc.getField("t1")).as("t1"),
+            when(acc.getField("t2").isNull && et === "click" &&
+              acc.getField("t1").isNotNull && ts > acc.getField("t1"), ts)
+              .otherwise(acc.getField("t2")).as("t2"),
+            when(acc.getField("t3").isNull && et === "purchase" &&
+              acc.getField("t2").isNotNull && ts > acc.getField("t2"), ts)
+              .otherwise(acc.getField("t3")).as("t3"))
+        }).as("s"))
+    val counts = folded.agg(
+      sum(when(col("s.t1").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s.t2").isNotNull, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s.t3").isNotNull, 1L).otherwise(0L)).as("n3"))
+    counts.select(explode(array(
+      struct(lit(1).as("stage"), lit("view").as("step"), col("n1").as("n_users")),
+      struct(lit(2).as("stage"), lit("click").as("step"), col("n2").as("n_users")),
+      struct(lit(3).as("stage"), lit("purchase").as("step"), col("n3").as("n_users")))))
+      .select(col("col.*"))
   }
 
   val qFunnelSql: String =
@@ -300,12 +321,18 @@ object Pipeline2 {
       round(sum(when(col("event_type") === "purchase", col("value"))
         .otherwise(lit(0.0))), 4).as("delta"),
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    // Both change kinds flat-map out of ONE pass over the aggregate
+    // (a union of two selects would recompute the event-log shuffle).
     val changes = agg
-      .select(col("user_id").as("key"),
-        when(col("has_err"), lit("D")).otherwise(lit("U")).as("op"),
-        col("delta"))
-      .unionByName(agg.filter(col("n_purch") >= 3)
-        .select((-col("user_id") - 1).as("key"), lit("I").as("op"), col("delta")))
+      .select(explode(filter(array(
+        struct(col("user_id").as("key"),
+          when(col("has_err"), lit("D")).otherwise(lit("U")).as("op"),
+          col("delta")),
+        struct((-col("user_id") - 1).as("key"),
+          when(col("n_purch") >= 3, lit("I")).otherwise(lit(null).cast("string")).as("op"),
+          col("delta"))),
+        c => c.getField("op").isNotNull)).as("c"))
+      .select(col("c.*"))
     t.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .join(changes, col("c_custkey") === col("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
