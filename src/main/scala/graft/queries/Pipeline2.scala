@@ -443,4 +443,86 @@ object Pipeline2 {
        |SELECT est.doc_a, est.doc_b, est.est_jaccard, ex.jaccard,
        |  round(abs(est.est_jaccard - ex.jaccard), 4) + 0 AS abs_err
        |FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b""".stripMargin
+
+  /** G15: stable keyed pseudonymization — the privacy pass a
+    * training pipeline runs before user-keyed data leaves the
+    * trust boundary: every user id maps to a salted one-way token,
+    * referentially consistent across every table that carries the
+    * key (same salt → same token). Map-only column math; the
+    * aggregate proves token↔user is 1:1 (no collisions, counts
+    * preserved).
+    */
+  def txPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val token = substring(md5(concat(lit("graft-salt:"),
+      col("user_id").cast("string"))), 1, 16)
+    t.events.select(token.as("pseudo_id"), col("user_id"), col("event_type"))
+      .groupBy(col("pseudo_id"))
+      .agg(countDistinct(col("user_id")).as("n_source_keys"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+  }
+
+  val txPseudonymizeSql: String =
+    """SELECT substring(md5('graft-salt:' || CAST(user_id AS VARCHAR)), 1, 16)
+      |    AS pseudo_id,
+      |  count(DISTINCT user_id) AS n_source_keys,
+      |  count(*) AS n_events,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** E14: keyed time-window dedup — keep the FIRST event per
+    * (user, type, hour): the telemetry/at-least-once-ingest
+    * compaction rule (batch twin of I6's watermark dedup, but keyed
+    * by window rather than exact id). min_by combines map-side, so
+    * partitions reduce to ≤1 row per (key, window) before the
+    * shuffle — no log-wide window sort.
+    */
+  def ddWithinWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+      .groupBy(col("user_id"), col("event_type"), col("hour"))
+      .agg(min_by(struct(col("event_id"), col("ts_us"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("m"),
+        count(lit(1)).as("n_collapsed"))
+      .select(col("user_id"), col("event_type"), col("hour"),
+        col("m.event_id").as("event_id"), col("m.ts_us").as("ts_us"),
+        col("m.value").as("value"), col("n_collapsed"))
+  }
+
+  val ddWithinWindowSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) // 3600000000 AS hour,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, epoch_us(ts) // 3600000000
+      |      ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (
+      |      PARTITION BY user_id, event_type, epoch_us(ts) // 3600000000)
+      |      AS n_collapsed
+      |  FROM events)
+      |SELECT user_id, event_type, hour, event_id, ts_us, value, n_collapsed
+      |FROM r WHERE rn = 1""".stripMargin
+
+  /** D36: sketch quantiles — `approx_percentile` (Greenwald-Khanna
+    * summaries, merge-able partial state) per group. At 100 TB this
+    * replaces D10's exact interpolated percentiles: the sketch is
+    * O(1/ε) per partition and combines map-side, where exact
+    * percentiles sort every group. Rows-only registry entry (sketch
+    * output is engine-specific by nature); the spec bounds its rank
+    * error against the exact values.
+    */
+  def qQuantileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5d, 0.95d, 0.99d), 10000)")
+        .as("q"))
+      .select(col("event_type"),
+        round(col("q")(0), 4).as("p50"),
+        round(col("q")(1), 4).as("p95"),
+        round(col("q")(2), 4).as("p99"))
+  }
 }

@@ -126,6 +126,35 @@ class Pipeline2Spec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(4) <= 0.35, s"pair ${r.getLong(0)},${r.getLong(1)} err ${r.getDouble(4)}"))
   }
 
+  test("pseudonymization is 1:1 and preserves event counts") {
+    val df = Pipeline2.txPseudonymize(spark, sfDir).cache()
+    assert(df.filter(col("n_source_keys") =!= 1).count() == 0)
+    assert(df.count() == tables.events.select("user_id").distinct().count())
+    assert(df.agg(sum("n_events")).head().getLong(0) == tables.events.count())
+    df.unpersist()
+  }
+
+  test("within-window dedup keeps the earliest event per (user,type,hour)") {
+    val kept = Pipeline2.ddWithinWindow(spark, sfDir).cache()
+    assert(kept.groupBy("user_id", "event_type", "hour").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(kept.agg(sum("n_collapsed")).head().getLong(0) == tables.events.count())
+    kept.unpersist()
+  }
+
+  test("approx quantiles stay within 1% rank error of exact") {
+    val approx = Pipeline2.qQuantileApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = tables.events.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.49d, 0.51d, 0.94d, 0.96d))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, e) =>
+      val (p50, p95) = approx(k)
+      assert(p50 >= e(0) && p50 <= e(1), s"$k p50=$p50 not in [${e(0)},${e(1)}]")
+      assert(p95 >= e(2) && p95 <= e(3), s"$k p95=$p95 not in [${e(2)},${e(3)}]")
+    }
+  }
+
   test("interleave ranks are dense per source and mix keys scale by weight") {
     val rows = Pipeline2.smInterleave(spark, sfDir).collect()
     val bySrc = rows.groupBy(_.getString(1))
