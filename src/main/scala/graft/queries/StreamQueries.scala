@@ -438,6 +438,101 @@ object StreamQueries {
       |  round(sum(value), 4) + 0 AS total_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** I10 end-to-end: watermark LATE-DATA DROP — the event-time
+    * correctness property the other rows don't exercise: what
+    * happens when data arrives out of order ACROSS micro-batches.
+    * The backlog is split at 2024-01-25: the fresh half is delivered
+    * first (micro-batch 1, advancing the watermark to max−1h), the
+    * stale half LAST. In append mode the stragglers aimed at windows
+    * the watermark already closed are DROPPED, and stragglers
+    * landing in still-open windows are absorbed but never emitted
+    * (the watermark never advances again). The sink therefore holds
+    * exactly the closed windows populated by fresh rows only — which
+    * is what the oracle states in batch SQL. At 100 TB this drop
+    * rule is what bounds reprocessing: state never waits for
+    * arbitrarily-old data.
+    *
+    * A middle micro-batch carries one copy of the max-ts row:
+    * since SPARK-24634, late-event filtering uses the PREVIOUS
+    * batch's watermark (eviction uses the current one), so the
+    * fresh batch's watermark only gates late events one commit
+    * later. The mid row lands in the open final-hour window (never
+    * emitted, max unchanged), so it affects nothing — it exists to
+    * commit the watermark before the stragglers arrive, exactly the
+    * cadence of a live stream where data keeps flowing.
+    */
+  def stLateDrop(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_late_")
+    val splitUs = 1706140800000000L // 2024-01-25T00:00:00Z
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val schema = raw.schema
+    // Fail fast if the split ever stops bisecting the data — an
+    // empty side would silently degrade the scenario to in-order
+    // delivery.
+    val Array(nFresh, nLate) = raw.agg(
+      sum(when(col("ts") >= splitUs * 1000, 1L).otherwise(0L)),
+      sum(when(col("ts") < splitUs * 1000, 1L).otherwise(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nFresh > 0 && nLate > 0,
+      s"stLateDrop split at $splitUs leaves an empty side (fresh=$nFresh late=$nLate)")
+    def stagePart(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val scratch = Files.createTempDirectory("graft_late_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.resolve("out").toString)
+      val listing = Files.list(scratch.resolve("out"))
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      val dest = stage.resolve(name)
+      Files.copy(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      deleteRecursively(scratch)
+    }
+    val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
+    stagePart(raw.filter(col("ts") >= splitUs * 1000), "a_fresh.parquet", base)
+    stagePart(raw.orderBy(col("ts").desc).limit(1), "m_mid.parquet", base + 30000L)
+    stagePart(raw.filter(col("ts") < splitUs * 1000), "z_late.parquet", base + 60000L)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val events = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventStream.windowedAgg(events, "1 hour", "1 hour")
+    val qName = "st_late_drop_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = out.writeStream
+        .format("memory")
+        .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    val result = drainMemorySink(spark, qName)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    deleteRecursively(stage)
+    result
+  }
+
+  /** Closed (watermark-passed) windows over the FRESH half only:
+    * stragglers to closed windows are dropped, stragglers to open
+    * windows are never emitted.
+    */
+  val stLateDropSql: String =
+    """WITH a AS (
+      |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+      |  WHERE epoch_us(ts) >= 1706140800000000),
+      |wm AS (SELECT max(ts_us) - 3600000000 AS w FROM a),
+      |g AS (
+      |  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+      |    event_type, count(*) AS n_events, round(sum(value), 4) + 0 AS sum_value
+      |  FROM a GROUP BY 1, 2)
+      |SELECT * FROM g
+      |WHERE window_start_us + 3600000000 <= (SELECT w FROM wm)""".stripMargin
+
   /** Lag-based gap islands in integer microseconds — strictly
     * `> gap` starts a new session: `session_window` still merges an
     * event landing exactly on the previous session's end.
