@@ -70,6 +70,27 @@ object Exporter {
           "unsupported by design (documented in SURVEY.md §6)")
   }
 
+  /** Incremental partitioned export with DYNAMIC partition
+    * overwrite: only the partitions present in `df` are replaced;
+    * every other partition of the target survives untouched. This
+    * is the incremental-publish write shape (reference publish.py
+    * truncate-and-append per layer, generalized to keyed
+    * partitions): a 100 TB lake refreshes one country/day partition
+    * without rewriting — or even listing — the rest. The conf is
+    * scoped to this write and restored after.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Default export filename (reference: export.py:468-511
     * `generate_export_filename`): `<iso3>_<query>[_raw].<ext>`.
     */

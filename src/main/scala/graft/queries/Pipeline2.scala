@@ -525,4 +525,42 @@ object Pipeline2 {
         round(col("q")(1), 4).as("p95"),
         round(col("q")(2), 4).as("p99"))
   }
+
+  /** G16: model inference as column math — a (pretrained) linear
+    * quality classifier scored over document features entirely
+    * inside codegen: z = w·x + b, score = σ(z). This is the
+    * fastText-classifier shape modern corpus pipelines
+    * (quality/toxicity filters) run over every document at scale:
+    * weights broadcast as literals, the scan stays map-only, no UDF
+    * and no model server in the hot path.
+    */
+  def txQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val text = col("text")
+    val nTok = size(split(text, " ")).cast("double")
+    val len = length(text).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / len
+    val meanWordLen = len / nTok
+    // Weights a trained classifier would supply; fixed here.
+    val z = lit(-0.37) + lit(0.291) * log(lit(1.0) + nTok) +
+      lit(-4.13) * punct + lit(-0.177) * meanWordLen
+    t.documents.select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"))
+      .withColumn("kept", col("score") >= 0.5)
+  }
+
+  val txQualityClassifierSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS punct
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(1.0 / (1.0 + exp(-(-0.37 + 0.291 * ln(1.0 + n_tok)
+      |    - 4.13 * punct - 0.177 * (chars / n_tok)))), 4) + 0 AS score,
+      |  round(1.0 / (1.0 + exp(-(-0.37 + 0.291 * ln(1.0 + n_tok)
+      |    - 4.13 * punct - 0.177 * (chars / n_tok)))), 4) >= 0.5 AS kept
+      |FROM f""".stripMargin
 }

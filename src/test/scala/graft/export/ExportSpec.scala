@@ -223,4 +223,26 @@ class ExportSpec extends SparkSpec {
       }
     }
   }
+
+  test("dynamic partition overwrite replaces only incoming partitions") {
+    val dir = tmpDir() + "/layer"
+    val full = tables.events
+      .select(col("event_id"), col("event_type"), col("value"))
+    Exporter.writePartitioned(full, dir, "event_type")
+    val before = spark.read.parquet(dir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // refresh ONE partition with a reduced batch
+    val patch = full.filter(col("event_type") === "click").limit(5)
+    Exporter.writePartitioned(patch, dir, "event_type")
+
+    val after = spark.read.parquet(dir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("click") == 5)                       // replaced
+    (before.keySet - "click").foreach { k =>
+      assert(after(k) == before(k), s"partition $k was disturbed") // untouched
+    }
+  }
 }

@@ -155,6 +155,19 @@ class Pipeline2Spec extends SparkSpec {
     }
   }
 
+  test("classifier inference is map-only and scores are proper probabilities") {
+    val df = Pipeline2.txQualityClassifier(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"classifier scan should not shuffle:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      assert(s > 0.0 && s < 1.0)
+      assert(r.getBoolean(2) == (s >= 0.5))
+    }
+  }
+
   test("interleave ranks are dense per source and mix keys scale by weight") {
     val rows = Pipeline2.smInterleave(spark, sfDir).collect()
     val bySrc = rows.groupBy(_.getString(1))
