@@ -302,6 +302,57 @@ object Similarity {
     * index): posexplode to (label, dim) partial sums — shuffle width
     * is |labels|·dim, independent of N.
     */
+  /** Product-quantization code assignment — the fine quantizer that
+    * pairs with the IVF coarse quantizer ([[ivfAnn]]): the vector
+    * splits into `m` subvectors, each encoded as the id of its
+    * nearest (L2) codebook centroid, compressing dim·4 bytes to `m`
+    * small ints. Codebooks here are the 4-dp-rounded per-label
+    * centroids restricted to each subvector (deterministic, same
+    * derivation as IVF; a production system would train them with
+    * k-means — [[kmeans]] — which changes the constants, not the
+    * shape). Codebooks collect through the driver (codebook-sized)
+    * and fold as ONE nested literal per subvector: the encode scan
+    * is map-only, zero shuffle — at 100 TB the base table is read
+    * once and never moved.
+    */
+  def pqCodes(base: DataFrame, idCol: String, vecCol: String, labelCol: String, m: Int): DataFrame = {
+    val cents = base
+      .select(col(labelCol).as("clabel"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("clabel"), col("d"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("clabel"))
+      .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("clabel"),
+        transform(col("dc"), s => round(s.getField("c"), 4)).as("cvec"))
+      .orderBy(col("clabel"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val vec = col(vecCol)
+    def bestCode(j: Int) = {
+      val codebook = typedLit(cents.map { case (l, v) =>
+        (l, v.slice(j * sub, (j + 1) * sub))
+      }.toSeq)
+      aggregate(codebook,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
+        (acc, c) => {
+          val d2 = aggregate(
+            zip_with(slice(vec, j * sub + 1, sub), c.getField("_2"),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (s, x) => s + x)
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("_1").as("code"))).otherwise(acc)
+        })
+    }
+    base.select(col(idCol) +: (0 until m).map(j => bestCode(j).as(s"b$j")): _*)
+      .select(col(idCol) +:
+        (0 until m).map(j => col(s"b$j.code").as(s"c$j")) :+
+        round(sqrt((0 until m).map(j => col(s"b$j.d2")).reduce(_ + _)), 4)
+          .as("recon_err"): _*)
+  }
+
   def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy(col("label"), col("d"))

@@ -549,6 +549,79 @@ object Pipeline2 {
       .withColumn("kept", col("score") >= 0.5)
   }
 
+  /** F6: product-quantization codes ([[graft.operators.Similarity.pqCodes]])
+    * — vector compression for billion-scale ANN: 64 floats → 4
+    * codebook ids (+ reconstruction error). Map-only encode scan;
+    * see the operator for the scale argument.
+    */
+  def simPq(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pqCodes(
+      Tables(spark, dir).embeddings, "vec_id", "embedding", "label", m = 4)
+
+  val simPqSql: String =
+    """WITH percomp AS (
+      |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+      |  GROUP BY label, d),
+      |cents AS (
+      |  SELECT label AS clabel, list(round(c, 4) ORDER BY d) AS cvec
+      |  FROM percomp GROUP BY label),
+      |dists AS (
+      |  SELECT e.vec_id, js.j, c.clabel,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> (CAST(e.embedding[js.j*16 + i] AS DOUBLE) - c.cvec[js.j*16 + i])
+      |         * (CAST(e.embedding[js.j*16 + i] AS DOUBLE) - c.cvec[js.j*16 + i])))
+      |      AS d2
+      |  FROM embeddings e, (SELECT unnest(range(0, 4)) AS j) js, cents c),
+      |best AS (
+      |  SELECT vec_id, j, clabel, d2,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, clabel) AS rn
+      |  FROM dists)
+      |SELECT vec_id,
+      |  max(CASE WHEN j = 0 THEN clabel END) AS c0,
+      |  max(CASE WHEN j = 1 THEN clabel END) AS c1,
+      |  max(CASE WHEN j = 2 THEN clabel END) AS c2,
+      |  max(CASE WHEN j = 3 THEN clabel END) AS c3,
+      |  round(sqrt(sum(d2)), 4) + 0 AS recon_err
+      |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin
+
+  /** D37: incremental materialized-view merge — the aggregate-state
+    * maintenance pattern: stored per-group partials (count/sum/min/
+    * max over the published half) merge with the delta's partials
+    * into the refreshed view WITHOUT rescanning the snapshot. All
+    * three plans shuffle only group-key-sized rows; the oracle is
+    * the DIRECT aggregate over everything — the merge must be
+    * indistinguishable from a full recompute.
+    */
+  def qMvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    def partials(df: DataFrame) = df
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val e = t.events
+    val stored = partials(e.filter(unix_micros(col("ts")) < cutUs))
+      .withColumnsRenamed(Map("n" -> "n1", "s" -> "s1", "mn" -> "mn1", "mx" -> "mx1"))
+    val delta = partials(e.filter(unix_micros(col("ts")) >= cutUs))
+      .withColumnsRenamed(Map("n" -> "n2", "s" -> "s2", "mn" -> "mn2", "mx" -> "mx2"))
+    stored.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_events"),
+        round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)), 4)
+          .as("total_value"),
+        least(col("mn1"), col("mn2")).as("min_value"),
+        greatest(col("mx1"), col("mx2")).as("max_value"))
+  }
+
+  /** The merged view must equal a full recompute. */
+  val qMvMergeSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 4) + 0 AS total_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val txQualityClassifierSql: String =
     """WITH f AS (
       |  SELECT doc_id,

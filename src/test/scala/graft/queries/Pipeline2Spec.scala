@@ -168,6 +168,29 @@ class Pipeline2Spec extends SparkSpec {
     }
   }
 
+  test("mv merge equals a direct full aggregate") {
+    val merged = Pipeline2.qMvMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val direct = tables.events.groupBy("event_type")
+      .agg(count(lit(1)), round(sum("value"), 4), min("value"), max("value"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(merged == direct)
+  }
+
+  test("pq encode scan is map-only and codes are valid codebook ids") {
+    val df = graft.operators.Similarity.pqCodes(
+      tables.embeddings, "vec_id", "embedding", "label", m = 4)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"pq encode should not shuffle:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == tables.embeddings.count())
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getInt(i) >= 0 && r.getInt(i) <= 9))
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
   test("interleave ranks are dense per source and mix keys scale by weight") {
     val rows = Pipeline2.smInterleave(spark, sfDir).collect()
     val bySrc = rows.groupBy(_.getString(1))
