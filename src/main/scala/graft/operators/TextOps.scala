@@ -163,16 +163,24 @@ object TextOps {
     val id = col(idCol)
     val toks = split(lower(trim(col(textCol))), "\\s+")
 
-    val words = docs.select(id.as("doc_id"), explode(toks).as("w"))
-    val topWord = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_w"), sum(col("c")).as("n_tok"))
-
-    val bigrams = docs.select(id.as("doc_id"),
-      explode(graft.functions.WordBigrams(col(textCol))).as("b"))
-    val topBigram = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_bg"))
+    // Every metric is WITHIN-document, so the whole operator is
+    // per-row array math — zero shuffle. (The explode → groupBy
+    // formulation moves the full token mass through THREE exchanges
+    // at 100 TB for statistics each row can compute locally.)
+    // Max n-gram multiplicity == longest equal-run in the sorted
+    // n-gram array: one O(L log L) sort + one fold per row.
+    def maxMultiplicity(arr: Column): Column =
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
 
     // trigram = tokens at (i, i+1, i+2), positions 1..n-2. Short docs
     // must short-circuit to an empty array: step-less sequence(1, 0)
@@ -182,18 +190,24 @@ object TextOps {
         sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
     ).otherwise(array())
-    val tri = docs.select(id.as("doc_id"), explode(triArr).as("t"))
-    val dupTri = tri.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"), countDistinct(col("t")).as("d_tri"))
+    val bigramArr = graft.functions.WordBigrams(col(textCol))
 
-    topWord
-      .join(topBigram, Seq("doc_id"), "left")
-      .join(dupTri, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        round(col("top_w").cast("double") / col("n_tok"), 4).as("top_word_frac"),
-        round(coalesce(col("top_b").cast("double") / col("n_bg"), lit(0.0)), 4).as("top_bigram_frac"),
-        round(coalesce(lit(1.0) - col("d_tri").cast("double") / col("n_tri"), lit(0.0)), 4).as("dup_trigram_frac"))
+    def fracOrZero(num: Column, den: Column): Column =
+      round(coalesce(num.cast("double") / den, lit(0.0)), 4)
+
+    docs.select(
+        id.as("doc_id"),
+        fracOrZero(maxMultiplicity(toks), size(toks).cast("double"))
+          .as("top_word_frac"),
+        fracOrZero(maxMultiplicity(bigramArr),
+          when(size(bigramArr) > 0, size(bigramArr).cast("double")))
+          .as("top_bigram_frac"),
+        // exactly 1.0 − d/n (not (n−d)/n): same float op order as
+        // the oracle, so the 4-dp rounding can never diverge.
+        round(coalesce(
+          lit(1.0) - size(array_distinct(triArr)).cast("double") /
+            when(size(triArr) > 0, size(triArr).cast("double")),
+          lit(0.0)), 4).as("dup_trigram_frac"))
       .withColumn("repetitive",
         col("top_word_frac") > topWordMax ||
           col("top_bigram_frac") > topBigramMax ||
