@@ -444,6 +444,41 @@ object Pipeline2 {
        |  round(abs(est.est_jaccard - ex.jaccard), 4) + 0 AS abs_err
        |FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b""".stripMargin
 
+  /** N7: leakage-safe (dedup-aware) train/val/test split — the
+    * assignment hashes the near-dup COMPONENT label, not the doc id,
+    * so a whole duplicate group lands in one split and eval can
+    * never see a near-copy of a training document. Reuses the
+    * session-cached CC labels (singletons label themselves); beyond
+    * them this is one map-side split expression + the doc-key join.
+    */
+  def smLeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cc = LlmQueries.ccLabels(spark, dir)
+    t.documents.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split",
+        graft.operators.Sampling.splitAssign(col("component"), 80, 10))
+  }
+
+  val smLeakageSafeSplitSql: String =
+    s"""WITH RECURSIVE pairs AS (${LlmQueries.ddNgramJaccardSql}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+       |SELECT doc_id, component,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, component,
+       |        (((component % 1000000007) * 2654435761 + 1013904223)
+       |          % 1000000007) % 100 AS b
+       |      FROM labeled) x""".stripMargin
+
   /** G15: stable keyed pseudonymization — the privacy pass a
     * training pipeline runs before user-keyed data leaves the
     * trust boundary: every user id maps to a salted one-way token,

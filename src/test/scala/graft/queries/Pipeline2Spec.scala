@@ -191,6 +191,16 @@ class Pipeline2Spec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split never puts one dup-group in two splits") {
+    val df = Pipeline2.smLeakageSafeSplit(spark, sfDir).cache()
+    assert(df.count() == tables.documents.count())
+    val straddling = df.groupBy("component")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddling == 0)
+    assert(df.select("split").distinct().count() >= 2) // split actually varies
+    df.unpersist()
+  }
+
   test("interleave ranks are dense per source and mix keys scale by weight") {
     val rows = Pipeline2.smInterleave(spark, sfDir).collect()
     val bySrc = rows.groupBy(_.getString(1))
