@@ -620,6 +620,70 @@ object Pipeline2 {
       |  round(sqrt(sum(d2)), 4) + 0 AS recon_err
       |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin
 
+  /** D38: time-decay weighted engagement — per user,
+    * Σ value·e^(−λ·age) with the reference instant fixed to the day
+    * after the dataset ends (deterministic). The decay weight is
+    * map-side column math; one group-key shuffle. The recency-
+    * weighted score every ranking/feature pipeline computes.
+    */
+  def qDecayWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nowUs = 1706745600000000L // 2024-02-01T00:00:00Z
+    val lambdaPerDay = 0.1
+    val ageDays = (lit(nowUs) - unix_micros(col("ts"))).cast("double") / 86400000000.0
+    t.events
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(col("value") * exp(lit(-lambdaPerDay) * ageDays)), 4)
+          .as("decayed_value"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val qDecayWeightedSql: String =
+    """SELECT user_id,
+      |  round(sum(value * exp(-0.1 *
+      |    ((1706745600000000 - epoch_us(ts)) / 86400000000.0))), 4) + 0
+      |    AS decayed_value,
+      |  count(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** C10: web-mercator (slippy-map) tile keys — the tiling
+    * partition key behind every map-publishing pipeline: lon/lat →
+    * (z, x, y) at zoom 6, with per-tile feature counts. Pure
+    * column math (map-only before the tile rollup); at scale the
+    * tile id doubles as the output partition key so one tile =
+    * one file. Coordinates derive from the event columns scaled
+    * into lon/lat range.
+    */
+  def geoTileKey(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val z = 6
+    val n = lit((1 << z).toDouble)
+    val lon = pmod(col("value"), lit(360.0)) - 180.0
+    val lat = get_json_object(col("props"), "$.k").cast("double") * 0.8 - 40.0
+    val latRad = lat * math.Pi / 180.0
+    val tx = floor((lon + 180.0) / 360.0 * n).cast("long")
+    val ty = floor((lit(1.0) -
+      log(tan(latRad) + lit(1.0) / cos(latRad)) / math.Pi) / 2.0 * n).cast("long")
+    t.events
+      .select(lit(z).as("zoom"), tx.as("tile_x"), ty.as("tile_y"))
+      .groupBy(col("zoom"), col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("n_features"))
+  }
+
+  val geoTileKeySql: String =
+    """WITH p AS (
+      |  SELECT ((value % 360.0) + 360.0) % 360.0 - 180.0 AS lon,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) * 0.8 - 40.0 AS lat
+      |  FROM events)
+      |SELECT 6 AS zoom,
+      |  CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS tile_x,
+      |  CAST(floor((1.0 - ln(tan(lat * pi() / 180.0)
+      |    + 1.0 / cos(lat * pi() / 180.0)) / pi()) / 2.0 * 64.0) AS BIGINT)
+      |    AS tile_y,
+      |  count(*) AS n_features
+      |FROM p GROUP BY 2, 3""".stripMargin
+
   /** D37: incremental materialized-view merge — the aggregate-state
     * maintenance pattern: stored per-group partials (count/sum/min/
     * max over the published half) merge with the delta's partials
