@@ -76,20 +76,16 @@ object Exporter {
     * is the incremental-publish write shape (reference publish.py
     * truncate-and-append per layer, generalized to keyed
     * partitions): a 100 TB lake refreshes one country/day partition
-    * without rewriting — or even listing — the rest. The conf is
-    * scoped to this write and restored after.
+    * without rewriting — or even listing — the rest. The mode rides
+    * as a per-write OPTION (it takes precedence over the session
+    * conf, SPARK-25556), so concurrent writes on one session can
+    * never observe each other's mode or leak it.
     */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
 
   /** Default export filename (reference: export.py:468-511
     * `generate_export_filename`): `<iso3>_<query>[_raw].<ext>`.

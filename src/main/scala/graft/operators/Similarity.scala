@@ -327,6 +327,7 @@ object Similarity {
       .orderBy(col("clabel"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "pqCodes: no codebook centroids — input table is empty")
     val dim = cents.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m

@@ -145,9 +145,11 @@ object TextOps {
     * training corpus applies to drop boilerplate/spam: fraction of
     * tokens claimed by the single most frequent word, by the most
     * frequent bigram, and the duplicate-trigram fraction
-    * (1 − distinct/total). Three explode→count branches joined on
-    * doc id; each shuffle is token-mass with map-side combine, the
-    * same shape as TF (no per-row O(n²) mode computation).
+    * (1 − distinct/total). Every statistic is within-document, so
+    * the whole operator is per-row array math inside whole-stage
+    * codegen — ZERO shuffles (max n-gram multiplicity = longest
+    * equal-run in the sorted n-gram array, one O(L log L) sort +
+    * one fold per row).
     *
     * `repetitive` flags docs past the thresholds (Gopher's published
     * cutoffs are the same order: top-2gram > 0.18, dup-ngram > 0.30).

@@ -380,8 +380,12 @@ object Pipeline2 {
     // published snapshot = first two weeks; raw nano-long ts column
     val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
     val raw = t.table("events")
-    val wmUs = raw.filter(col("ts") < cutoffUs * 1000)
-      .agg(max(expr("ts div 1000")).as("wm")).head().getLong(0)
+    val wmRow = raw.filter(col("ts") < cutoffUs * 1000)
+      .agg(max(expr("ts div 1000")).as("wm")).head()
+    require(!wmRow.isNullAt(0),
+      s"srcIncremental: no events before the snapshot cutoff ($cutoffUs µs) — " +
+        "there is no published watermark to read incrementally from")
+    val wmUs = wmRow.getLong(0)
     raw.filter(col("ts") >= (wmUs + 1) * 1000) // pushable raw-long range
       .select(col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
       .groupBy(col("event_type"))

@@ -23,6 +23,28 @@ object StreamQueries {
       finally s.close()
     }
 
+  /** Write `df` as ONE parquet part file and hoist it to each
+    * (dest, mtime): the file streaming source lists PLAIN files (a
+    * Spark parquet "file" is a directory, which it would skip), and
+    * mtime order is its delivery order.
+    */
+  private def stageSinglePart(
+      df: org.apache.spark.sql.DataFrame,
+      dests: Seq[(java.nio.file.Path, Long)]): Unit = {
+    val scratch = Files.createTempDirectory("graft_stage_part_")
+    df.coalesce(1).write.mode("overwrite").parquet(scratch.resolve("out").toString)
+    val listing = Files.list(scratch.resolve("out"))
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    dests.foreach { case (dest, mtime) =>
+      Files.copy(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    deleteRecursively(scratch)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily
     * lowered for a streaming query. Stateful streaming fans out one
     * state-store instance per shuffle partition PER MICRO-BATCH
@@ -175,25 +197,13 @@ object StreamQueries {
         }
       }
     }.toIndexedSeq: _*)
-    val scratch = Files.createTempDirectory("graft_sentinel_")
-    spark.createDataFrame(java.util.Collections.singletonList(sentinelRow), schema)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(scratch.resolve("out").toString)
-    val listing = Files.list(scratch.resolve("out"))
-    val part =
-      try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      finally listing.close()
-    Seq(1, 2).foreach { i =>
-      // The file source lists PLAIN files in the stage dir (a Spark
-      // parquet "file" is a directory, which the source would skip) —
-      // hoist the part file up as z_sentinel_<i>.parquet, with
-      // strictly increasing mtimes so the source orders them last.
-      val dest = stage.resolve(s"z_sentinel_$i.parquet")
-      Files.copy(part, dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(baseTime + i * 60000L))
-    }
-    deleteRecursively(scratch)
+    // One driver-built single-row write; its part file is staged
+    // twice with strictly increasing mtimes so the source orders the
+    // sentinels last.
+    stageSinglePart(
+      spark.createDataFrame(java.util.Collections.singletonList(sentinelRow), schema),
+      Seq(1, 2).map(i =>
+        stage.resolve(s"z_sentinel_$i.parquet") -> (baseTime + i * 60000L)))
 
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2")
@@ -484,23 +494,17 @@ object StreamQueries {
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       require(nFresh > 0 && nLate > 0,
         s"stLateDrop split at $splitUs leaves an empty side (fresh=$nFresh late=$nLate)")
-      def stagePart(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val scratch = Files.createTempDirectory("graft_late_part_")
-        df.coalesce(1).write.mode("overwrite").parquet(scratch.resolve("out").toString)
-        val listing = Files.list(scratch.resolve("out"))
-        val part =
-          try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          finally listing.close()
-        val dest = stage.resolve(name)
-        Files.copy(part, dest)
-        Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-        deleteRecursively(scratch)
-      }
       val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
-      stagePart(raw.filter(col("ts") >= splitUs * 1000), "a_fresh.parquet", base)
-      stagePart(raw.orderBy(col("ts").desc).limit(1), "m_mid.parquet", base + 30000L)
-      stagePart(raw.filter(col("ts") < splitUs * 1000), "z_late.parquet", base + 60000L)
+      stageSinglePart(raw.filter(col("ts") >= splitUs * 1000),
+        Seq(stage.resolve("a_fresh.parquet") -> base))
+      stageSinglePart(raw.orderBy(col("ts").desc).limit(1),
+        Seq(stage.resolve("m_mid.parquet") -> (base + 30000L)))
+      stageSinglePart(raw.filter(col("ts") < splitUs * 1000),
+        Seq(stage.resolve("z_late.parquet") -> (base + 60000L)))
+      // Cached for the JVM's lifetime (it holds a full copy of the
+      // events table) — reap it on exit so repeated bench/verify
+      // JVMs don't accumulate copies in /tmp.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(stage)))
       stage
     })
 

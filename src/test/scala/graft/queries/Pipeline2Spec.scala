@@ -63,11 +63,15 @@ class Pipeline2Spec extends SparkSpec {
   test("span dedup keeps first occurrence only and never grows a doc") {
     val df = Pipeline2.txSpanDedup(spark, sfDir).cache()
     assert(df.filter(col("n_kept") > col("n_spans")).count() == 0)
-    // every surviving span is globally unique across the output
-    val dupSpans = df
-      .select(explode(split(col("text_kept"), " ")).as("w")) // word-level sanity only
-      .count()
-    assert(dupSpans > 0)
+    // every surviving span is globally unique across the corpus:
+    // total kept == number of DISTINCT spans, computed independently
+    val toks = split(col("text"), " ")
+    val distinctSpans = tables.documents
+      .select(explode(transform(
+        sequence(lit(0), (ceil(size(toks) / lit(8.0)) - 1).cast("int")),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))).as("span"))
+      .distinct().count()
+    assert(df.agg(sum("n_kept")).head().getLong(0) == distinctSpans)
     // doc 0 keeps all its spans (first doc wins every tie)
     val d0 = df.filter(col("doc_id") === 0).head()
     assert(d0.getLong(1) == d0.getLong(2))
