@@ -483,6 +483,57 @@ object Pipeline2 {
        |          % 1000000007) % 100 AS b
        |      FROM labeled) x""".stripMargin
 
+  /** M7: training-data manifest — the composed END of the prep
+    * pipeline: cleaned survivors (M1) × leakage-safe splits (N7) ×
+    * token budgets, rolled up per (split, source). This is the
+    * report a training run is actually launched from: how many
+    * documents and tokens each split draws from each source, at
+    * what mean quality. Everything upstream is shared/cached
+    * subtrees; the rollup adds one group-key shuffle.
+    */
+  def pipeManifest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val clean = LlmQueries.pipeCleanCorpus(spark, dir).select(col("doc_id"), col("quality"))
+    val splits = smLeakageSafeSplit(spark, dir).select(col("doc_id"), col("split"))
+    val docs = t.documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    clean.join(splits, "doc_id").join(docs, "doc_id")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // sum, not mean: averaging 4-dp-rounded values lands
+        // EXACTLY on .00005 boundaries (observed at sf0.001), where
+        // engines' half-rounding diverges; the sum of 4-dp values
+        // stays 5e-5 away from every boundary.
+        round(sum(col("quality")), 4).as("total_quality"))
+  }
+
+  val pipeManifestSql: String =
+    s"""WITH RECURSIVE clean AS (${LlmQueries.pipeCleanCorpusSql}),
+       |pairs AS (${LlmQueries.ddNgramJaccardSql}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT d.doc_id, d.source,
+       |    len(string_split(d.text, ' ')) AS n_tokens,
+       |    coalesce(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |assigned AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |          (((component % 1000000007) * 2654435761 + 1013904223)
+       |            % 1000000007) % 100 AS b
+       |        FROM labeled) x)
+       |SELECT a.split, a.source, count(*) AS n_docs,
+       |  sum(a.n_tokens) AS n_tokens,
+       |  round(sum(c.quality), 4) + 0 AS total_quality
+       |FROM clean c JOIN assigned a USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** G15: stable keyed pseudonymization — the privacy pass a
     * training pipeline runs before user-keyed data leaves the
     * trust boundary: every user id maps to a salted one-way token,
