@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions.col
   * {{{
   *   graft.Cli export   <catalog.json> <query> <sfDir> <outPath> [--country=ISO3] [--geom=xCol,yCol] [--date=ISO]
   *   graft.Cli publish  <catalog.json> <query> <sfDir> <servicePath> [--mode=auto|initial|overwrite|append] [--country=ISO3] [--date=ISO]
+  *   graft.Cli run          <registry-query> <sfDir> <outPath.{parquet,csv}>
+  *   graft.Cli list-registry
   *   graft.Cli list-queries <catalog.json>
   *   graft.Cli list-cache   <cachePath>
   *   graft.Cli clear-cache  <cachePath> <release> <country> <theme> <type>
@@ -113,6 +115,23 @@ object Cli {
         }
         FeatureService.publish(df, servicePath, cfg.name, mode, cfg.upsertKey)
         println(s"published ${cfg.name} -> $servicePath (mode=$mode)")
+
+      // Run any REGISTERED operator query (SURVEY §2 row) over an
+      // sf dir and write the result — the one-command path to every
+      // engine capability, not just the catalog pipelines.
+      case Seq("run", name, sfDir, outPath) =>
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"no registered query '$name' (see list-registry)"))
+        val df = fn(spark, sfDir)
+        ExportFormat.fromPath(outPath) match {
+          case ExportFormat.Csv => Exporter.write(df, outPath, ExportFormat.Csv)
+          case _                => Exporter.write(df, outPath, ExportFormat.Parquet)
+        }
+        println(s"[cli] wrote $name -> $outPath")
+
+      case Seq("list-registry") =>
+        SparkEntry.queries.keys.toSeq.sorted.foreach(println)
 
       case Seq("list-queries", catalogPath) =>
         QueryConfig.catalogFromJson(spark, catalogPath).values.toSeq

@@ -75,4 +75,17 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, Seq("clear-cache", s"$dir/cache", "2026-01", "AF", "places", "place"))
     Cli.run(spark, Seq("version"))
   }
+
+  test("run verb executes any registry query and writes the result") {
+    val dir = tmp()
+    Cli.run(spark, Seq("run", "q1_pricing", "/root/testdata/sf0.001", s"$dir/q1.parquet"))
+    val back = spark.read.parquet(s"$dir/q1.parquet")
+    assert(back.count() > 0)
+    assert(back.columns.contains("l_returnflag"))
+    val err = intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("run", "nope", "/root/testdata/sf0.001", s"$dir/x.parquet"))
+    }
+    assert(err.getMessage.contains("no registered query"))
+    Cli.run(spark, Seq("list-registry"))
+  }
 }
