@@ -205,6 +205,16 @@ class Pipeline2Spec extends SparkSpec {
     df.unpersist()
   }
 
+  test("nearest-site and repetition scans stay shuffle-free (plan regression)") {
+    Seq(
+      Pipeline2.geoNearest(spark, sfDir),
+      graft.operators.TextOps.repetitionMetrics(tables.documents, "text", "doc_id")
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
+    }
+  }
+
   test("interleave ranks are dense per source and mix keys scale by weight") {
     val rows = Pipeline2.smInterleave(spark, sfDir).collect()
     val bySrc = rows.groupBy(_.getString(1))
