@@ -739,6 +739,78 @@ object Pipeline2 {
       |  count(*) AS n_features
       |FROM p GROUP BY 2, 3""".stripMargin
 
+  /** C11: polyline simplification (radial-distance) — per user
+    * trajectory, keep a point only if it lies farther than eps from
+    * the LAST KEPT point; first point always survives. The
+    * map-reduce shape is one user-key shuffle + a per-row fold over
+    * the sorted point list (trajectory-bounded, like D29's paths);
+    * the sequential keep-rule can't be a window function because
+    * each decision depends on the previous KEPT point, not the
+    * previous row — exactly what the fold (and the oracle's
+    * recursive CTE) expresses.
+    */
+  def geoSimplify(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val eps2 = 400.0 // eps = 20 in coordinate units
+    val emptyKept = array().cast("array<struct<x:double,y:double>>")
+    val folded = t.events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value").as("x"),
+          get_json_object(col("props"), "$.k").cast("double").as("y")).as("p"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("p"))).as("seq"))
+      .select(col("user_id"), size(col("seq")).cast("long").as("n_points"),
+        aggregate(col("seq"), emptyKept, (acc, e) => {
+          val last = element_at(acc, -1)
+          val d2 = (e.getField("x") - last.getField("x")) * (e.getField("x") - last.getField("x")) +
+            (e.getField("y") - last.getField("y")) * (e.getField("y") - last.getField("y"))
+          when(size(acc) === 0 || d2 > eps2,
+            concat(acc, array(struct(e.getField("x").as("x"), e.getField("y").as("y")))))
+            .otherwise(acc)
+        }).as("kept"))
+    folded.select(col("user_id"), col("n_points"),
+      size(col("kept")).cast("long").as("n_kept"),
+      round(aggregate(col("kept"),
+        struct(lit(null).cast("double").as("px"), lit(null).cast("double").as("py"),
+          lit(0.0).as("len")),
+        (acc, p) => struct(p.getField("x").as("px"), p.getField("y").as("py"),
+          (acc.getField("len") + coalesce(sqrt(
+            (p.getField("x") - acc.getField("px")) * (p.getField("x") - acc.getField("px")) +
+              (p.getField("y") - acc.getField("py")) * (p.getField("y") - acc.getField("py"))),
+            lit(0.0))).as("len")),
+        acc => acc.getField("len")), 4).as("simplified_len"))
+  }
+
+  val geoSimplifySql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+      |    value AS x,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+      |  FROM events),
+      |keep(user_id, i, x, y) AS (
+      |  SELECT user_id, i, x, y FROM pts WHERE i = 1
+      |  UNION ALL
+      |  SELECT n.user_id, n.i, n.x, n.y
+      |  FROM keep k, LATERAL (
+      |    SELECT p.user_id, p.i, p.x, p.y FROM pts p
+      |    WHERE p.user_id = k.user_id AND p.i > k.i
+      |      AND (p.x - k.x) * (p.x - k.x) + (p.y - k.y) * (p.y - k.y) > 400.0
+      |    ORDER BY p.i LIMIT 1) n),
+      |seg AS (
+      |  SELECT user_id, x, y,
+      |    lag(x) OVER w AS px, lag(y) OVER w AS py
+      |  FROM keep
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY i)),
+      |np AS (SELECT user_id, count(*) AS n_points FROM pts GROUP BY 1)
+      |SELECT s.user_id, np.n_points, count(*) AS n_kept,
+      |  round(sum(CASE WHEN px IS NULL THEN 0.0
+      |    ELSE sqrt((x - px) * (x - px) + (y - py) * (y - py)) END), 4) + 0
+      |    AS simplified_len
+      |FROM seg s JOIN np USING (user_id)
+      |GROUP BY s.user_id, np.n_points""".stripMargin
+
   /** D37: incremental materialized-view merge — the aggregate-state
     * maintenance pattern: stored per-group partials (count/sum/min/
     * max over the published half) merge with the delta's partials

@@ -215,6 +215,22 @@ class Pipeline2Spec extends SparkSpec {
     }
   }
 
+  test("radial simplification keeps the first point and never lengthens the line") {
+    val rows = Pipeline2.geoSimplify(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val full = graft.operators.Geo.lineLength(
+      tables.events.select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("x"),
+        get_json_object(col("props"), "$.k").cast("double").as("y")),
+      "user_id", "ts", "x", "y", minLength = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)) // 1 <= kept <= points
+      // chord-shortening: the simplified path is never longer
+      full.get(r.getLong(0)).foreach(l => assert(r.getDouble(3) <= l + 1e-6))
+    }
+  }
+
   test("interleave ranks are dense per source and mix keys scale by weight") {
     val rows = Pipeline2.smInterleave(spark, sfDir).collect()
     val bySrc = rows.groupBy(_.getString(1))
