@@ -662,21 +662,30 @@ object LlmQueries {
     * exact-dedup survivors. One scan, one dedup shuffle, one
     * survivor semi-join; everything upstream is map-only.
     */
-  def pipeCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val scored = t.documents.select(
-      col("doc_id"), col("text"),
-      TextOps.qualityScore(col("text")).as("quality"),
-      TextOps.langId(col("text")).as("lang_pred"))
-    val kept = scored.filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
-    val survivors = kept
-      .groupBy(md5(col("text").cast("binary")))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    kept
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang_pred"), col("quality"))
-  }
+  /** Session-scoped like [[ngramPairs]]/[[ccLabels]]: the cleaned
+    * survivors feed both the flagship M1 row and the M7 manifest,
+    * and the result is survivor-sized (doc ids + two columns).
+    */
+  private val cleanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def pipeCleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    cleanCache.getOrElseUpdate((spark, dir), {
+      val t = Tables(spark, dir)
+      val scored = t.documents.select(
+        col("doc_id"), col("text"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      val kept = scored.filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      val survivors = kept
+        .groupBy(md5(col("text").cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      kept
+        .join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+        .localCheckpoint(true)
+    })
 
   val pipeCleanCorpusSql: String =
     s"""WITH q AS ($txQualitySql),
