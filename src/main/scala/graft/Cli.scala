@@ -120,14 +120,17 @@ object Cli {
       // sf dir and write the result — the one-command path to every
       // engine capability, not just the catalog pipelines.
       case Seq("run", name, sfDir, outPath) =>
+        // Validate BOTH inputs before running: some registry queries
+        // (streaming rows, checkpointed pipelines) execute eagerly.
+        val fmt = ExportFormat.fromPath(outPath) match {
+          case f @ (ExportFormat.Parquet | ExportFormat.Csv | ExportFormat.Json) => f
+          case other => throw new IllegalArgumentException(
+            s"run writes tabular results — use .parquet, .csv or .jsonl (got $other)")
+        }
         val fn = SparkEntry.queries.getOrElse(name,
           throw new IllegalArgumentException(
             s"no registered query '$name' (see list-registry)"))
-        val df = fn(spark, sfDir)
-        ExportFormat.fromPath(outPath) match {
-          case ExportFormat.Csv => Exporter.write(df, outPath, ExportFormat.Csv)
-          case _                => Exporter.write(df, outPath, ExportFormat.Parquet)
-        }
+        Exporter.write(fn(spark, sfDir), outPath, fmt)
         println(s"[cli] wrote $name -> $outPath")
 
       case Seq("list-registry") =>

@@ -657,18 +657,21 @@ object LlmQueries {
       |  FROM documents) x
       |WHERE rk <= ceil(n * 0.1)""".stripMargin
 
-  /** M1: end-to-end corpus cleaning — the composed training-data
-    * pipeline: score quality → language-ID → threshold filter →
-    * exact-dedup survivors. One scan, one dedup shuffle, one
-    * survivor semi-join; everything upstream is map-only.
-    */
-  /** Session-scoped like [[ngramPairs]]/[[ccLabels]]: the cleaned
-    * survivors feed both the flagship M1 row and the M7 manifest,
-    * and the result is survivor-sized (doc ids + two columns).
+  /** Session-scoped like [[ngramPairs]]/[[ccLabels]]; all these
+    * caches assume the sf dir is IMMUTABLE for the session's
+    * lifetime (true for the released-snapshot layout they model —
+    * a refreshed drop lands in a new release dir / session).
     */
   private val cleanCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** M1: end-to-end corpus cleaning — the composed training-data
+    * pipeline: score quality → language-ID → threshold filter →
+    * exact-dedup survivors. One scan, one dedup shuffle, one
+    * survivor semi-join; everything upstream is map-only. The
+    * survivor set (doc ids + two columns) is session-cached: the
+    * flagship M1 row and the M7 manifest both consume it.
+    */
   def pipeCleanCorpus(spark: SparkSession, dir: String): DataFrame =
     cleanCache.getOrElseUpdate((spark, dir), {
       val t = Tables(spark, dir)

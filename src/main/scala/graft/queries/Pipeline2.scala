@@ -508,30 +508,19 @@ object Pipeline2 {
         round(sum(col("quality")), 4).as("total_quality"))
   }
 
+  // Composes the N7 split SQL verbatim as a nested CTE — the hash
+  // constants and split thresholds live in ONE place, exactly as the
+  // Spark side reuses smLeakageSafeSplit.
   val pipeManifestSql: String =
-    s"""WITH RECURSIVE clean AS (${LlmQueries.pipeCleanCorpusSql}),
-       |pairs AS (${LlmQueries.ddNgramJaccardSql}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |          UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(a, b) AS (SELECT a, b FROM edges
-       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
-       |labeled AS (
-       |  SELECT d.doc_id, d.source,
-       |    len(string_split(d.text, ' ')) AS n_tokens,
-       |    coalesce(c.component, d.doc_id) AS component
-       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
-       |assigned AS (
-       |  SELECT doc_id, source, n_tokens,
-       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-       |  FROM (SELECT *,
-       |          (((component % 1000000007) * 2654435761 + 1013904223)
-       |            % 1000000007) % 100 AS b
-       |        FROM labeled) x)
-       |SELECT a.split, a.source, count(*) AS n_docs,
-       |  sum(a.n_tokens) AS n_tokens,
+    s"""WITH clean AS (${LlmQueries.pipeCleanCorpusSql}),
+       |assigned AS (${smLeakageSafeSplitSql}),
+       |docs AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents)
+       |SELECT a.split, d.source, count(*) AS n_docs,
+       |  sum(d.n_tokens) AS n_tokens,
        |  round(sum(c.quality), 4) + 0 AS total_quality
-       |FROM clean c JOIN assigned a USING (doc_id)
+       |FROM clean c JOIN assigned a USING (doc_id) JOIN docs d USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
   /** G15: stable keyed pseudonymization — the privacy pass a

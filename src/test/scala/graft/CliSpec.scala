@@ -78,14 +78,19 @@ class CliSpec extends SparkSpec {
 
   test("run verb executes any registry query and writes the result") {
     val dir = tmp()
-    Cli.run(spark, Seq("run", "q1_pricing", "/root/testdata/sf0.001", s"$dir/q1.parquet"))
+    Cli.run(spark, Seq("run", "q1_pricing", sfDir, s"$dir/q1.parquet"))
     val back = spark.read.parquet(s"$dir/q1.parquet")
     assert(back.count() > 0)
     assert(back.columns.contains("l_returnflag"))
     val err = intercept[IllegalArgumentException] {
-      Cli.run(spark, Seq("run", "nope", "/root/testdata/sf0.001", s"$dir/x.parquet"))
+      Cli.run(spark, Seq("run", "nope", sfDir, s"$dir/x.parquet"))
     }
     assert(err.getMessage.contains("no registered query"))
+    // non-tabular target rejected BEFORE the query runs
+    val fmtErr = intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("run", "q1_pricing", sfDir, s"$dir/x.gpkg"))
+    }
+    assert(fmtErr.getMessage.contains("tabular"))
     Cli.run(spark, Seq("list-registry"))
   }
 }

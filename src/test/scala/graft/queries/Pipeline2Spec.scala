@@ -218,12 +218,20 @@ class Pipeline2Spec extends SparkSpec {
   test("radial simplification keeps the first point and never lengthens the line") {
     val rows = Pipeline2.geoSimplify(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    val full = graft.operators.Geo.lineLength(
-      tables.events.select(col("event_id"), col("user_id"), col("ts"),
+    // full polyline length with the SAME (ts, event_id) tiebreak the
+    // operator sorts by, so the comparison is order-exact even if a
+    // fixture ever carries tied timestamps
+    val full = tables.events
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
         col("value").as("x"),
-        get_json_object(col("props"), "$.k").cast("double").as("y")),
-      "user_id", "ts", "x", "y", minLength = 0.0)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        get_json_object(col("props"), "$.k").cast("double").as("y"))
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) =>
+        val pts = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+          .map(r => (r.getDouble(3), r.getDouble(4)))
+        u -> pts.sliding(2).collect { case Array((x1, y1), (x2, y2)) =>
+          math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        }.sum
+      }
     rows.foreach { r =>
       assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)) // 1 <= kept <= points
       // chord-shortening: the simplified path is never longer
