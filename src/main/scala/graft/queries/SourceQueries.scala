@@ -353,4 +353,61 @@ object SourceQueries {
        |WHERE ${inRingSql(FrameOuter.size, "fo.r", "x", "y")}
        |  AND NOT ${inRingSql(FrameHole.size, "fh.r", "x", "y")}""".stripMargin
   }
+
+  /** Text-format round trips are staged once per (session, dir):
+    * the fixture is an immutable projection of the events table, so
+    * bench/verify re-runs measure the READ path, not fixture writes.
+    */
+  private val textStageCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def textStage(spark: SparkSession, dir: String, fmt: String): String =
+    textStageCache.getOrElseUpdate((spark, dir, fmt), {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString
+      val slim = Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      fmt match {
+        case "csv"  => slim.write.mode("overwrite").option("header", "true").csv(out)
+        case "json" => slim.write.mode("overwrite").json(out)
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p)) {
+          val w = java.nio.file.Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally w.close()
+        }
+      }))
+      out
+    })
+
+  private val textSchema = "event_id BIGINT, event_type STRING, value DOUBLE"
+
+  /** A16: CSV source path — read a headered CSV lake with an
+    * EXPLICIT schema (never inferSchema: inference is a full extra
+    * pass over the data at scale) and aggregate. Doubles survive the
+    * text round trip exactly (shortest-representation printing), so
+    * the oracle runs on the ORIGINAL parquet.
+    */
+  def srcCsvRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(textSchema).option("header", "true")
+      .csv(textStage(spark, dir, "csv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
+  val srcCsvReadSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(value), 4) + 0 AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** A17: JSON-lines source path — same contract as A16 over the
+    * newline-delimited JSON the dump/export tooling emits. */
+  def srcJsonlRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(textSchema)
+      .json(textStage(spark, dir, "json"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
+  val srcJsonlReadSql: String = srcCsvReadSql
 }
