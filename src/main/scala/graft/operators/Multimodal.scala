@@ -149,4 +149,48 @@ object Multimodal {
         col("b.media_id").as("media_b"),
         round(abs(col("a.mi") - col("b.mi")), 4).as("intensity_delta"))
   }
+
+  /** WebDataset-style shard manifest: whole payloads assigned
+    * greedily to byte-budgeted shards within each source — a shard
+    * closes when the next payload would overflow it (no payload
+    * splitting; an oversized payload owns its shard). The greedy
+    * reset depends on the previous SHARD boundary, not a running
+    * sum, so it is a per-source fold over the sorted payload list —
+    * one shuffle on the shard-group key, list width bounded by the
+    * per-source corpus (the same sequential-fold shape as
+    * radial simplification). Emits (doc, shard, offset): exactly
+    * the index a tar-shard writer consumes.
+    */
+  def shardManifest(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      bytesCol: String,
+      budget: Long
+  ): DataFrame = {
+    val emptyOut = array().cast("array<struct<doc_id:bigint,shard:bigint,offset:bigint>>")
+    df.select(col(sourceCol).as("source"),
+        struct(col(idCol).as("doc_id"), col(bytesCol).cast("long").as("bytes")).as("p"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
+      .select(col("source"), explode(aggregate(col("ps"),
+        // init used = budget so the first (nonempty) payload always
+        // overflows into shard 0 — and the sum can never wrap.
+        struct(lit(-1L).as("shard"), lit(budget).as("used"), emptyOut.as("out")),
+        (acc, p) => {
+          val overflow = acc.getField("used") + p.getField("bytes") > budget
+          val shard = when(overflow, acc.getField("shard") + 1L)
+            .otherwise(acc.getField("shard"))
+          val offset = when(overflow, lit(0L)).otherwise(acc.getField("used"))
+          struct(
+            shard.as("shard"),
+            (offset + p.getField("bytes")).as("used"),
+            concat(acc.getField("out"), array(struct(
+              p.getField("doc_id").as("doc_id"), shard.as("shard"),
+              offset.as("offset")))).as("out"))
+        },
+        acc => acc.getField("out"))).as("m"))
+      .select(col("source"), col("m.doc_id").as("doc_id"),
+        col("m.shard").as("shard"), col("m.offset").as("offset"))
+  }
 }

@@ -33,4 +33,27 @@ object Profiler {
         col(s"__${c}_distinct").as("n_distinct"))): _*)).as("p"))
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"), col("p.n_distinct"))
   }
+
+  /** Mergeable distinct-count partials via DataSketches HLL — the
+    * incremental twin of the exact profile: each slice of the lake
+    * keeps one binary sketch per group, and a refresh UNIONS the
+    * stored sketches with the delta's instead of rescanning history
+    * (the same maintenance shape as the MV merge, but for DISTINCT,
+    * which plain partials can't merge). HLL register-max is
+    * associative and commutative, so the merged estimate is
+    * EXACTLY the estimate of sketching everything at once —
+    * asserted, not approximated, in the spec.
+    */
+  def distinctSketch(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+
+  /** Union per-slice sketches into the refreshed estimate. */
+  def mergeSketches(slices: DataFrame*): DataFrame = {
+    require(slices.nonEmpty, "mergeSketches needs at least one slice")
+    val all = slices.reduce(_ unionByName _)
+    val key = all.columns.head
+    all.groupBy(col(key))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+  }
 }

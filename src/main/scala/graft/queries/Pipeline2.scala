@@ -523,6 +523,42 @@ object Pipeline2 {
        |FROM clean c JOIN assigned a USING (doc_id) JOIN docs d USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** K6: WebDataset-style shard manifest over binary payloads
+    * ([[graft.operators.Multimodal.shardManifest]]) — whole
+    * payloads greedily packed into 4 KiB-budget shards per source,
+    * rolled up per shard. The tar-shard index a media training
+    * pipeline writes before uploading.
+    */
+  def mmShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.operators.Multimodal.shardManifest(
+      t.documents.select(col("source"), col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes")),
+      "source", "doc_id", "n_bytes", budget = 4096L)
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("offset")).as("first_offset"),
+        max(col("offset")).as("last_offset"))
+  }
+
+  val mmShardManifestSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i,
+      |    doc_id, octet_length(encode(text)) AS bytes
+      |  FROM documents),
+      |fold(source, i, doc_id, bytes, shard, used) AS (
+      |  SELECT source, i, doc_id, bytes, 0, bytes FROM p WHERE i = 1
+      |  UNION ALL
+      |  SELECT n.source, n.i, n.doc_id, n.bytes,
+      |    CASE WHEN f.used + n.bytes > 4096 THEN f.shard + 1 ELSE f.shard END,
+      |    CASE WHEN f.used + n.bytes > 4096 THEN n.bytes ELSE f.used + n.bytes END
+      |  FROM fold f JOIN p n ON n.source = f.source AND n.i = f.i + 1)
+      |SELECT source, shard, count(*) AS n_items,
+      |  min(used - bytes) AS first_offset,
+      |  max(used - bytes) AS last_offset
+      |FROM fold GROUP BY 1, 2""".stripMargin
+
   /** G15: stable keyed pseudonymization — the privacy pass a
     * training pipeline runs before user-keyed data leaves the
     * trust boundary: every user id maps to a salted one-way token,

@@ -34,4 +34,23 @@ class ProfilerSpec extends SparkSpec {
     // One Expand feeding partial aggregates — not a per-column scan.
     assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("HLL sketch merge equals sketching everything at once, within 5% of exact") {
+    val e = tables.events
+    val cut = 1705276800000000L
+    val first = e.filter(unix_micros(col("ts")) < cut)
+    val second = e.filter(unix_micros(col("ts")) >= cut)
+    val merged = Profiler.mergeSketches(
+      Profiler.distinctSketch(first, "event_type", "user_id"),
+      Profiler.distinctSketch(second, "event_type", "user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Profiler.mergeSketches(Profiler.distinctSketch(e, "event_type", "user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct) // register-max associativity: EXACT equality
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(merged(k) - d).toDouble / d < 0.05, s"$k merged=${merged(k)} exact=$d")
+    }
+  }
 }
