@@ -169,16 +169,22 @@ object Multimodal {
       budget: Long
   ): DataFrame = {
     val emptyOut = array().cast("array<struct<doc_id:bigint,shard:bigint,offset:bigint>>")
+    // null sizes normalize to 0 (an unknown size must not poison
+    // the rest of the source's fold); zero-byte payloads are legal
+    // and occupy no budget.
     df.select(col(sourceCol).as("source"),
-        struct(col(idCol).as("doc_id"), col(bytesCol).cast("long").as("bytes")).as("p"))
+        struct(col(idCol).as("doc_id"),
+          coalesce(col(bytesCol).cast("long"), lit(0L)).as("bytes")).as("p"))
       .groupBy(col("source"))
       .agg(array_sort(collect_list(col("p"))).as("ps"))
       .select(col("source"), explode(aggregate(col("ps"),
-        // init used = budget so the first (nonempty) payload always
-        // overflows into shard 0 — and the sum can never wrap.
-        struct(lit(-1L).as("shard"), lit(budget).as("used"), emptyOut.as("out")),
+        struct(lit(-1L).as("shard"), lit(0L).as("used"), emptyOut.as("out")),
         (acc, p) => {
-          val overflow = acc.getField("used") + p.getField("bytes") > budget
+          // the first payload always OPENS shard 0 (shard −1 is the
+          // pre-start sentinel), whatever its size — including 0,
+          // which the used+bytes>budget rule alone would misplace.
+          val overflow = acc.getField("shard") === -1L ||
+            acc.getField("used") + p.getField("bytes") > budget
           val shard = when(overflow, acc.getField("shard") + 1L)
             .otherwise(acc.getField("shard"))
           val offset = when(overflow, lit(0L)).otherwise(acc.getField("used"))

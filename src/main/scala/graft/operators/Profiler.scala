@@ -48,12 +48,15 @@ object Profiler {
     df.groupBy(col(keyCol))
       .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
 
-  /** Union per-slice sketches into the refreshed estimate. */
-  def mergeSketches(slices: DataFrame*): DataFrame = {
+  /** Union per-slice sketches into the refreshed estimate. The key
+    * column is explicit — inferring it positionally would silently
+    * group by the sketch blob for a slice selected in a different
+    * column order.
+    */
+  def mergeSketches(keyCol: String, slices: DataFrame*): DataFrame = {
     require(slices.nonEmpty, "mergeSketches needs at least one slice")
-    val all = slices.reduce(_ unionByName _)
-    val key = all.columns.head
-    all.groupBy(col(key))
+    slices.reduce(_ unionByName _)
+      .groupBy(col(keyCol))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
   }
 }

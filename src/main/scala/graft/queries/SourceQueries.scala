@@ -370,15 +370,8 @@ object SourceQueries {
         case "csv"  => slim.write.mode("overwrite").option("header", "true").csv(out)
         case "json" => slim.write.mode("overwrite").json(out)
       }
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val p = java.nio.file.Paths.get(out)
-        if (java.nio.file.Files.exists(p)) {
-          val w = java.nio.file.Files.walk(p)
-          try w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          finally w.close()
-        }
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(out))))
       out
     })
 
@@ -390,11 +383,13 @@ object SourceQueries {
     * text round trip exactly (shortest-representation printing), so
     * the oracle runs on the ORIGINAL parquet.
     */
-  def srcCsvRead(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(textSchema).option("header", "true")
-      .csv(textStage(spark, dir, "csv"))
-      .groupBy(col("event_type"))
+  private def textAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
+  def srcCsvRead(spark: SparkSession, dir: String): DataFrame =
+    textAgg(spark.read.schema(textSchema).option("header", "true")
+      .csv(textStage(spark, dir, "csv")))
 
   val srcCsvReadSql: String =
     """SELECT event_type, count(*) AS n,
@@ -404,10 +399,8 @@ object SourceQueries {
   /** A17: JSON-lines source path — same contract as A16 over the
     * newline-delimited JSON the dump/export tooling emits. */
   def srcJsonlRead(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(textSchema)
-      .json(textStage(spark, dir, "json"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    textAgg(spark.read.schema(textSchema)
+      .json(textStage(spark, dir, "json")))
 
   val srcJsonlReadSql: String = srcCsvReadSql
 }

@@ -16,12 +16,7 @@ import java.nio.file.{Files, Paths}
 object StreamQueries {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
+    graft.util.Fs.deleteRecursively(p)
 
   /** Write `df` as ONE parquet part file and hoist it to each
     * (dest, mtime): the file streaming source lists PLAIN files (a

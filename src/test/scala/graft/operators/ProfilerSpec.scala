@@ -40,11 +40,11 @@ class ProfilerSpec extends SparkSpec {
     val cut = 1705276800000000L
     val first = e.filter(unix_micros(col("ts")) < cut)
     val second = e.filter(unix_micros(col("ts")) >= cut)
-    val merged = Profiler.mergeSketches(
+    val merged = Profiler.mergeSketches("event_type",
       Profiler.distinctSketch(first, "event_type", "user_id"),
       Profiler.distinctSketch(second, "event_type", "user_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val direct = Profiler.mergeSketches(Profiler.distinctSketch(e, "event_type", "user_id"))
+    val direct = Profiler.mergeSketches("event_type", Profiler.distinctSketch(e, "event_type", "user_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged == direct) // register-max associativity: EXACT equality
     val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("d"))
