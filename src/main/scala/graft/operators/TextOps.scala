@@ -253,9 +253,13 @@ object TextOps {
     * ln P(token) under the corpus unigram distribution — the cheap
     * fluency/perplexity proxy used to rank documents before the
     * expensive model-based filters. One token-count shuffle
-    * (vocabulary-sized output), then a broadcast join back onto the
-    * exploded tokens; the only N-proportional shuffle is the final
-    * per-doc mean.
+    * (vocabulary-sized output), then a join back onto the exploded
+    * tokens. The freq side carries NO broadcast hint on purpose: at
+    * web scale the unigram vocabulary is 10⁸-10⁹ rows and a forced
+    * broadcast OOMs; AQE converts the join to broadcast at runtime
+    * when the table really is small, and falls back to a shuffle
+    * join on `term` (which reuses freq's aggregation exchange)
+    * when it isn't.
     */
   def unigramLogprob(
       docs: org.apache.spark.sql.DataFrame,
@@ -270,7 +274,7 @@ object TextOps {
     // corpus pass.
     val total = freq.agg(sum(col("tf")).as("n_total"))
     terms
-      .join(broadcast(freq), "term")
+      .join(freq, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(round(avg(log(col("tf").cast("double") / col("n_total"))), 4).as("mean_logprob"),
@@ -283,11 +287,13 @@ object TextOps {
     * shuffled text scores low even with common words). Conditional
     * probabilities are derived entirely from the bigram frequency
     * table: c(w₁ ·) = Σ over bigrams starting with w₁ — a
-    * vocabulary-sized rollup, NOT a second corpus pass. The bigram
-    * table broadcasts back onto the exploded bigrams; the only
-    * N-proportional shuffle is the per-doc mean. Docs with fewer
-    * than two tokens have no bigrams and drop out (same on the SQL
-    * side).
+    * vocabulary-sized rollup, NOT a second corpus pass. The probs
+    * side carries NO broadcast hint: the bigram table is the
+    * largest of the vocab tables (order |V|² worst case) and a
+    * forced broadcast is the classic 100-TB OOM; AQE broadcasts at
+    * runtime only when it measures small, else the join shuffles on
+    * `b`. Docs with fewer than two tokens have no bigrams and drop
+    * out (same on the SQL side).
     */
   def bigramLogprob(
       docs: org.apache.spark.sql.DataFrame,
@@ -302,7 +308,7 @@ object TextOps {
     val firstFreq = freq.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val probs = freq.join(firstFreq, "w1")
       .select(col("b"), (col("cb").cast("double") / col("cw")).as("p"))
-    bg.join(broadcast(probs), "b")
+    bg.join(probs, "b")
       .groupBy(col("doc_id"))
       .agg(
         round(avg(log(col("p"))), 4).as("mean_bigram_logprob"),
@@ -311,8 +317,11 @@ object TextOps {
 
   /** TF-IDF top-k terms per document: tf = in-doc term count,
     * idf = ln(N/df). Shuffles on (doc, term) for tf and on term for
-    * df; the df table is vocabulary-sized and broadcast back — at
-    * corpus scale the only N-proportional shuffle is the tf count.
+    * df; the df table is vocabulary-sized, so it is NOT force-
+    * broadcast — AQE broadcasts it at runtime when small, else the
+    * join shuffles on `term` and reuses df's aggregation exchange.
+    * The only N-proportional shuffles are the tf count and the
+    * per-doc top-k window.
     */
   def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String, k: Int)
       : org.apache.spark.sql.DataFrame = {
@@ -324,7 +333,7 @@ object TextOps {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(total))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))

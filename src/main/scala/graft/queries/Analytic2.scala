@@ -79,14 +79,22 @@ object Analytic2 {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY CUBE (r_name, n_name)""".stripMargin
 
-  /** D10: exact interpolated percentiles per group. */
+  /** D10: exact interpolated percentiles per group — computed via
+    * [[graft.operators.Quantiles.exactInterpolated]]'s window sort
+    * (spill-bounded memory) rather than Spark's `percentile`
+    * aggregate, whose per-group value-count map is O(distinct
+    * values) heap on a continuous double at scale. D36
+    * (q_quantile_approx) is the sketch twin when rank error is
+    * tolerable.
+    */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.orders
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+    graft.operators.Quantiles
+      .exactInterpolated(t.orders, "o_orderstatus", "o_totalprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select(col("o_orderstatus"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"))
   }
 
   val qPercentilesSql: String =

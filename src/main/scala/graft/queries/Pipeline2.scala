@@ -187,33 +187,41 @@ object Pipeline2 {
   /** E12: C4-style cross-corpus span dedup — split every document
     * into 8-word spans, keep only each span's FIRST corpus
     * occurrence (min (doc_id, idx)), reassemble the surviving text
-    * in original order. One shuffle on the span key + one back on
-    * doc_id; at 100 TB the span key becomes an xxhash64 long (same
-    * shape, fraction of the bytes) — kept as the raw string here so
-    * the oracle is byte-exact.
+    * in original order. The span TEXT never enters the dedup
+    * shuffle: the window keys on xxhash64(span), so the exchange
+    * carries (doc_id, idx, hash) at ~20 bytes/row instead of the
+    * raw 8-word string (~3× fewer shuffle bytes, fixed-width sort
+    * keys). Survivor indexes roll up per doc_id and the text
+    * rejoins ONCE per document (doc-keyed shuffle join that reuses
+    * the rollup's partitioning); surviving spans are re-derived in
+    * place from the same slice expression, so reassembly is
+    * byte-exact. A 64-bit hash collision would merge two distinct
+    * spans — ~n²/2⁶⁵ at corpus scale, the standard C4 trade.
     */
   def txSpanDedup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val spans = t.documents
+    val light = t.documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        ceil(size(col("toks")) / lit(8.0)).cast("long").as("n_spans"),
         posexplode(transform(
           sequence(lit(0), (ceil(size(col("toks")) / lit(8.0)) - 1).cast("int")),
-          i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))))
-      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "span")
-    val firstW = Window.partitionBy(col("span"))
+          i => xxhash64(array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "h")
+    val firstW = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("idx"))
-    spans
+    val kept = light
       .withColumn("rn", row_number().over(firstW))
       .filter(col("rn") === 1)
       .groupBy(col("doc_id"))
-      .agg(
-        min(col("n_spans")).as("n_spans"),
-        count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("idx"), col("span")))),
-          s => s.getField("span")), " ").as("text_kept"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+    t.documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(kept, "doc_id")
+      .select(col("doc_id"),
+        ceil(size(col("toks")) / lit(8.0)).cast("long").as("n_spans"),
+        size(col("kept_idx")).cast("long").as("n_kept"),
+        array_join(transform(col("kept_idx"),
+          i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")), " ")
+          .as("text_kept"))
   }
 
   val txSpanDedupSql: String =
@@ -233,20 +241,23 @@ object Pipeline2 {
 
   /** D33: robust outlier detection — per group, median and MAD
     * (median absolute deviation) via exact interpolated percentiles,
-    * then |v − med| > 3·MAD counts. Two small aggregations broadcast
-    * back onto one fact scan: the group key is low-cardinality, so
-    * both stat tables are broadcast joins and the data shuffles only
-    * for the final per-group rollup.
+    * then |v − med| > 3·MAD counts. The medians come from
+    * [[graft.operators.Quantiles.exactInterpolated]]'s window sort
+    * (spill-bounded) instead of the `percentile` aggregate's
+    * in-memory value-count map — the oracle-exact twin of
+    * [[qOutlierMadApprox]], which is the 100-TB path. The stat
+    * tables are group-sized and broadcast back onto one fact scan;
+    * the data shuffles only for the sorts and the final rollup.
     */
   def qOutlierMad(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val e = t.events.select(col("event_type"), col("value"))
-    val med = e.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5d)").as("med"))
+    val med = graft.operators.Quantiles
+      .exactInterpolated(e, "event_type", "value", Seq("med" -> 0.5))
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(expr("percentile(adev, 0.5d)").as("mad"))
+    val mad = graft.operators.Quantiles
+      .exactInterpolated(dev, "event_type", "adev", Seq("mad" -> 0.5))
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(
@@ -269,10 +280,38 @@ object Pipeline2 {
       |  FROM dev GROUP BY 1)
       |SELECT d.event_type, round(min(d.med), 4) + 0 AS median,
       |  round(min(m.mad), 4) + 0 AS mad,
-      |  sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+      |  CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
       |  count(*) AS n
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type""".stripMargin
+
+  /** D33-sketch: the 100-TB path for [[qOutlierMad]] — median and
+    * MAD from `approx_percentile` (Greenwald-Khanna, mergeable
+    * partial state, O(1/ε) memory per partition) instead of any
+    * per-group sort or value map. Same output shape as the exact
+    * twin; registered rows-only (sketch output is engine-specific),
+    * with a spec bounding the approx median/MAD inside a ±1% rank
+    * window of the exact values — the same honesty contract as
+    * q_quantile_approx (D36).
+    */
+  def qOutlierMadApprox(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.events.select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5d, 10000)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(adev, 0.5d, 10000)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        round(min(col("med")), 4).as("median"),
+        round(min(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
 
   /** N6: weighted source interleave — deterministic curriculum
     * mixing order across corpus sources. Each doc's mix key is
@@ -286,9 +325,12 @@ object Pipeline2 {
     val t = Tables(spark, dir)
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     t.documents.select(col("doc_id"), col("source"))
+      // coalesce(…, 0): a digit-free source name falls back to
+      // weight 1 instead of a null mix_key (the oracle try_casts the
+      // same way, so neither engine errs or diverges).
       .withColumn("weight",
-        (regexp_extract(col("source"), "\\d+", 0).cast("int") % 4 + 1)
-          .cast("double"))
+        (coalesce(regexp_extract(col("source"), "\\d+", 0).cast("int"), lit(0))
+          % 4 + 1).cast("double"))
       .withColumn("src_rank", row_number().over(w))
       .withColumn("mix_key",
         round((col("src_rank") - 1).cast("double") / col("weight"), 4))
@@ -299,7 +341,7 @@ object Pipeline2 {
     """SELECT doc_id, source,
       |  row_number() OVER w AS src_rank,
       |  round((row_number() OVER w - 1) /
-      |    CAST(CAST(regexp_extract(source, '\d+') AS INT) % 4 + 1 AS DOUBLE),
+      |    CAST(coalesce(try_cast(regexp_extract(source, '\d+') AS INT), 0) % 4 + 1 AS DOUBLE),
       |    4) + 0 AS mix_key
       |FROM documents
       |WINDOW w AS (PARTITION BY source ORDER BY doc_id)""".stripMargin
@@ -518,7 +560,7 @@ object Pipeline2 {
        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
        |  FROM documents)
        |SELECT a.split, d.source, count(*) AS n_docs,
-       |  sum(d.n_tokens) AS n_tokens,
+       |  CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
        |  round(sum(c.quality), 4) + 0 AS total_quality
        |FROM clean c JOIN assigned a USING (doc_id) JOIN docs d USING (doc_id)
        |GROUP BY 1, 2""".stripMargin

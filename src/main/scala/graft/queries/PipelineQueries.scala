@@ -90,11 +90,11 @@ object PipelineQueries {
 
   val trConstraintsSql: String =
     """WITH s AS (SELECT
-      |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS r1,
-      |  sum(CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 1 ELSE 0 END) AS r2,
-      |  sum(CASE WHEN NOT coalesce(value <= 100, FALSE) THEN 1 ELSE 0 END) AS r3,
-      |  sum(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','error'), FALSE)
-      |      THEN 1 ELSE 0 END) AS r4
+      |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+      |  CAST(sum(CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+      |  CAST(sum(CASE WHEN NOT coalesce(value <= 100, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+      |  CAST(sum(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','error'), FALSE)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS r4
       |  FROM events),
       |fk AS (SELECT count(*) AS r5 FROM events e
       |       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
@@ -194,10 +194,10 @@ object PipelineQueries {
 
   val qProfileSql: String =
     """WITH s AS (SELECT count(*) AS n_rows,
-      |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS a_n, count(DISTINCT event_id) AS a_d,
-      |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS b_n, count(DISTINCT user_id) AS b_d,
-      |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS c_n, count(DISTINCT value) AS c_d,
-      |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS d_n, count(DISTINCT event_type) AS d_d
+      |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a_n, count(DISTINCT event_id) AS a_d,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_n, count(DISTINCT user_id) AS b_d,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_n, count(DISTINCT value) AS c_d,
+      |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_n, count(DISTINCT event_type) AS d_d
       |  FROM events)
       |SELECT 'event_id' AS "column", n_rows, a_n AS n_nulls, a_d AS n_distinct FROM s
       |UNION ALL SELECT 'user_id', n_rows, b_n, b_d FROM s
@@ -326,13 +326,13 @@ object PipelineQueries {
       |  FROM documents),
       |packed AS (
       |  SELECT lang, doc_id, n_tokens,
-      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |  FROM docs)
       |SELECT lang, (cum - n_tokens) // 256 AS pack_id,
-      |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
-      |  sum(CASE WHEN (cum - 1) // 256 > (cum - n_tokens) // 256
-      |      THEN 1 ELSE 0 END) AS n_straddle
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+      |  CAST(sum(CASE WHEN (cum - 1) // 256 > (cum - n_tokens) // 256
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
       |FROM packed GROUP BY 1, 2""".stripMargin
 
   /** N4: temperature (α = 0.7) source rebalancing — keep rate per
@@ -366,8 +366,8 @@ object PipelineQueries {
       |          * 1000000, 0) AS BIGINT) AS thr
       |      FROM m)
       |SELECT source, count(*) AS n_total,
-      |  sum(CASE WHEN (((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007)
-      |        % 1000000 < thr THEN 1 ELSE 0 END) AS n_kept
+      |  CAST(sum(CASE WHEN (((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007)
+      |        % 1000000 < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM docs JOIN r USING (source) GROUP BY 1""".stripMargin
 
   /** G11: corpus unigram LM score per document (mean ln P(token)) —

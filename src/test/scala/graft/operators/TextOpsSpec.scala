@@ -55,4 +55,23 @@ class TextOpsSpec extends SparkSpec {
     assert(fp("a") == fp("b")) // case/whitespace insensitive
     assert(fp("a") != fp("c"))
   }
+
+  test("LM/TF-IDF vocab tables are never FORCE-broadcast (100-TB OOM guard)") {
+    // With the auto-broadcast threshold off, the only BroadcastExchange
+    // nodes allowed are the intentional 1-row `total` hints. If a
+    // broadcast() hint crept back onto freq/probs/df, these counts
+    // would rise and the plan would OOM at web-scale vocabularies.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def nBroadcast(df: org.apache.spark.sql.DataFrame): Int = {
+        val plan = df.queryExecution.executedPlan.toString
+        "BroadcastExchange".r.findAllIn(plan).length
+      }
+      val docs = tables.documents
+      assert(nBroadcast(TextOps.unigramLogprob(docs, "text", "doc_id")) <= 1) // n_total only
+      assert(nBroadcast(TextOps.bigramLogprob(docs, "text", "doc_id")) == 0)
+      assert(nBroadcast(TextOps.tfIdfTopK(docs, "text", "doc_id", 5)) <= 1)  // n_docs only
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -245,9 +245,46 @@ class Pipeline2Spec extends SparkSpec {
     bySrc.foreach { case (src, rs) =>
       val ranks = rs.map(_.getInt(2)).sorted
       assert(ranks.toSeq == (1 to rs.length))
+      assert(rs.length >= 2, s"fixture precondition: source $src needs >=2 docs")
       val w = src.filter(_.isDigit).toInt % 4 + 1
       val second = rs.sortBy(_.getInt(2)).apply(1)
       assert(math.abs(second.getDouble(3) - 1.0 / w) < 1e-4)
+    }
+  }
+
+  test("approx MAD medians stay within 1% rank error of exact") {
+    val approx = Pipeline2.qOutlierMadApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // Exact values at the rank-error bounds: approx_percentile with
+    // accuracy 10000 guarantees the returned value sits at a rank
+    // within ±1% of the true median's.
+    val medBounds = graft.operators.Quantiles.exactInterpolated(
+        tables.events, "event_type", "value",
+        Seq("lo" -> 0.49, "hi" -> 0.51))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    medBounds.foreach { case (k, (lo, hi)) =>
+      val m = approx(k)._1
+      assert(m >= lo - 1e-4 && m <= hi + 1e-4, s"$k median=$m not in [$lo,$hi]")
+    }
+    // MAD column sanity: non-negative, and n_outliers bounded by n.
+    Pipeline2.qOutlierMadApprox(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("exact-MAD twin agrees with approx within the rank window") {
+    val exact = Pipeline2.qOutlierMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Pipeline2.qOutlierMadApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val medBounds = graft.operators.Quantiles.exactInterpolated(
+        tables.events, "event_type", "value",
+        Seq("lo" -> 0.49, "hi" -> 0.51))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    exact.foreach { case (k, m) =>
+      val (lo, hi) = medBounds(k)
+      assert(m >= lo - 1e-4 && m <= hi + 1e-4)
+      assert(approx(k) >= lo - 1e-4 && approx(k) <= hi + 1e-4)
     }
   }
 }

@@ -53,11 +53,28 @@ def main(sf_dir, out_dir):
         s_cols = [d[0] for d in spark_rel.description]
         s_rows = spark_rel.fetchall()
         try:
-            duck_rel = con.execute(sql)
-            d_cols = [d[0] for d in duck_rel.description]
+            # con.sql keeps real DuckDB types (DBAPI description
+            # collapses them all to 'NUMBER').
+            duck_rel = con.sql(sql)
+            d_cols = list(duck_rel.columns)
+            d_types = [str(t) for t in duck_rel.types]
             d_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # The driver's hash is TYPE-sensitive: DuckDB sum() of an
+        # integer yields HUGEINT (int128), which hash-mismatches a
+        # Spark BIGINT even when the values are identical. Fail here
+        # so the local gate can never diverge from the driver's.
+        bad_types = [
+            (c, t) for c, t in zip(d_cols, d_types)
+            if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()
+        ]
+        if bad_types:
+            print(f"FAIL {name}: oracle column(s) need CAST "
+                  f"(driver hash is type-sensitive): "
+                  + ", ".join(f"{c}:{t}" for c, t in bad_types))
             n_fail += 1
             continue
         if sorted(s_cols) != sorted(d_cols):
