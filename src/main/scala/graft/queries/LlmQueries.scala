@@ -113,8 +113,7 @@ object LlmQueries {
     * warehouse would use for a common subexpression. Result rows are
     * tiny (near-dup pairs only).
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsCache = new graft.util.Memo[(SparkSession, String), DataFrame]
 
   private[queries] def ngramPairs(spark: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((spark, dir),
@@ -126,8 +125,7 @@ object LlmQueries {
     * once per (session, dir) — same materialized-view semantics as
     * the pairs cache (labels are near-dup-member-sized, tiny).
     */
-  private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ccCache = new graft.util.Memo[(SparkSession, String), DataFrame]
 
   private[queries] def ccLabels(spark: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((spark, dir),
@@ -662,8 +660,7 @@ object LlmQueries {
     * lifetime (true for the released-snapshot layout they model —
     * a refreshed drop lands in a new release dir / session).
     */
-  private val cleanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cleanCache = new graft.util.Memo[(SparkSession, String), DataFrame]
 
   /** M1: end-to-end corpus cleaning — the composed training-data
     * pipeline: score quality → language-ID → threshold filter →

@@ -358,8 +358,7 @@ object SourceQueries {
     * the fixture is an immutable projection of the events table, so
     * bench/verify re-runs measure the READ path, not fixture writes.
     */
-  private val textStageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  private val textStageCache = new graft.util.Memo[(SparkSession, String, String), String]
 
   private def textStage(spark: SparkSession, dir: String, fmt: String): String =
     textStageCache.getOrElseUpdate((spark, dir, fmt), {

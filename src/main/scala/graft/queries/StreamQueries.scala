@@ -466,8 +466,7 @@ object StreamQueries {
     * commit the watermark before the stragglers arrive, exactly the
     * cadence of a live stream where data keeps flowing.
     */
-  private val lateStageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), java.nio.file.Path]
+  private val lateStageCache = new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
 
   /** Stage the split backlog once per (session, dir): the three
     * files are immutable inputs (the scenario's "topic"), so
