@@ -7,16 +7,20 @@ import scala.collection.mutable.ArrayBuffer
 /** Minimal self-contained SQLite 3 file writer — enough of the file
   * format (https://sqlite.org/fileformat2.html, public spec) to emit
   * a valid database readable by any stock sqlite3: table b-trees
-  * (leaf + interior levels), the record serial-type format, varints,
-  * payload overflow chains, and the sqlite_master catalog on page 1.
+  * (leaf + interior levels), INDEX b-trees (leaf 0x0A / interior
+  * 0x02, record keys with promoted separators), the record
+  * serial-type format, varints, payload overflow chains, and the
+  * sqlite_master catalog on page 1.
   *
-  * Scope (documented, enforced): rowid tables only — no index
-  * b-trees, so DDL avoids UNIQUE/PRIMARY KEY on non-INTEGER columns
-  * (an INTEGER PRIMARY KEY is a rowid alias and needs no index);
+  * Scope (documented, enforced): rowid tables, plus single-column
+  * UNIQUE autoindexes (enough for GPKG id-column constraints — an
+  * INTEGER PRIMARY KEY is a rowid alias and needs no index);
   * WAL/freelist/vacuum never apply to a write-once file.
   *
-  * Pages stream to a RandomAccessFile as they fill — driver memory
-  * stays O(page), not O(file).
+  * Table pages stream to a RandomAccessFile as they fill — driver
+  * memory stays O(page) for feature payloads; index ENTRIES
+  * (key + rowid only) are buffered and sorted in memory, which is
+  * the export-sized trade the single-file format already implies.
   */
 private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
 
@@ -26,7 +30,8 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
   raf.setLength(0)
 
   private var pageCount = 1 // page 1 = header + sqlite_master root
-  private val masterRows = ArrayBuffer[(String, String, Int, String)]() // name, tbl, root, sql
+  // (type, name, tbl_name, root, sql — None for autoindexes)
+  private val masterRows = ArrayBuffer[(String, String, String, Int, Option[String])]()
 
   private def allocPage(): Int = { pageCount += 1; pageCount }
 
@@ -39,6 +44,7 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
   /** Usable bytes; reserved-space-per-page is 0. */
   private val U = pageSize
   private val X = U - 35                    // max local payload, table leaf
+  private val XI = (U - 12) * 64 / 255 - 23 // max local payload, index pages
   private val M = (U - 12) * 32 / 255 - 23  // min local payload
 
   /** Build one table b-tree from STRICTLY ASCENDING rowid rows
@@ -48,18 +54,27 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
     * checked BEFORE any data streams, so a too-wide DDL fails fast
     * instead of at close() after a full export.
     */
-  def createTable(name: String, sql: String, rows: Iterator[(Long, Array[Byte])]): Int = {
-    // Would sqlite_master still fit on page 1 with this table added?
-    // (root not yet known — a 4-byte-int serial is the upper bound.)
-    val probeCells = (masterRows.toSeq :+ ((name, name, Int.MaxValue, sql)))
-      .zipWithIndex.map { case ((n, t, r, s), i) =>
-        makeProbeCell(i + 1L, record(Seq(
-          SqlText("table"), SqlText(n), SqlText(t), SqlInt(r.toLong), SqlText(s))))
-      }
+  private def masterRecord(row: (String, String, String, Int, Option[String])): Array[Byte] = {
+    val (typ, n, t, r, s) = row
+    record(Seq(SqlText(typ), SqlText(n), SqlText(t), SqlInt(r.toLong),
+      s.map(SqlText).getOrElse(SqlNull)))
+  }
+
+  /** Fail fast if adding `row` would overflow sqlite_master on page 1
+    * (root not yet known — a 4-byte-int serial is the upper bound).
+    */
+  private def probeMasterFit(row: (String, String, String, Int, Option[String]), what: String): Unit = {
+    val probeCells = (masterRows.toSeq :+ row).zipWithIndex.map { case (r, i) =>
+      makeProbeCell(i + 1L, masterRecord(r))
+    }
     val masterBytes = 8 + probeCells.map(c => 2 + c).sum
     require(100 + masterBytes <= pageSize,
       s"sqlite_master would overflow page 1 (${100 + masterBytes} > $pageSize bytes) — " +
-        s"table '$name' has too wide a schema for this writer")
+        s"$what has too wide a schema for this writer")
+  }
+
+  def createTable(name: String, sql: String, rows: Iterator[(Long, Array[Byte])]): Int = {
+    probeMasterFit(("table", name, name, Int.MaxValue, Some(sql)), s"table '$name'")
     var prev = Long.MinValue
     val validated = rows.map { case (rowid, payload) =>
       require(rowid > prev,
@@ -69,7 +84,117 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
       (rowid, payload)
     }
     val root = buildTree(validated)
-    masterRows += ((name, name, root, sql))
+    masterRows += (("table", name, name, root, Some(sql)))
+    root
+  }
+
+  /** Build one INDEX b-tree from entries whose LAST value is the
+    * rowid (the SQLite index-record shape). Entries are validated
+    * strictly ascending under SQLite BINARY record collation while
+    * streaming; with `unique` set, equal non-null KEY prefixes (all
+    * values but the rowid) fail — NULL keys stay duplicable, the
+    * SQL UNIQUE semantics. `sql` None registers an autoindex row
+    * (sqlite_master sql IS NULL), Some(ddl) a named index.
+    */
+  def createIndex(
+      name: String,
+      table: String,
+      sql: Option[String],
+      unique: Boolean,
+      entries: Iterator[Seq[SqlValue]]): Int = {
+    probeMasterFit(("index", name, table, Int.MaxValue, sql), s"index '$name'")
+
+    // ---- leaves, with between-leaf entries promoted upward ----
+    var children = Vector.empty[Int]          // finished pages, this level
+    var seps = Vector.empty[Array[Byte]]      // promoted records between them
+    val cells = ArrayBuffer[Array[Byte]]()
+    var cellBytes = 0
+
+    def flushLeaf(): Unit = {
+      val pn = allocPage()
+      writePage(pn, renderPage(0x0A, cells.toSeq, base = 0, rightChild = 0))
+      children :+= pn
+      cells.clear(); cellBytes = 0
+    }
+
+    var prev: Seq[SqlValue] = null
+    var pendingPromote: Array[Byte] = null // record held back for the parent level
+    while (entries.hasNext) {
+      val e = entries.next()
+      if (prev != null) {
+        val cmp = compareRecords(prev, e)
+        require(cmp < 0,
+          s"index '$name': entries must be strictly ascending (record collation), " +
+            s"got $e after $prev")
+        if (unique && compareRecords(prev.dropRight(1), e.dropRight(1)) == 0 &&
+            !e.dropRight(1).contains(SqlNull))
+          throw new IllegalArgumentException(
+            s"index '$name': UNIQUE violation on key ${e.dropRight(1)}")
+      }
+      prev = e
+      val payload = record(e)
+      if (pendingPromote != null) { seps :+= pendingPromote; pendingPromote = null }
+      val cell = makeIndexCell(payload)
+      if (cells.nonEmpty && 8 + 2 * (cells.size + 1) + cellBytes + cell.length > U) {
+        // close this leaf; THIS entry separates it from the next one,
+        // so it moves up a level instead of into any leaf — unless it
+        // turns out to be the final entry, in which case it becomes
+        // its own leaf (a separator needs a right sibling).
+        flushLeaf()
+        pendingPromote = payload
+      } else {
+        require(8 + 2 + cell.length <= U, s"index '$name': single cell exceeds page capacity")
+        cells += cell; cellBytes += cell.length
+      }
+    }
+    if (pendingPromote != null) { // promoted entry with no right sibling
+      cells += makeIndexCell(pendingPromote)
+      flushLeaf()
+    } else if (cells.nonEmpty || children.isEmpty) {
+      flushLeaf() // final partial leaf, or the empty-index single leaf
+    }
+
+    // ---- interior levels: cells are (leftChild, separator record) ----
+    while (children.size > 1) {
+      require(seps.size == children.size - 1,
+        s"index '$name': internal build invariant broke (${children.size} children, ${seps.size} seps)")
+      var nextChildren = Vector.empty[Int]
+      var nextSeps = Vector.empty[Array[Byte]]
+      var i = 0
+      while (i < children.size) {
+        // Greedily take children i.. with their separators until the
+        // page fills; always ≥ 2 children (≥ 1 cell + right pointer).
+        var bytes = 0
+        var last = i // children(i..last) on this page
+        var n = 0
+        var stop = false
+        while (!stop && last < children.size - 1) {
+          val cell = 4 + makeIndexCell(seps(last)).length
+          if (n > 0 && 12 + 2 * (n + 1) + bytes + cell > U) stop = true
+          else {
+            bytes += cell; n += 1; last += 1
+          }
+        }
+        // An interior page needs ≥ 1 cell + a right child (≥ 2
+        // children): if closing here would orphan exactly one child
+        // at the tail, give it back one of ours. Index cells are
+        // overflow-bounded (≤ ~XI + overhead), so a full page always
+        // holds ≥ 3 — the giveback can never empty this page.
+        if (children.size - (last + 1) == 1 && last > i + 1) last -= 1
+        require(last > i && children.size - (last + 1) != 1,
+          s"index '$name': cannot rebalance tail interior page")
+        val pageCells = (i until last).map(t => be32(children(t)) ++ makeIndexCell(seps(t)))
+        val pn = allocPage()
+        writePage(pn, renderPage(0x02, pageCells, base = 0, rightChild = children(last)))
+        nextChildren :+= pn
+        i = last + 1
+        if (i < children.size) { nextSeps :+= seps(last); /* consumed by promotion */ }
+      }
+      children = nextChildren
+      seps = nextSeps
+    }
+    val root = children.head
+    masterRows += (("index", name, table, root, sql))
     root
   }
 
@@ -103,6 +228,30 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
         i += 1
       }
       varint(p.toLong) ++ varint(rowid) ++ payload.take(local) ++ be32(nums(0))
+    }
+  }
+
+  /** Index cell: varint(P) ++ local-payload [++ be32(overflow)] — no
+    * rowid field (the rowid is the record's last column); index
+    * pages use the smaller XI local-payload maximum.
+    */
+  private def makeIndexCell(payload: Array[Byte]): Array[Byte] = {
+    val p = payload.length
+    if (p <= XI) varint(p.toLong) ++ payload
+    else {
+      val k = M + ((p - M) % (U - 4))
+      val local = if (k <= XI) k else M
+      val chunks = payload.drop(local).grouped(U - 4).toArray
+      val nums = chunks.map(_ => allocPage())
+      var i = 0
+      while (i < chunks.length) {
+        val pg = new Array[Byte](pageSize)
+        putBE32(pg, 0, if (i + 1 < nums.length) nums(i + 1) else 0)
+        System.arraycopy(chunks(i), 0, pg, 4, chunks(i).length)
+        writePage(nums(i), pg)
+        i += 1
+      }
+      varint(p.toLong) ++ payload.take(local) ++ be32(nums(0))
     }
   }
 
@@ -172,9 +321,8 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
     */
   def close(applicationId: Int = 0, userVersion: Int = 0): Unit = {
     val page1 = new Array[Byte](pageSize)
-    val masterCells = masterRows.zipWithIndex.map { case ((name, tbl, root, sql), i) =>
-      makeCell(i + 1L, record(Seq(
-        SqlText("table"), SqlText(name), SqlText(tbl), SqlInt(root.toLong), SqlText(sql))))
+    val masterCells = masterRows.zipWithIndex.map { case (row, i) =>
+      makeCell(i + 1L, masterRecord(row))
     }
     val rendered = renderPage(0x0D, masterCells.toSeq, base = 100, rightChild = 0)
     System.arraycopy(rendered, 0, page1, 0, pageSize)
@@ -207,7 +355,8 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
     */
   private def renderPage(pageType: Int, cells: Seq[Array[Byte]], base: Int, rightChild: Int): Array[Byte] = {
     val page = new Array[Byte](pageSize)
-    val headerLen = if (pageType == 0x05) 12 else 8
+    val interior = pageType == 0x05 || pageType == 0x02
+    val headerLen = if (interior) 12 else 8
     page(base) = pageType.toByte
     putBE16(page, base + 1, 0) // first freeblock
     putBE16(page, base + 3, cells.size)
@@ -221,7 +370,7 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
     require(ptrBase + 2 * cells.size <= off, "page overflow (cells collide with pointer array)")
     putBE16(page, base + 5, if (off == 65536) 0 else off)
     page(base + 7) = 0 // fragmented free bytes
-    if (pageType == 0x05) putBE32(page, base + 8, rightChild)
+    if (interior) putBE32(page, base + 8, rightChild)
     page
   }
 }
@@ -292,6 +441,57 @@ private[export] object SqliteWriter {
     // more than a 2-byte varint (header < 2^14 bytes)
     val hdrLen = if (serials.length + 1 <= 127) serials.length + 1 else serials.length + 2
     varint(hdrLen.toLong) ++ serials ++ parts.flatMap(_._2)
+  }
+
+  /** SQLite value comparison under BINARY collation: storage-class
+    * rank NULL < numeric < TEXT < BLOB; INT and REAL compare
+    * numerically across classes; text/blob compare bytewise
+    * unsigned, shorter prefix first.
+    */
+  def compareValues(a: SqlValue, b: SqlValue): Int = {
+    def rank(v: SqlValue): Int = v match {
+      case SqlNull                => 0
+      case _: SqlInt | _: SqlReal => 1
+      case _: SqlText             => 2
+      case _: SqlBlob             => 3
+    }
+    val r = Integer.compare(rank(a), rank(b))
+    if (r != 0) r
+    else (a, b) match {
+      case (SqlNull, SqlNull)       => 0
+      case (SqlInt(x), SqlInt(y))   => java.lang.Long.compare(x, y)
+      case (SqlReal(x), SqlReal(y)) => java.lang.Double.compare(x, y)
+      case (SqlInt(x), SqlReal(y)) =>
+        java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(y))
+      case (SqlReal(x), SqlInt(y)) =>
+        new java.math.BigDecimal(x).compareTo(java.math.BigDecimal.valueOf(y))
+      case (SqlText(x), SqlText(y)) => compareBytes(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      case (SqlBlob(x), SqlBlob(y)) => compareBytes(x, y)
+      case _                        => 0 // unreachable: ranks differ
+    }
+  }
+
+  private def compareBytes(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(x.length, y.length)
+  }
+
+  /** Record comparison: column by column, shorter record first. */
+  def compareRecords(a: Seq[SqlValue], b: Seq[SqlValue]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = compareValues(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
   }
 
   def be32(v: Int): Array[Byte] =
@@ -368,7 +568,13 @@ object Gpkg {
 
   /** Write `df` as a single-table GeoPackage. `geomCol` must be a
     * BINARY column holding raw WKB (e.g. from the Wkb encoders); a
-    * LONG `fid` column, when present, becomes the rowid.
+    * LONG `fid` column, when present, becomes the rowid. Columns in
+    * `uniqueCols` get a SQL UNIQUE constraint backed by a real
+    * `sqlite_autoindex` b-tree (validated by stock sqlite3's
+    * integrity_check, which cross-checks index vs table content);
+    * duplicate non-null values fail the export. Index entries
+    * (key + fid only) buffer in driver memory — feature payloads
+    * still stream at O(page).
     */
   def write(
       df: DataFrame,
@@ -377,7 +583,8 @@ object Gpkg {
       geomCol: String = "geom",
       geometryTypeName: String = "POINT",
       srsId: Int = 4326,
-      lastChange: String = "2026-01-01T00:00:00.000Z"
+      lastChange: String = "2026-01-01T00:00:00.000Z",
+      uniqueCols: Seq[String] = Seq.empty
   ): Unit = {
     // A 'fid' column becomes the rowid: narrower integral types are
     // widened to long; anything non-integral is an error rather than
@@ -414,12 +621,26 @@ object Gpkg {
       })
 
     // ---- feature table ----
-    val attrDdl = attrFields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+    uniqueCols.foreach { c =>
+      require(attrFields.exists(_.name == c),
+        s"GPKG: unique column '$c' must be a non-geometry, non-fid attribute column")
+    }
+    val attrDdl = attrFields.map { f =>
+      val unique = if (uniqueCols.contains(f.name)) " UNIQUE" else ""
+      s""""${f.name}" ${sqlType(f.dataType)}$unique"""
+    }.mkString(", ")
     val ddl = s"""CREATE TABLE "$table" ("fid" INTEGER PRIMARY KEY, "$geomCol" $geometryTypeName""" +
       (if (attrDdl.nonEmpty) s", $attrDdl)" else ")")
     val geomIdx = schema.fieldIndex(geomCol)
     val fidIdx = if (hasFid) schema.fieldIndex("fid") else -1
     val attrIdx = attrFields.map(f => schema.fieldIndex(f.name))
+    // (key, rowid) per unique column, buffered for the autoindex
+    // b-trees; sorted after the table streams (driver-sized: two
+    // scalars per row, not feature payloads).
+    val uniqueOrder = attrFields.map(_.name).filter(uniqueCols.contains)
+    val indexEntries = uniqueOrder.map(c =>
+      c -> scala.collection.mutable.ArrayBuffer.empty[(SqlValue, Long)]).toMap
+    val uniqueIdx = uniqueOrder.map(c => c -> schema.fieldIndex(c)).toMap
     var rowNum = 0L
     // The b-tree needs strictly ascending rowids: a user fid column
     // drives an explicit global sort (toLocalIterator on an unsorted
@@ -442,9 +663,24 @@ object Gpkg {
           if (r.isNullAt(geomIdx)) SqlNull
           else SqlBlob(geometryBlob(r.getAs[Array[Byte]](geomIdx), srsId))
         val attrs = attrIdx.map(i => if (r.isNullAt(i)) SqlNull else toSqlValue(r.get(i)))
+        uniqueOrder.foreach { c =>
+          val i = uniqueIdx(c)
+          indexEntries(c) += ((if (r.isNullAt(i)) SqlNull else toSqlValue(r.get(i))) -> fid)
+        }
         fid -> record(SqlNull +: geom +: attrs.toSeq)
       }
     })
+
+    // ---- autoindex b-trees for the UNIQUE constraints ----
+    // sqlite names them sqlite_autoindex_<table>_<n> in constraint
+    // (= DDL column) order; their sqlite_master sql is NULL.
+    uniqueOrder.zipWithIndex.foreach { case (c, i) =>
+      val sorted = indexEntries(c)
+        .map { case (k, fid) => Seq(k, SqlInt(fid)) }
+        .sortWith(compareRecords(_, _) < 0)
+      w.createIndex(s"sqlite_autoindex_${table}_${i + 1}", table,
+        sql = None, unique = true, entries = sorted.iterator)
+    }
 
     // ---- gpkg_contents + gpkg_geometry_columns ----
     w.createTable("gpkg_contents",
