@@ -345,4 +345,45 @@ object Dedup {
       // number of distinct shared shingles — no countDistinct state.
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Bloom-filter decontamination — [[decontaminate]]'s 100-TB-eval
+    * variant. The exact path broadcasts every distinct eval shingle
+    * hash (8 B each); once the eval suite grows past ~10⁸ shingles
+    * that broadcast is the bottleneck. Here the eval set rides as a
+    * Bloom filter (~1.2 B/element at 1% FPR, built DISTRIBUTED via
+    * mergeable per-partition sketches in `stat.bloomFilter`) and the
+    * train scan tests membership through the codegen'd
+    * [[graft.functions.BloomContainsLong]] — still map-only, no
+    * join at all. One-sided error: the output is a SUPERSET of the
+    * exact answer (false positives at ≤ fpp per probe, never false
+    * negatives), so removal pipelines can act on it directly, or
+    * exact-verify the (now tiny) flagged set with one more join.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val evalShingles = evalDocs
+      .select(explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
+      .distinct()
+    // Sizing pass over the (benchmark-sized) eval side only; the
+    // filter build is a distributed mergeable aggregation.
+    val nItems = math.max(evalShingles.count(), 1L)
+    val bloom = evalShingles.stat.bloomFilter("sh", nItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
+      .filter(graft.functions.BloomContainsLong(col("sh"), bytes))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

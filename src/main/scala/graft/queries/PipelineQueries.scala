@@ -422,6 +422,22 @@ object PipelineQueries {
       "text", "doc_id", 5)
   }
 
+  /** E9-bloom: decontamination with the eval set as a Bloom filter
+    * ([[graft.operators.Dedup.decontaminateBloom]]) — ~7× smaller
+    * executor footprint than the exact hash broadcast, map-only
+    * scan, superset-with-bounded-FPR semantics. Rows-only registry
+    * entry (the filter's bit pattern is engine-specific); the spec
+    * asserts zero false negatives vs the exact E9 answer and a
+    * bounded flagged-set inflation.
+    */
+  def ddDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.decontaminateBloom(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "text", "doc_id", 5)
+  }
+
   val ddDecontaminateSql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

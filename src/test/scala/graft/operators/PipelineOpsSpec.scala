@@ -214,6 +214,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"train join must be broadcast, not SMJ:\n$plan")
   }
 
+  test("bloom decontamination: superset of exact, bounded inflation, no join in the scan") {
+    val docs = tables.documents
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.decontaminate(train, eval, "text", "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Dedup.decontaminateBloom(train, eval, "text", "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // One-sided error: every truly contaminated doc must surface with
+    // AT LEAST its exact shared-shingle count (false negatives are
+    // impossible by construction).
+    exact.foreach { case (doc, n) =>
+      assert(bloomed.contains(doc), s"doc $doc lost by bloom filter")
+      assert(bloomed(doc) >= n, s"doc $doc undercounted: ${bloomed(doc)} < $n")
+    }
+    // False positives stay bounded: at 1% FPR over ~shingle-count
+    // probes, flagged mass must not blow up (generous 3× slack on the
+    // binomial tail).
+    val exactMass = exact.values.sum.toDouble
+    val bloomMass = bloomed.values.sum.toDouble
+    val probes = train
+      .select(explode(graft.functions.NgramXxHashes(col("text"), 5)).as("sh"))
+      .count().toDouble
+    assert(bloomMass - exactMass <= 3.0 * 0.01 * probes + 50,
+      s"bloom inflation too high: $bloomMass vs $exactMass over $probes probes")
+
+    // Scale shape: the flagged scan is a pure filter — no join, no
+    // broadcast of the eval set, exactly one exchange (the final agg).
+    val plan = Dedup.decontaminateBloom(train, eval, "text", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom path must not join:\n$plan")
+    assert(dataShuffles(Dedup.decontaminateBloom(train, eval, "text", "doc_id", 5)) <= 1,
+      s"bloom scan must only shuffle for the final agg:\n$plan")
+  }
+
+  test("BloomContainsLong: members always hit, non-member FPR near the configured rate") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val members = (1L to 5000L).map(_ * 7919L)
+    val bf = BloomFilter.create(members.size.toLong, 0.01)
+    members.foreach(bf.putLong)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+
+    val df = members.toDF("v")
+      .select(graft.functions.BloomContainsLong(col("v"), bytes).as("hit"))
+    assert(df.collect().forall(_.getBoolean(0)), "bloom must never miss a member")
+
+    val nonMembers = (1L to 20000L).map(_ * 7919L + 3L)
+    val fps = nonMembers.toDF("v")
+      .select(graft.functions.BloomContainsLong(col("v"), bytes).as("hit"))
+      .filter(col("hit")).count()
+    assert(fps.toDouble / nonMembers.size <= 0.05,
+      s"false-positive rate ${fps.toDouble / nonMembers.size} far above configured 0.01")
+  }
+
   // --- SnapshotDiff ---
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
