@@ -86,6 +86,49 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
+  /** Containment near-superset pairs: |A∩B| / min(|A|,|B|) ≥
+    * threshold over word-n-gram shingle sets. The one-sided twin of
+    * [[ngramJaccard]]: a short document quoted whole inside a long
+    * one has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so
+    * symmetric-similarity dedup never sees it — this is the
+    * quote/boilerplate-inclusion detector a corpus pipeline runs
+    * beside Jaccard. Same scale shape: one shingle-hash exchange
+    * reused by the doc-frequency cap and both join sides, candidate
+    * width bounded by maxDocFreq.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val exploded = docs
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
+      .repartition(col("sh"))
+    val setSizes = exploded.groupBy($"doc").agg(count(lit(1)).as("set_size"))
+    val index = exploded
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
+      .filter($"df" <= maxDocFreq)
+      .drop("df")
+    val pairs = index.as("a")
+      .join(index.as("b"), $"a.sh" === $"b.sh" && $"a.doc" < $"b.doc")
+      .groupBy($"a.doc".as("doc_a"), $"b.doc".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(setSizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(setSizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("containment",
+        round($"inter".cast("double") / least($"size_a", $"size_b"), 4))
+      .filter($"containment" >= threshold)
+      .select($"doc_a", $"doc_b", $"containment")
+  }
+
   /** The k (a, b) permutation constants for a given seed. Exposed to
     * `private[graft]` so the DuckDB oracle SQL can embed the SAME
     * constants as literals — the signature is then exactly

@@ -161,6 +161,40 @@ object LlmQueries {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) >= 0.5""".stripMargin
 
+  /** E16: containment near-superset pairs — |A∩B| / min(|A|,|B|)
+    * over 3-gram shingles ([[graft.operators.Dedup.containmentPairs]]).
+    * Catches the small-doc-quoted-in-big-doc inclusions Jaccard's
+    * symmetric denominator hides.
+    */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir).documents, "text", "doc_id",
+      n = 3, threshold = 0.8, maxDocFreq = 100)
+
+  val ddContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+      |idx AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) x
+      |  WHERE df <= 100),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size), 4) + 0 AS containment
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size), 4) >= 0.8""".stripMargin
+
   /** E5: exact dedup after text normalization (lowercase, collapsed
     * whitespace) — catches trivially-reformatted copies the byte
     * hash misses.
@@ -418,6 +452,28 @@ object LlmQueries {
       |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
       |  length(text) AS n_chars_actual
       |FROM documents""".stripMargin
+
+  /** G17: type-token ratio — distinct words / total words, the
+    * classic lexical-diversity quality signal (template/spam text
+    * scores low, natural prose high). Pure map-side column math on
+    * the normalized token array; zero shuffles.
+    */
+  def txTtr(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
+  }
+
+  val txTtrSql: String =
+    """SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  len(list_distinct(t)) AS n_types,
+      |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) + 0 AS ttr
+      |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |      FROM documents) x""".stripMargin
 
   /** G13: character-level Shannon entropy + alphabet size per doc —
     * the gibberish/boilerplate quality signal. Map-only HOFs on the

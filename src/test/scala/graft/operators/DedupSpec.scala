@@ -28,6 +28,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs catches a quoted inclusion that Jaccard misses") {
+    val quoted = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 5 tokens, fully quoted in 2
+      (2L, "intro sentence first alpha beta gamma delta epsilon then lots of " +
+        "additional commentary follows with many extra words stretching the " +
+        "document so the shingle union dwarfs the quoted span entirely"),
+      (3L, "entirely different text about nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(quoted, "text", "doc_id",
+      n = 3, threshold = 0.8, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1's 3 shingles all appear in doc 2 → containment 1.0
+    assert(contained.toSeq == Seq((1L, 2L, 1.0)))
+    // the symmetric metric hides the same pair at any useful threshold
+    val jacc = Dedup.ngramJaccard(quoted, "text", "doc_id",
+      n = 3, threshold = 0.5, maxDocFreq = 10).collect()
+    assert(jacc.isEmpty, "Jaccard should NOT surface the asymmetric inclusion")
+  }
+
   test("minhashLsh surfaces near-dup candidates with high estimated jaccard") {
     val out = Dedup.minhashLsh(corpus, "text", "doc_id").collect()
     val exactPair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
