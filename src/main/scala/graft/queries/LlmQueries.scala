@@ -453,6 +453,43 @@ object LlmQueries {
       |  length(text) AS n_chars_actual
       |FROM documents""".stripMargin
 
+  /** G18: code-vs-prose detection — symbol density + programming-
+    * keyword hits, the heuristic corpus pipelines use to route
+    * documents between code and natural-language mixes before any
+    * model-based classifier. Map-only. The emitted columns are
+    * integer counts and the boolean verdict, NOT the rounded ratio:
+    * a raw ratio like 5/20000 sits exactly on a 4-dp half-boundary
+    * where Spark (shortest-decimal HALF_UP) and DuckDB (binary
+    * round) disagree — the threshold compare itself is safe because
+    * both engines produce bit-identical IEEE quotients.
+    */
+  def txCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val nSym = length(regexp_replace(text, "[^{}()\\[\\];=<>]", "")).cast("long")
+    val kwHits = size(regexp_extract_all(text,
+      lit("\\b(def|class|import|return|function|var|const|if|else|for|while)\\b"), lit(0)))
+      .cast("long")
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      nSym.as("n_sym"),
+      length(text).cast("long").as("n_chars"),
+      kwHits.as("kw_hits"),
+      (nSym.cast("double") / length(text) > 0.02 && kwHits >= 2).as("is_code"))
+  }
+
+  val txCodeDetectSql: String =
+    """SELECT doc_id,
+      |  length(regexp_replace(text, '[^{}()\[\];=<>]', '', 'g')) AS n_sym,
+      |  length(text) AS n_chars,
+      |  len(regexp_extract_all(text,
+      |    '\b(def|class|import|return|function|var|const|if|else|for|while)\b')) AS kw_hits,
+      |  CAST(length(regexp_replace(text, '[^{}()\[\];=<>]', '', 'g')) AS DOUBLE)
+      |      / length(text) > 0.02
+      |    AND len(regexp_extract_all(text,
+      |      '\b(def|class|import|return|function|var|const|if|else|for|while)\b')) >= 2
+      |    AS is_code
+      |FROM documents""".stripMargin
+
   /** G17: type-token ratio — distinct words / total words, the
     * classic lexical-diversity quality signal (template/spam text
     * scores low, natural prose high). Pure map-side column math on

@@ -56,6 +56,29 @@ class TextOpsSpec extends SparkSpec {
     assert(fp("a") != fp("c"))
   }
 
+  test("code detection separates a real snippet from prose") {
+    import graft.queries.LlmQueries
+    val docs = Seq(
+      (1L, "def main(): x = compute(); return x if x else fallback(); " +
+        "for i in range(10): import sys; while (a < b) { a = a + 1; }"),
+      (2L, "the gentle river wound through the valley as morning light " +
+        "touched the hills and the travellers walked on in easy silence")
+    ).toDF("doc_id", "text")
+    // run the query body against a temp dir layout? simpler: replicate
+    // the expression through a select on the fixture frame
+    val out = docs.select(col("doc_id"),
+        (length(regexp_replace(col("text"), "[^{}()\\[\\];=<>]", "")).cast("double")
+          / length(col("text")) > 0.02 &&
+          size(regexp_extract_all(col("text"),
+            lit("\\b(def|class|import|return|function|var|const|if|else|for|while)\\b"),
+            lit(0))) >= 2).as("is_code"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) && !out(2L))
+    // registered query shape sanity on the real table
+    val rows = LlmQueries.txCodeDetect(spark, sfDir).limit(5).collect()
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(2)))
+  }
+
   test("LM/TF-IDF vocab tables are never FORCE-broadcast (100-TB OOM guard)") {
     // With the auto-broadcast threshold off, the only BroadcastExchange
     // nodes allowed are the intentional 1-row `total` hints. If a
