@@ -415,7 +415,12 @@ object Dedup {
       .distinct()
     // Sizing pass over the (benchmark-sized) eval side only; the
     // filter build is a distributed mergeable aggregation.
-    val nItems = math.max(evalShingles.count(), 1L)
+    val nItems = evalShingles.count()
+    if (nItems == 0L)
+      // stat.bloomFilter NPEs on zero rows (null aggregate buffer);
+      // an empty eval set contaminates nothing, schema preserved.
+      return train.select(col(idCol).as("doc_id")).limit(0)
+        .withColumn("n_shared", lit(0L))
     val bloom = evalShingles.stat.bloomFilter("sh", nItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
