@@ -83,7 +83,11 @@ object Sampling {
       masses: Map[String, Long],
       alpha: Double
   ): Column = {
-    require(masses.nonEmpty, "temperatureKeep: masses must be non-empty")
+    // No sources at all (empty corpus): nothing can be kept. A
+    // column-level API cannot return "empty frame", so the keep
+    // predicate is constant-false and the caller's aggregation
+    // produces zero rows naturally.
+    if (masses.isEmpty) return lit(false)
     require(masses.values.forall(_ > 0),
       s"temperatureKeep: every source mass must be > 0 (zero mass makes pow(m, alpha-1) " +
         s"degenerate): ${masses.filter(_._2 <= 0).keys.mkString(", ")}")

@@ -242,6 +242,12 @@ object Similarity {
     var centroids: Seq[Seq[Double]] = base.orderBy(col("id")).limit(k)
       .select(transform(col("vec"), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // Fewer vectors than k (including zero): cluster over what exists
+    // rather than failing — day-one and thin-partition inputs are
+    // normal at scale, not errors.
+    if (centroids.isEmpty)
+      return base.withColumn("cluster", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    val effK = centroids.size
     def assigned = {
       val mat = typedlit(centroids)
       val scores = transform(mat, c => round(cosine(col("vec"), c), 4))
@@ -259,10 +265,10 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
         .select(col("cluster"), transform(col("dc"), s => s.getField("c")).as("cvec"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-      require(cents.size == k,
-        s"kmeans: iteration left ${k - cents.size} cluster(s) empty; " +
+      require(cents.size == effK,
+        s"kmeans: iteration left ${effK - cents.size} cluster(s) empty; " +
           "seed vectors do not spread over this data")
-      centroids = (1 to k).map(i => cents(i.toLong))
+      centroids = (1 to effK).map(i => cents(i.toLong))
     }
     assigned.select(col("id"), col("vec"), col("cluster"), col("score"))
   }
@@ -327,7 +333,12 @@ object Similarity {
       .orderBy(col("clabel"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    require(cents.nonEmpty, "pqCodes: no codebook centroids — input table is empty")
+    if (cents.isEmpty)
+      // Empty input: no codebook to train, no vectors to encode —
+      // empty result with the full output schema, not a crash.
+      return base.select(col(idCol) +:
+        (0 until m).map(j => lit(-1).as(s"c$j")) :+
+        lit(0.0).as("recon_err"): _*).limit(0)
     val dim = cents.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m

@@ -147,6 +147,11 @@ object Pipeline2 {
         pmod(col("n_nationkey") * 37, lit(127)).cast("double").as("sx"),
         pmod(col("n_nationkey") * 59, lit(89)).cast("double").as("sy"))
       .orderBy(col("site_id")).collect()
+    if (sites.isEmpty)
+      // No sites: nothing to assign events to. (array() of zero
+      // struct literals types as ARRAY<VOID> and breaks the fold.)
+      return t.events.select(col("event_id"),
+        lit(-1L).as("site_id"), lit(0.0).as("dist")).limit(0)
     val siteArr = array(sites.toIndexedSeq.map(r => struct(
       lit(r.getLong(0)).as("site_id"),
       lit(r.getDouble(1)).as("sx"),
@@ -424,10 +429,10 @@ object Pipeline2 {
     val raw = t.table("events")
     val wmRow = raw.filter(col("ts") < cutoffUs * 1000)
       .agg(max(expr("ts div 1000")).as("wm")).head()
-    require(!wmRow.isNullAt(0),
-      s"srcIncremental: no events before the snapshot cutoff ($cutoffUs µs) — " +
-        "there is no published watermark to read incrementally from")
-    val wmUs = wmRow.getLong(0)
+    // No published snapshot yet (first run / empty source): the
+    // watermark degrades to -1 and the incremental read becomes the
+    // full-backlog read — the correct day-one semantics, not an error.
+    val wmUs = if (wmRow.isNullAt(0)) -1L else wmRow.getLong(0)
     raw.filter(col("ts") >= (wmUs + 1) * 1000) // pushable raw-long range
       .select(col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
       .groupBy(col("event_type"))

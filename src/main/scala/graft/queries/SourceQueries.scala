@@ -223,9 +223,18 @@ object SourceQueries {
         .write.partitionBy("event_type").mode("overwrite").parquet(stage.toString)
       stage.toString
     })
+    // Explicit schema: no footer inference, and a zero-partition
+    // layout (nothing published yet) reads as empty rather than
+    // failing schema discovery.
+    val layout = org.apache.spark.sql.types.StructType(
+      Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .schema.fields.filterNot(_.name == "event_type") :+
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType))
     OvertureReader
       .readHivePartitioned(spark, root,
-        Some("event_type IN ('click', 'error')"))
+        Some("event_type IN ('click', 'error')"), Some(layout))
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
   }
 

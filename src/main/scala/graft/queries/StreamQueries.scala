@@ -173,8 +173,12 @@ object StreamQueries {
     // BEYOND every real event. One column-pruned scan of the ts
     // column — cheap, and it fails FAST instead of silently
     // withholding sessions if the data ever reaches the sentinel era.
-    val maxTs =
-      spark.read.parquet(s"$dir/events.parquet").agg(max(col("ts"))).head().getLong(0)
+    val maxTsRow =
+      spark.read.parquet(s"$dir/events.parquet").agg(max(col("ts"))).head()
+    // Empty source: any sentinel is trivially beyond the (absent)
+    // data; the stream then emits no real sessions — correct day-one
+    // behavior rather than a null-unboxing crash.
+    val maxTs = if (maxTsRow.isNullAt(0)) Long.MinValue else maxTsRow.getLong(0)
     require(maxTs < farFutureNanos - 2L * 3600 * 1000 * 1000 * 1000,
       s"stSessionAgg sentinel (2200-01-01) is not beyond the data (max ts $maxTs); " +
         "sessions would be silently withheld")
@@ -482,11 +486,15 @@ object StreamQueries {
       // Fail fast if the split ever stops bisecting the data — an
       // empty side would silently degrade the scenario to in-order
       // delivery.
-      val Array(nFresh, nLate) = raw.agg(
-        sum(when(col("ts") >= splitUs * 1000, 1L).otherwise(0L)),
-        sum(when(col("ts") < splitUs * 1000, 1L).otherwise(0L)))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
-      require(nFresh > 0 && nLate > 0,
+      val cnts = raw.agg(
+        coalesce(sum(when(col("ts") >= splitUs * 1000, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("ts") < splitUs * 1000, 1L).otherwise(0L)), lit(0L)))
+        .head()
+      val (nFresh, nLate) = (cnts.getLong(0), cnts.getLong(1))
+      // A one-sided split on REAL data silently degrades the scenario
+      // to in-order delivery — fail fast. A fully empty source is
+      // fine: three empty batches, empty windows, empty result.
+      require((nFresh == 0L && nLate == 0L) || (nFresh > 0L && nLate > 0L),
         s"stLateDrop split at $splitUs leaves an empty side (fresh=$nFresh late=$nLate)")
       val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
       stageSinglePart(raw.filter(col("ts") >= splitUs * 1000),

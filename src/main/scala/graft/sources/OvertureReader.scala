@@ -121,8 +121,14 @@ object OvertureReader {
   def readHivePartitioned(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
-      filter: Option[String] = None): DataFrame = {
-    val base = spark.read.parquet(root)
+      filter: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // An explicit schema serves two purposes at scale: footer
+    // inference is skipped entirely, and a layout with zero
+    // partition directories (no data published yet) reads as an
+    // EMPTY frame instead of UNABLE_TO_INFER_SCHEMA.
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val base = reader.parquet(root)
     filter.map(FilterDsl(base, _)).getOrElse(base)
   }
 
