@@ -43,8 +43,15 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
-    java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
+    // Totals line FIRST: it must reach stdout even if the file write
+    // fails (read-only cwd, bad SPARK_GRAFT_BENCH_OUT) — losing it
+    // reproduces the parsed:null failure this split exists to fix.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries_file":"${outPath.toAbsolutePath}","sf":"$sfDir"}""")
+    try java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -134,8 +134,13 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
       prev = e
       val payload = record(e)
       if (pendingPromote != null) { seps :+= pendingPromote; pendingPromote = null }
-      val cell = makeIndexCell(payload)
-      if (cells.nonEmpty && 8 + 2 * (cells.size + 1) + cellBytes + cell.length > U) {
+      // Size WITHOUT materializing: makeIndexCell writes overflow
+      // chains as a side effect, so it must run exactly once per
+      // cell that actually lands on a page — a sized-then-discarded
+      // cell would leak orphaned overflow pages (integrity_check
+      // reports them as "never used").
+      val cellSize = indexCellSize(payload.length)
+      if (cells.nonEmpty && 8 + 2 * (cells.size + 1) + cellBytes + cellSize > U) {
         // close this leaf; THIS entry separates it from the next one,
         // so it moves up a level instead of into any leaf — unless it
         // turns out to be the final entry, in which case it becomes
@@ -143,8 +148,8 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
         flushLeaf()
         pendingPromote = payload
       } else {
-        require(8 + 2 + cell.length <= U, s"index '$name': single cell exceeds page capacity")
-        cells += cell; cellBytes += cell.length
+        require(8 + 2 + cellSize <= U, s"index '$name': single cell exceeds page capacity")
+        cells += makeIndexCell(payload); cellBytes += cellSize
       }
     }
     if (pendingPromote != null) { // promoted entry with no right sibling
@@ -169,7 +174,9 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
         var n = 0
         var stop = false
         while (!stop && last < children.size - 1) {
-          val cell = 4 + makeIndexCell(seps(last)).length
+          // Pure sizing — materialization happens once, below, only
+          // for cells that stay on this page (see leaf-level note).
+          val cell = 4 + indexCellSize(seps(last).length)
           if (n > 0 && 12 + 2 * (n + 1) + bytes + cell > U) stop = true
           else {
             bytes += cell; n += 1; last += 1
@@ -231,9 +238,23 @@ private[export] final class SqliteWriter(path: String, pageSize: Int = 4096) {
     }
   }
 
+  /** Exact byte size [[makeIndexCell]] will produce, WITHOUT the
+    * side effect of writing overflow pages — use this for all
+    * page-fit probing.
+    */
+  private def indexCellSize(p: Int): Int =
+    if (p <= XI) varint(p.toLong).length + p
+    else {
+      val k = M + ((p - M) % (U - 4))
+      val local = if (k <= XI) k else M
+      varint(p.toLong).length + local + 4
+    }
+
   /** Index cell: varint(P) ++ local-payload [++ be32(overflow)] — no
     * rowid field (the rowid is the record's last column); index
-    * pages use the smaller XI local-payload maximum.
+    * pages use the smaller XI local-payload maximum. SIDE EFFECT:
+    * allocates and writes the overflow chain — call exactly once per
+    * cell that is actually placed ([[indexCellSize]] for probing).
     */
   private def makeIndexCell(payload: Array[Byte]): Array[Byte] = {
     val p = payload.length

@@ -46,25 +46,31 @@ object Dedup {
     * self-join width on skewed corpora; part of the operator's
     * declared semantics).
     */
-  def ngramJaccard(
+  /** Shared inverted-index candidate machinery for the pairwise
+    * shingle-set scores ([[ngramJaccard]], [[containmentPairs]]):
+    * returns candidate pairs with the intersection count and both
+    * set sizes — each scorer adds only its own final expression.
+    *
+    * The repartition is a deliberate materialization boundary: the
+    * shingle expression would otherwise be inlined (and recomputed)
+    * into the window, the set-size agg, AND both sides of the
+    * self-join. It also pre-partitions by shingle, which the
+    * doc-frequency window and the join key reuse. Shingles are
+    * carried as xxhash64 longs (native NgramXxHashes, one codegen'd
+    * loop), not strings: same equality semantics (collision odds
+    * ~N²/2⁶⁵), a fraction of the shuffle bytes and comparison cost.
+    * The maxDocFreq cap bounds candidate width on hot shingles.
+    */
+  private def shingleIntersections(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       n: Int,
-      threshold: Double,
       maxDocFreq: Int
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // The repartition is a deliberate materialization boundary: the
-    // shingle expression would otherwise be inlined (and recomputed)
-    // into the window, the set-size agg, AND both sides of the
-    // self-join. It also pre-partitions by shingle, which the
-    // doc-frequency window and the join key reuse. Shingles are
-    // carried as xxhash64 longs (native NgramXxHashes, one codegen'd
-    // loop), not strings: same equality semantics (collision odds
-    // ~N²/2⁶⁵), a fraction of the shuffle bytes and comparison cost.
     val exploded = docs
       .select(col(idCol).as("doc"),
         explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
@@ -81,6 +87,18 @@ object Dedup {
     pairs
       .join(setSizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
       .join(setSizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+  }
+
+  def ngramJaccard(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int
+  ): DataFrame = {
+    import docs.sparkSession.implicits._
+    shingleIntersections(docs, textCol, idCol, n, maxDocFreq)
       .withColumn("jaccard", round($"inter".cast("double") / ($"size_a" + $"size_b" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
@@ -104,25 +122,8 @@ object Dedup {
       threshold: Double,
       maxDocFreq: Int
   ): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    val exploded = docs
-      .select(col(idCol).as("doc"),
-        explode(graft.functions.NgramXxHashes(col(textCol), n)).as("sh"))
-      .repartition(col("sh"))
-    val setSizes = exploded.groupBy($"doc").agg(count(lit(1)).as("set_size"))
-    val index = exploded
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
-      .filter($"df" <= maxDocFreq)
-      .drop("df")
-    val pairs = index.as("a")
-      .join(index.as("b"), $"a.sh" === $"b.sh" && $"a.doc" < $"b.doc")
-      .groupBy($"a.doc".as("doc_a"), $"b.doc".as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(setSizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
-      .join(setSizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+    import docs.sparkSession.implicits._
+    shingleIntersections(docs, textCol, idCol, n, maxDocFreq)
       .withColumn("containment",
         round($"inter".cast("double") / least($"size_a", $"size_b"), 4))
       .filter($"containment" >= threshold)

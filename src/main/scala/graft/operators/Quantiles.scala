@@ -32,6 +32,11 @@ object Quantiles {
       valueCol: String,
       ps: Seq[(String, Double)]
   ): DataFrame = {
+    require(ps.nonEmpty, "Quantiles.exactInterpolated: ps must be non-empty")
+    ps.foreach { case (name, p) =>
+      require(p >= 0.0 && p <= 1.0,
+        s"Quantiles.exactInterpolated: p for '$name' must be in [0,1], got $p")
+    }
     val wSort = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
     val wAll = Window.partitionBy(col(groupCol))
     val ranked = df

@@ -442,9 +442,12 @@ object Pipeline2 {
       .withColumn("watermark_us", lit(wmUs))
   }
 
+  // coalesce(wm_us, -1) mirrors the Spark side's day-one fallback:
+  // with nothing published before the cutoff, ts > NULL would filter
+  // everything here while Spark returns the full backlog.
   val srcIncrementalSql: String =
     """WITH wm AS (
-      |  SELECT max(epoch_us(ts)) AS wm_us FROM events
+      |  SELECT coalesce(max(epoch_us(ts)), -1) AS wm_us FROM events
       |  WHERE epoch_us(ts) < 1705276800000000)
       |SELECT event_type, count(*) AS n_new,
       |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,

@@ -193,11 +193,30 @@ class GpkgSpec extends SparkSpec {
       s"SELECT fid FROM big WHERE name = 'key_003456_${"p" * 60}'") == Seq("3456"))
     assert(sqliteQuery(path,
       s"SELECT fid FROM big WHERE name = 'key_004000_${"p" * 60}'") == Seq("4000"))
-    // index root must be an interior page for this to regress-proof
-    // the 0x02 path: > 1 leaf implied by 4000 × ~70-byte keys
-    val idxPages = sqliteQuery(path,
+    // regress-proof the 0x02 path: the index ROOT must literally be
+    // an interior index page (first byte of the root page = 0x02)
+    val root = sqliteQuery(path,
       "SELECT rootpage FROM sqlite_master WHERE type='index'").head.toInt
-    assert(idxPages > 0)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes((root - 1) * 4096) == 0x02,
+      s"index root page $root is type ${bytes((root - 1) * 4096)}, expected interior 0x02")
+  }
+
+  test("overflowing index keys across many leaves leave no orphan pages") {
+    // Keys > XI (~1002 B at 4096 page) force overflow chains on
+    // EVERY index cell, and enough of them force leaf boundaries and
+    // interior levels — the exact scenario where a sized-then-
+    // discarded cell would leak its already-written overflow chain.
+    // integrity_check reports leaked pages as "Page N is never used".
+    val path = tmp() + "/bigkeys.gpkg"
+    val rows = (1 to 60).map { i =>
+      (i.toLong, f"k_$i%04d_" + ("q" * 2000), Wkb.encodePoint((i * 1.0, 0.0)))
+    }
+    Gpkg.write(rows.toDF("fid", "name", "geom"), path, "t", uniqueCols = Seq("name"))
+    assert(sqliteQuery(path, "PRAGMA integrity_check") == Seq("ok"))
+    assert(sqliteQuery(path, s"SELECT fid FROM t WHERE name = 'k_0042_${"q" * 2000}'")
+      == Seq("42"))
+    assert(sqliteQuery(path, "SELECT count(*) FROM t") == Seq("60"))
   }
 
   test("duplicate UNIQUE values fail the export; NULLs stay duplicable") {
