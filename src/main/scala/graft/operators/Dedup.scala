@@ -61,7 +61,7 @@ object Dedup {
     * ~N²/2⁶⁵), a fraction of the shuffle bytes and comparison cost.
     * The maxDocFreq cap bounds candidate width on hot shingles.
     */
-  private def shingleIntersections(
+  private[graft] def shingleIntersections(
       docs: DataFrame,
       textCol: String,
       idCol: String,
@@ -89,6 +89,28 @@ object Dedup {
       .join(setSizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
   }
 
+  /** Jaccard score + threshold over a [[shingleIntersections]]
+    * frame — split out so a session-cached intersections subtree can
+    * feed BOTH scorers without recomputing the inverted index.
+    */
+  private[graft] def scoreJaccard(intersections: DataFrame, threshold: Double): DataFrame = {
+    import intersections.sparkSession.implicits._
+    intersections
+      .withColumn("jaccard", round($"inter".cast("double") / ($"size_a" + $"size_b" - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** Containment score + threshold over [[shingleIntersections]]. */
+  private[graft] def scoreContainment(intersections: DataFrame, threshold: Double): DataFrame = {
+    import intersections.sparkSession.implicits._
+    intersections
+      .withColumn("containment",
+        round($"inter".cast("double") / least($"size_a", $"size_b"), 4))
+      .filter($"containment" >= threshold)
+      .select($"doc_a", $"doc_b", $"containment")
+  }
+
   def ngramJaccard(
       docs: DataFrame,
       textCol: String,
@@ -96,13 +118,8 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Int
-  ): DataFrame = {
-    import docs.sparkSession.implicits._
-    shingleIntersections(docs, textCol, idCol, n, maxDocFreq)
-      .withColumn("jaccard", round($"inter".cast("double") / ($"size_a" + $"size_b" - $"inter"), 4))
-      .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard")
-  }
+  ): DataFrame =
+    scoreJaccard(shingleIntersections(docs, textCol, idCol, n, maxDocFreq), threshold)
 
   /** Containment near-superset pairs: |A∩B| / min(|A|,|B|) ≥
     * threshold over word-n-gram shingle sets. The one-sided twin of
@@ -121,14 +138,8 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Int
-  ): DataFrame = {
-    import docs.sparkSession.implicits._
-    shingleIntersections(docs, textCol, idCol, n, maxDocFreq)
-      .withColumn("containment",
-        round($"inter".cast("double") / least($"size_a", $"size_b"), 4))
-      .filter($"containment" >= threshold)
-      .select($"doc_a", $"doc_b", $"containment")
-  }
+  ): DataFrame =
+    scoreContainment(shingleIntersections(docs, textCol, idCol, n, maxDocFreq), threshold)
 
   /** The k (a, b) permutation constants for a given seed. Exposed to
     * `private[graft]` so the DuckDB oracle SQL can embed the SAME

@@ -113,12 +113,25 @@ object LlmQueries {
     * warehouse would use for a common subexpression. Result rows are
     * tiny (near-dup pairs only).
     */
+  private val interCache = new graft.util.Memo[(SparkSession, String), DataFrame]
+
+  /** Session-cached UNthresholded shingle intersections (n=3,
+    * doc-freq cap 100): one inverted-index build feeds Jaccard (E4
+    * and its E6/E7 consumers) AND containment (E16) — the scorers
+    * are cheap column math over this candidate table. Candidate
+    * width is maxDocFreq-bounded, so the checkpoint is pair-sized.
+    */
+  private[queries] def shingleInter(spark: SparkSession, dir: String): DataFrame =
+    interCache.getOrElseUpdate((spark, dir),
+      Dedup.shingleIntersections(Tables(spark, dir).documents, "text", "doc_id",
+        n = 3, maxDocFreq = 100).localCheckpoint(true))
+
   private val pairsCache = new graft.util.Memo[(SparkSession, String), DataFrame]
 
   private[queries] def ngramPairs(spark: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((spark, dir),
-      Dedup.ngramJaccard(Tables(spark, dir).documents, "text", "doc_id",
-        n = 3, threshold = 0.5, maxDocFreq = 100).localCheckpoint(true))
+      Dedup.scoreJaccard(shingleInter(spark, dir), threshold = 0.5)
+        .localCheckpoint(true))
 
   /** Session-scoped CC labels over [[ngramPairs]]: E6 and M6 both
     * consume them; the iterative large-star/small-star rounds run
@@ -167,8 +180,7 @@ object LlmQueries {
     * symmetric denominator hides.
     */
   def ddContainment(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables(spark, dir).documents, "text", "doc_id",
-      n = 3, threshold = 0.8, maxDocFreq = 100)
+    Dedup.scoreContainment(shingleInter(spark, dir), threshold = 0.8)
 
   val ddContainmentSql: String =
     """WITH toks AS (
