@@ -281,6 +281,45 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** [[unigramLogprob]]'s sketch twin: term frequencies come from a
+    * Count-Min Sketch instead of the vocabulary table, so the
+    * N-proportional join on `term` disappears entirely — the probe
+    * is a map-only codegen'd lookup against a FIXED-size sketch
+    * (depth×width counters, independent of |V|), built distributed
+    * via mergeable per-partition partials (`stat.countMinSketch`).
+    * Error is one-sided: CMS never undercounts, so the estimated
+    * mean ln P is ≥ the exact one, with per-term overcount ≤ eps·N
+    * at the configured confidence. Terms probe as xxhash64 longs
+    * (8-byte keys, same trick as the shingle pipelines).
+    */
+  def unigramLogprobSketch(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99
+  ): org.apache.spark.sql.DataFrame = {
+    val terms = docs
+      .select(
+        col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("th"))
+    val cms = terms.stat.countMinSketch("th", eps, confidence, 42)
+    val total = cms.totalCount()
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    terms
+      .select(col("doc_id"),
+        graft.functions.CmsCountLong(col("th"), bytes).as("tf_est"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(log(col("tf_est").cast("double") / total)), 4).as("mean_logprob_est"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Corpus bigram language-model score per document: mean
     * ln P(w₂ | w₁) under corpus MLE bigram statistics — one step up
     * from [[unigramLogprob]]'s fluency proxy (word-order-aware, so

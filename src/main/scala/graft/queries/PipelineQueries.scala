@@ -376,6 +376,15 @@ object PipelineQueries {
   def txUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
     TextOps.unigramLogprob(Tables(spark, dir).documents, "text", "doc_id")
 
+  /** G19: the Count-Min-Sketch twin of G11
+    * ([[graft.operators.TextOps.unigramLogprobSketch]]) — the vocab
+    * join replaced by a fixed-size sketch probe. Rows-only registry
+    * entry (counter collisions are sketch-internal); the spec pins
+    * the CMS one-sided guarantee against exact counts.
+    */
+  def txUnigramLogprobSketch(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogprobSketch(Tables(spark, dir).documents, "text", "doc_id")
+
   val txUnigramLogprobSql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

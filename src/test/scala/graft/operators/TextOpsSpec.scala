@@ -79,6 +79,36 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) <= r.getLong(2)))
   }
 
+  test("CMS unigram logprob: never below exact, within the eps*N overcount bound") {
+    val docs = tables.documents
+    val exact = TextOps.unigramLogprob(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sketch = TextOps.unigramLogprobSketch(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sketch.keySet == exact.keySet)
+    // One-sided error: CMS never undercounts a term, so every
+    // estimated mean ln P >= the exact one (4-dp rounding slack).
+    exact.foreach { case (doc, e) =>
+      assert(sketch(doc) >= e - 1e-4, s"doc $doc sketch ${sketch(doc)} < exact $e")
+    }
+    // Direct counter check: estimate in [exact, exact + eps*N] for
+    // every term of a sample doc (generous: bound holds per-term at
+    // 99% confidence; eps*N at sf0.001 is small in absolute terms).
+    import org.apache.spark.util.sketch.CountMinSketch
+    val terms = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val th = terms.select(xxhash64(col("t")).as("th"))
+    val cms = th.stat.countMinSketch("th", 1e-4, 0.99, 42)
+    val n = cms.totalCount()
+    val exactCounts = th.groupBy("th").count().limit(50).collect()
+    exactCounts.foreach { r =>
+      val est = cms.estimateCount(r.getLong(0))
+      assert(est >= r.getLong(1), "CMS undercounted")
+      assert(est <= r.getLong(1) + math.max(1L, (3 * 1e-4 * n).toLong),
+        s"CMS overcount beyond 3*eps*N: $est vs ${r.getLong(1)}")
+    }
+  }
+
   test("LM/TF-IDF vocab tables are never FORCE-broadcast (100-TB OOM guard)") {
     // With the auto-broadcast threshold off, the only BroadcastExchange
     // nodes allowed are the intentional 1-row `total` hints. If a
