@@ -365,6 +365,34 @@ object Similarity {
           .as("recon_err"): _*)
   }
 
+  /** Hybrid retrieval: fuse a lexical (BM25) candidate list and a
+    * vector (cosine) candidate list with reciprocal-rank fusion,
+    * `rrf = Σ 1/(rrfK + rank)` over the lists a doc appears in.
+    *
+    * Scale shape: each list is already bounded (top-`nCandidates`
+    * via per-partition heaps), so ranking windows and the outer
+    * join run over ≤ 2·nCandidates rows — constant-size, never
+    * corpus-size. The corpus is scanned once per modality, which is
+    * the irreducible cost of hybrid search without an index.
+    */
+  def rrfFuse(
+      lexRanked: DataFrame, // (id, r_lex) — rank 1..n
+      vecRanked: DataFrame, // (id, r_vec)
+      k: Int,
+      rrfK: Double = 60.0
+  ): DataFrame = {
+    def contrib(r: Column) = coalesce(lit(1.0) / (lit(rrfK) + r), lit(0.0))
+    lexRanked
+      .join(vecRanked, Seq("id"), "outer")
+      .select(
+        col("id"),
+        round(contrib(col("r_lex")) + contrib(col("r_vec")), 6).as("rrf"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy(col("label"), col("d"))

@@ -382,4 +382,61 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc").as("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
+
+  /** BM25 retrieval: score every document against a fixed query-term
+    * set and return the global top-k. Unlike the TF-IDF path there is
+    * NO explode and NO (doc, term) shuffle: per-query-term tf and the
+    * doc length both come from array functions over the token split —
+    * one map-only pass per document. The only aggregate is a single
+    * 1-row reduction (N, avgdl, df per query term — |query| columns,
+    * so broadcasting it is size-bounded by the query, not the corpus),
+    * and the top-k is TakeOrderedAndProject (per-partition heaps, no
+    * global sort). That shape is 100 TB-safe: corpus bytes move once
+    * through the scan and once through a k-row heap.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Robertson-
+    * Sparck Jones form, always positive); contributions are summed
+    * left-to-right in query-term order so the oracle's `+` chain
+    * reproduces the same IEEE association.
+    */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 20
+  ): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("t"))
+    def tfCol(t: String) = s"tf_${t}"
+    def dfCol(t: String) = s"df_${t}"
+    val per = toks.select(
+      col("doc_id") +:
+        size(col("t")).cast("double").as("dl") +:
+        queryTerms.map(t =>
+          size(filter(col("t"), x => x === lit(t))).cast("double").as(tfCol(t))): _*)
+    val stats = per.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl") +:
+        queryTerms.map(t =>
+          sum(when(col(tfCol(t)) > 0, 1).otherwise(0)).cast("double").as(dfCol(t))): _*)
+    val score = queryTerms
+      .map { t =>
+        val tf = col(tfCol(t))
+        val df = col(dfCol(t))
+        val idf = log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5)))
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      }
+      .reduce(_ + _)
+    per
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
 }
