@@ -183,6 +183,114 @@ object Pipeline3 {
       |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
       |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
 
+  /** E17: canonical representative per near-dup cluster — the keep
+    * decision that turns E6's connected components into an actual
+    * dedup: per component keep the longest doc (n_chars, tie →
+    * lowest id). Consumes the session-cached CC labels (third
+    * consumer of one subtree build); the window partitions by
+    * component, whose width is a dup-cluster size — bounded by data
+    * redundancy, not corpus size.
+    */
+  def ddClusterRep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = LlmQueries.ccLabels(spark, dir) // (node, component)
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("n_chars"))
+    val j = labels
+      .join(docs, labels("node") === docs("doc_id"))
+      .select(col("component"), col("node"), col("n_chars"))
+    val w = Window.partitionBy(col("component")).orderBy(col("n_chars").desc, col("node"))
+    j.withColumn("rk", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("node"))).as("rep_doc"),
+        max(when(col("rk") === 1, col("n_chars"))).as("rep_chars"))
+  }
+
+  val ddClusterRepSql: String =
+    s"""WITH RECURSIVE pairs AS (${LlmQueries.ddNgramJaccardSql}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |j AS (SELECT c.component, c.node, d.n_chars
+       |      FROM comp c JOIN documents d ON d.doc_id = c.node),
+       |r AS (SELECT component, node, n_chars,
+       |        row_number() OVER (PARTITION BY component
+       |          ORDER BY n_chars DESC, node) AS rk
+       |      FROM j)
+       |SELECT component,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN rk = 1 THEN node END) AS rep_doc,
+       |  max(CASE WHEN rk = 1 THEN n_chars END) AS rep_chars
+       |FROM r GROUP BY component""".stripMargin
+
+  /** D39: PSI distribution drift — population stability index of the
+    * `value` distribution between a reference segment ('view') and a
+    * current segment ('purchase'), over 10 fixed-width bins with
+    * +0.5 additive smoothing (so empty bins contribute finitely).
+    * One tiny (≤10-row post-agg) shuffle; the bin scaffold is
+    * generated, not derived, so both engines emit all 10 rows even
+    * for empty inputs. Fixed bin edges are what make the pass
+    * single-scan at scale — a quantile-based binning would need a
+    * pre-pass.
+    */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(
+        col("event_type"),
+        least(floor(col("value") / 33.0), lit(9.0)).cast("long").as("bin"))
+    val counts = ev.groupBy(col("bin")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_ref"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c_cur"))
+    val bins = spark.range(10).select(col("id").as("bin"))
+    val filled = bins
+      .join(counts, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = filled.agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    def p(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (c.cast("double") + 0.5) / (n.cast("double") + 5.0)
+    filled
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"),
+        col("c_ref"),
+        col("c_cur"),
+        round(
+          (p(col("c_ref"), col("n_ref")) - p(col("c_cur"), col("n_cur"))) *
+            log(p(col("c_ref"), col("n_ref")) / p(col("c_cur"), col("n_cur"))),
+          6).as("psi_contrib"))
+  }
+
+  val qPsiDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(least(floor(value / 33.0), 9.0) AS BIGINT) AS bin
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |counts AS (
+      |  SELECT bin,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      |  FROM ev GROUP BY 1),
+      |bins AS (SELECT range AS bin FROM range(0, 10)),
+      |filled AS (
+      |  SELECT b.bin, coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+      |  FROM bins b LEFT JOIN counts c USING (bin)),
+      |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+      |               CAST(sum(c_cur) AS BIGINT) AS n_cur FROM filled)
+      |SELECT bin, c_ref, c_cur,
+      |  round(((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)
+      |        - (CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))
+      |      * ln(((CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
+      |         / ((CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))), 6) + 0
+      |    AS psi_contrib
+      |FROM filled CROSS JOIN tot""".stripMargin
+
   /** N8: curriculum staging — shortest-first stages cut at fixed
     * token-count thresholds, with a deterministic within-stage
     * shuffle key from the shared LCG mix (same arithmetic as
