@@ -5,6 +5,22 @@ import graft.queries.Registry
 // Diagnostic main: prints condensed executed-plan facts per query
 // (broadcast usage, pushed filters, shuffle count).
 object PlanCheck {
+
+  /** Window nodes with an EMPTY partition spec in `df`'s optimized
+    * plan, rendered as their window-expression lists. An
+    * unpartitioned window funnels its whole input through ONE task —
+    * a scale-killer unless the input is already bounded (e.g. a
+    * heap-limited candidate list). PlanGuardSpec runs this over
+    * every registry query and fails anything outside its audited
+    * allowlist, so a global window can never land silently again.
+    */
+  def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty =>
+        w.windowExpressions.map(_.sql).mkString(", ")
+    }
+  }
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Total-order ranking without a global window.
+  *
+  * `ntile(k) OVER (ORDER BY …)` — the reference's decile assignment
+  * (reference: cli.py sector scoring buckets) — puts EVERY row
+  * through one WindowExec task: the plan that dies first at 100 TB.
+  * This operator keeps the semantics exact and the sort parallel:
+  *
+  *   1. `orderBy` — Spark range-partitions the sort (sampled
+  *      boundaries, each task sorts its slice);
+  *   2. `zipWithIndex` — one lightweight count-per-partition job,
+  *      then a map that adds each slice's offset: global positions
+  *      with no row funnel (driver state = numPartitions longs);
+  *   3. the SQL-standard ntile closed form over (position, n):
+  *      first `n mod k` buckets get `ceil(n/k)` rows, the rest
+  *      `floor(n/k)`.
+  *
+  * The extra `count()` is a column-pruned scan (Catalyst's
+  * EliminateSorts drops the orderBy under it; parquet answers from
+  * footer metadata). RDD zip is off the codegen path, but Spark has
+  * no codegen for a global rank anyway — the win is removing the
+  * single-task sort, not the map.
+  */
+object GlobalRank {
+
+  /** Exact `ntile(k)` over the total order `sortCols`, appended as
+    * LongType column `out`. Ties are broken by `sortCols` itself —
+    * pass a unique tiebreaker column for deterministic output.
+    */
+  def ntileExact(df: DataFrame, sortCols: Seq[Column], k: Int, out: String): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val spark = df.sparkSession
+    val n = df.count()
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1) // positions below `cut` fall in the wide buckets
+    val zipped = df.orderBy(sortCols: _*).rdd.zipWithIndex().map { case (row, i) =>
+      val bucket =
+        if (i < cut) i / (q + 1) + 1
+        else (i - cut) / math.max(q, 1L) + r + 1
+      Row.fromSeq(row.toSeq :+ bucket)
+    }
+    spark.createDataFrame(zipped, df.schema.add(out, LongType, nullable = false))
+  }
+}

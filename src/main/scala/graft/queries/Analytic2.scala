@@ -209,14 +209,22 @@ object Analytic2 {
       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) + 0 AS ma5
       |FROM events""".stripMargin
 
-  /** D16: decile assignment per customer balance (ntile). */
+  /** D16: decile assignment per customer balance (ntile). Computed
+    * by [[graft.operators.GlobalRank.ntileExact]] — a range-
+    * partitioned parallel sort + zipWithIndex + the SQL ntile closed
+    * form — instead of `ntile(10).over(Window.orderBy(…))`, whose
+    * empty partition spec funnels the whole table through one task
+    * (the PlanGuardSpec failure mode). Same exact semantics, no
+    * global window.
+    */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    t.customer.select(
-      col("c_custkey"),
-      ntile(10).over(w).cast("long").as("decile"))
+    graft.operators.GlobalRank
+      .ntileExact(
+        t.customer.select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal"), col("c_custkey")),
+        k = 10, out = "decile")
+      .select(col("c_custkey"), col("decile"))
   }
 
   val qNtileSql: String =

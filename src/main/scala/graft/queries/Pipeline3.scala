@@ -71,11 +71,22 @@ object Pipeline3 {
   def txDupNgramFrac(spark: SparkSession, dir: String): DataFrame =
     dupNgramFrac(Tables(spark, dir).documents)
 
-  /** Library form over any (doc_id, text) frame. */
+  /** Library form over any (doc_id, text) frame.
+    *
+    * Staged boundary (same pattern as E2's signature build): `base`
+    * feeds BOTH the exploded doc-frequency subtree and the
+    * `size(hs)` denominator subtree, and without a materialization
+    * boundary Spark re-evaluates the shingle hashing — the expensive
+    * expression — once per consumer. `localCheckpoint` pins the
+    * hashes-only projection (doc_id + 8 B/shingle, no raw text) so
+    * the corpus is scanned and hashed exactly once; at 100 TB that
+    * halves the dominant cost of this query.
+    */
   def dupNgramFrac(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"),
       graft.functions.NgramXxHashes(col("text"), 5).as("hs"))
+      .localCheckpoint(true)
     val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
     // `sh` is distinct per (doc, shingle) by construction, so the
     // document frequency of a shingle is a plain count.
@@ -187,24 +198,25 @@ object Pipeline3 {
     * decision that turns E6's connected components into an actual
     * dedup: per component keep the longest doc (n_chars, tie →
     * lowest id). Consumes the session-cached CC labels (third
-    * consumer of one subtree build); the window partitions by
-    * component, whose width is a dup-cluster size — bounded by data
-    * redundancy, not corpus size.
+    * consumer of one subtree build). The keep decision is a pure
+    * aggregation — `max_by` over the orderable struct
+    * (n_chars, -node) — so it map-side-combines and never sorts a
+    * component's members: one exchange on component, no Window, and
+    * a pathological giant dup cluster (shared boilerplate) costs a
+    * running max instead of a per-key sort.
     */
   def ddClusterRep(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val labels = LlmQueries.ccLabels(spark, dir) // (node, component)
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("n_chars"))
-    val j = labels
+    val rank = struct(col("n_chars"), -col("node")) // max ⇔ longest, tie lowest id
+    labels
       .join(docs, labels("node") === docs("doc_id"))
       .select(col("component"), col("node"), col("n_chars"))
-    val w = Window.partitionBy(col("component")).orderBy(col("n_chars").desc, col("node"))
-    j.withColumn("rk", row_number().over(w))
       .groupBy(col("component"))
       .agg(
         count(lit(1)).as("n_members"),
-        max(when(col("rk") === 1, col("node"))).as("rep_doc"),
-        max(when(col("rk") === 1, col("n_chars"))).as("rep_chars"))
+        max_by(col("node"), rank).as("rep_doc"),
+        max(col("n_chars")).as("rep_chars"))
   }
 
   val ddClusterRepSql: String =
