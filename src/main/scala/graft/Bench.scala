@@ -13,40 +13,50 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two timed runs per query, min reported: the first run absorbs
-    // codegen/JIT and any GC debt left by earlier queries, so the
-    // minimum reflects steady-state operator cost.
+    // Two timed runs per query, BOTH reported (round-5 verdict #7:
+    // SURVEY quoted min-of-two steady-state while the driver artifact
+    // read cold — one artifact now carries both columns so every
+    // consumer quotes the same measurement):
+    //   cold   = first run (codegen/JIT + GC debt included) — the
+    //            driver's round-over-round canonical;
+    //   steady = min of two — the operator-cost signal plan work is
+    //            judged by.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once()
-      val b = if (a >= 0) once() else a
+      val cold = once()
+      val b = if (cold >= 0) once() else cold
       System.gc()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val steady = if (cold < 0 || b < 0) -1.0 else math.min(cold, b)
+      name -> ((if (b < 0) -1.0 else cold, steady))
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // Failure sentinels (-1) must not SUBTRACT from the headline.
-    val total = results.values.filter(_ > 0).sum
-    val nFail = results.values.count(_ < 0)
+    val qs = results.map { case (k, (c, s)) =>
+      s"\"" + k + "\":{\"cold\":" + fmt(c) + ",\"steady\":" + fmt(s) + "}"
+    }.mkString("{", ",", "}")
+    // Failure sentinels (-1) must not SUBTRACT from the headlines.
+    val totalCold = results.values.map(_._1).filter(_ > 0).sum
+    val totalSteady = results.values.map(_._2).filter(_ > 0).sum
+    val nFail = results.values.count(_._2 < 0)
     // The driver captures only a bounded stdout tail: at 143 queries
     // the full per-query map no longer fits (round 4's BENCH artifact
     // came back parsed:null). So the full map goes to a file in the
     // repo for the judge, and stdout carries ONE short, always-
-    // parseable totals line.
-    val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries":$qs,"sf":"$sfDir"}"""
+    // parseable totals line. `value` stays the steady-state total for
+    // round-over-round continuity; `value_cold` is the cold twin.
+    val totals =
+      s""""metric":"total","value":${fmt(totalSteady)},"value_cold":${fmt(totalCold)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail"""
+    val full = s"""{$totals,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
     // Totals line FIRST: it must reach stdout even if the file write
     // fails (read-only cwd, bad SPARK_GRAFT_BENCH_OUT) — losing it
     // reproduces the parsed:null failure this split exists to fix.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries_file":"${outPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{$totals,"queries_file":"${outPath.toAbsolutePath}","sf":"$sfDir"}""")
     try java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
     catch {
       case e: java.io.IOException =>

@@ -1,7 +1,7 @@
 package graft
 
 import graft.config.{CountryRegistry, QueryConfig}
-import graft.`export`.{CacheKey, CountryCache, Exporter, ExportFormat, FeatureService, GeoJson, PublishMode}
+import graft.`export`.{CacheKey, CountryCache, Exporter, ExportFormat, FeatureService, GeoJson, PublishMode, SectorService}
 import graft.operators.Normalize
 import graft.sources.{OvertureReader, ReadRequest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions.col
   * {{{
   *   graft.Cli export   <catalog.json> <query> <sfDir> <outPath> [--country=ISO3] [--geom=xCol,yCol] [--date=ISO]
   *   graft.Cli publish  <catalog.json> <query> <sfDir> <servicePath> [--mode=auto|initial|overwrite|append] [--country=ISO3] [--date=ISO]
+  *   graft.Cli publish-sectors <catalog.json> <sector,names> <sfDir> <servicePath> [--mode=…] [--geom=xCol,yCol] [--square=xCol,yCol,halfWidth]
   *   graft.Cli run          <registry-query> <sfDir> <outPath.{parquet,csv}>
   *   graft.Cli list-registry
   *   graft.Cli list-queries <catalog.json>
   *   graft.Cli list-cache   <cachePath>
   *   graft.Cli clear-cache  <cachePath> <release> <country> <theme> <type>
+  *   graft.Cli ensure-dump  <sfDir> <dumpBase> <theme> <release> [--force] [--date=ISO]
+  *   graft.Cli list-dumps   <dumpBase>
+  *   graft.Cli delete-dump  <dumpBase> <theme> <release>
   *   graft.Cli cleanup      <servicePath> <keep,names> [--dry-run]
   *   graft.Cli version
   * }}}
@@ -116,6 +120,58 @@ object Cli {
         FeatureService.publish(df, servicePath, cfg.name, mode, cfg.upsertKey)
         println(s"published ${cfg.name} -> $servicePath (mode=$mode)")
 
+      // Multi-sector composition (reference cli.py:2306
+      // `add_sector_layers`): each named catalog entry contributes
+      // places (theme+filter) and buildings (building_theme+
+      // building_filter) layers plus a places_combined layer of
+      // places + building centroids — all sectors in ONE service.
+      // --geom names the places point columns; --square synthesizes
+      // a square footprint ring per building from a center point and
+      // half-width (the testdata carries no polygon geometry; the
+      // shoelace centroid math still runs for real and must land
+      // back on the center).
+      case Seq("publish-sectors", catalogPath, names, sfDir, servicePath) =>
+        val t = Tables(spark, sfDir)
+        val mode = opt.getOrElse("mode", "initial").toLowerCase match {
+          case "auto" => PublishMode.Auto
+          case "initial" => PublishMode.Initial
+          case "overwrite" => PublishMode.Overwrite
+          case "append" => PublishMode.Append
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+        val geom = opt.get("geom").map(_.split(",", 2) match {
+          case Array(xc, yc) if yc.nonEmpty => (xc, yc)
+          case g => throw new IllegalArgumentException(s"--geom expects xCol,yCol (got '${g.mkString(",")}')")
+        })
+        val square = opt.get("square").map(_.split(",", 3) match {
+          case Array(xc, yc, h) => (xc, yc, h.toDouble)
+          case g => throw new IllegalArgumentException(s"--square expects xCol,yCol,halfWidth (got '${g.mkString(",")}')")
+        })
+        val bundles = names.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { n =>
+          val cfg = loadEntry(spark, catalogPath, n)
+          val placesRaw = OvertureReader.read(t, ReadRequest(cfg.theme, filter = cfg.filter))
+          val places = geom.fold(placesRaw) { case (xc, yc) =>
+            placesRaw
+              .withColumn("x", col(xc).cast("double"))
+              .withColumn("y", col(yc).cast("double"))
+          }
+          val bTheme = cfg.buildingTheme.getOrElse(cfg.theme)
+          val bRaw = OvertureReader.read(t, ReadRequest(bTheme, filter = cfg.buildingFilter))
+          val buildings = square.fold(bRaw) { case (xc, yc, h) =>
+            val cx = col(xc).cast("double")
+            val cy = col(yc).cast("double")
+            bRaw.withColumn("ring", org.apache.spark.sql.functions.array(
+              org.apache.spark.sql.functions.struct((cx - h).as("x"), (cy - h).as("y")),
+              org.apache.spark.sql.functions.struct((cx + h).as("x"), (cy - h).as("y")),
+              org.apache.spark.sql.functions.struct((cx + h).as("x"), (cy + h).as("y")),
+              org.apache.spark.sql.functions.struct((cx - h).as("x"), (cy + h).as("y"))))
+          }
+          SectorService.SectorBundle(n, places, buildings,
+            ringCol = if (square.isDefined) Some("ring") else None)
+        }
+        val layers = SectorService.publishSectors(servicePath, bundles, mode)
+        println(s"[sectors] published ${layers.size} layers -> $servicePath: ${layers.mkString(", ")}")
+
       // Run any REGISTERED operator query (SURVEY §2 row) over an
       // sf dir and write the result — the one-command path to every
       // engine capability, not just the catalog pipelines.
@@ -151,6 +207,34 @@ object Cli {
         val ok = new CountryCache(spark, cachePath)
           .clear(CacheKey(country, theme, typeName, release))
         println(if (ok) "cleared" else "not found")
+
+      // Dump management (reference cli.py:1423 `overture-dump` over
+      // source.py:1092/:1235/:1265): pin a theme from the upstream
+      // lake (the sf dir) under a release directory. `theme` here is
+      // a table name — the release dir is sf-dir-shaped, so ANY
+      // registry/ref query runs against it once its tables are
+      // ensured (pass the printed release dir as sfDir).
+      case Seq("ensure-dump", sfDir, dumpBase, theme, release) =>
+        val known = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        if (!known.contains(theme))
+          throw new IllegalArgumentException(
+            s"unknown theme '$theme' (have: ${known.mkString(", ")})")
+        val store = new graft.sources.DumpStore(spark, dumpBase)
+        val had = store.exists(release, theme)
+        val path = store.ensure(release, theme, date, force = opt.contains("force")) {
+          Tables(spark, sfDir).table(theme)
+        }
+        println(s"[dump] ${if (had && !opt.contains("force")) "exists" else "ensured"} " +
+          s"$theme@$release -> $path (serve dir: ${store.releaseDir(release)})")
+
+      case Seq("list-dumps", dumpBase) =>
+        new graft.sources.DumpStore(spark, dumpBase).list()
+          .foreach(e => println(s"${e.release}\t${e.theme}\t${e.rows}\t${e.ensuredAt}"))
+
+      case Seq("delete-dump", dumpBase, theme, release) =>
+        val ok = new graft.sources.DumpStore(spark, dumpBase).delete(release, theme)
+        println(if (ok) "deleted" else "not found")
 
       case Seq("cleanup", servicePath, keepList) =>
         val report = FeatureService.cleanup(spark, servicePath,

@@ -13,6 +13,7 @@ final case class QueryConfig(
     typeName: String,
     filter: Option[String] = None,
     buildingFilter: Option[String] = None,
+    buildingTheme: Option[String] = None,
     isMultilayer: Boolean = false,
     geometrySplit: Boolean = false,
     sectorTitle: Option[String] = None,
@@ -35,9 +36,10 @@ object QueryConfig {
       val qc = QueryConfig(
         name = r.getAs[String]("name"),
         theme = r.getAs[String]("theme"),
-        typeName = r.getAs[String]("type"),
+        typeName = opt(r, "type").getOrElse("feature"),
         filter = opt(r, "filter"),
         buildingFilter = opt(r, "building_filter"),
+        buildingTheme = opt(r, "building_theme"),
         isMultilayer = opt(r, "is_multilayer").exists(_.toBoolean),
         geometrySplit = opt(r, "geometry_split").exists(_.toBoolean),
         sectorTitle = opt(r, "sector_title"),

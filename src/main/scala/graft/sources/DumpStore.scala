@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One ensured dump entry as listed by [[DumpStore.list]]. */
+final case class DumpEntry(release: String, theme: String, rows: Long, ensuredAt: String)
+
+/** Release-pinned local lake copies — the engine-side analogue of the
+  * reference's dump manager (reference: src/o2agol/pipeline/source.py
+  * :1092 `ensure_dump`, :1235 `_check_dump_exists`, :1265
+  * `_delete_dump`; surfaced by cli.py:1423 `overture-dump`): fetch a
+  * theme once from the upstream lake, pin it under a release
+  * directory with a completeness-stamped metadata sidecar, and serve
+  * every later read locally.
+  *
+  * Spark-first deviations from the reference's shape, on purpose:
+  *
+  *   - The copy is written by a DISTRIBUTED `df.write.parquet`, not a
+  *     driver-side single-connection COPY — at 100 TB the fetch is a
+  *     cluster job like any other, and the dump inherits the upstream
+  *     partitioning instead of one 100 GB file per type.
+  *   - Layout is the engine's native table layout
+  *     (`release=<R>/<theme>.parquet/`), so a release directory IS a
+  *     valid sf dir: every registry/ref query runs against a dump
+  *     unchanged by passing [[releaseDir]] as its `sfDir`. The
+  *     reference needs a bespoke `_read_from_dump`; here the read
+  *     path is `Tables` itself.
+  *   - Completeness is commit-ordered, same as the reference's
+  *     `is_complete` flag: metadata.json is written only AFTER the
+  *     parquet lands, so a crash mid-fetch leaves an entry that
+  *     [[exists]] rejects and the next [[ensure]] rewrites. A failed
+  *     fetch deletes its partial output (source.py:1230).
+  *   - The row count rides on the write pass via `observe` (the
+  *     CountryCache pattern) — no post-write re-count scan.
+  */
+final class DumpStore(spark: SparkSession, basePath: String) {
+
+  private val fs: FileSystem =
+    FileSystem.get(new java.net.URI(basePath), spark.sparkContext.hadoopConfiguration)
+
+  /** In-memory metadata memo (reference `_dump_metadata_cache`),
+    * scoped to PARSING only: existence is always re-checked on the
+    * filesystem so another DumpStore instance (a second CLI
+    * invocation, a cleanup job) deleting an entry is seen
+    * immediately — the cache can never resurrect a deleted dump.
+    */
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DumpEntry]
+
+  /** The release directory doubles as an sf dir for `Tables`. */
+  def releaseDir(release: String): String = s"$basePath/release=$release"
+
+  private def dataPath(release: String, theme: String) =
+    s"${releaseDir(release)}/$theme.parquet"
+  private def metaPath(release: String, theme: String) =
+    s"${releaseDir(release)}/_dump_theme=$theme.json"
+
+  private def readMeta(release: String, theme: String): Option[DumpEntry] = {
+    val p = new HPath(metaPath(release, theme))
+    if (!fs.exists(p)) {
+      metaCache.remove((release, theme))
+      None
+    } else metaCache.get((release, theme)).orElse {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        def field(k: String): Option[String] =
+          s""""$k"\\s*:\\s*"?([^",}]*)"?""".r.findFirstMatchIn(txt).map(_.group(1))
+        val entry = for {
+          r <- field("release"); t <- field("theme")
+          n <- field("rows"); at <- field("ensured_at")
+          if field("is_complete").contains("true")
+        } yield DumpEntry(r, t, n.toLong, at)
+        entry.foreach(metaCache.put((release, theme), _))
+        entry
+    }
+  }
+
+  /** True iff the dump exists AND its metadata marks it complete. */
+  def exists(release: String, theme: String): Boolean =
+    readMeta(release, theme).isDefined
+
+  /** Ensure a theme is present in the `release` dump: serve the
+    * existing complete copy, or fetch + pin it (force re-fetches).
+    * Returns the parquet path of the ensured copy.
+    */
+  def ensure(release: String, theme: String, ensuredAt: String, force: Boolean = false)(
+      fetch: => DataFrame): String = {
+    val data = dataPath(release, theme)
+    if (exists(release, theme)) {
+      if (!force) return data
+      delete(release, theme)
+    }
+    try {
+      val obs = org.apache.spark.sql.Observation()
+      fetch
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(data)
+      val rows = obs.get("rows").asInstanceOf[Long]
+      val meta =
+        s"""{"release":"$release","theme":"$theme","rows":$rows,""" +
+          s""""is_complete":true,"ensured_at":"$ensuredAt"}"""
+      val out = fs.create(new HPath(metaPath(release, theme)), true)
+      try out.write(meta.getBytes("UTF-8"))
+      finally out.close()
+      metaCache.put((release, theme), DumpEntry(release, theme, rows, ensuredAt))
+      data
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        delete(release, theme) // never leave a half-fetched dump behind
+        throw e
+    }
+  }
+
+  /** Enumerate complete dumps across all releases (cli `list-dumps`). */
+  def list(): Seq[DumpEntry] = {
+    val base = new HPath(basePath)
+    if (!fs.exists(base)) Seq.empty
+    else
+      fs.listStatus(base).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("release="))
+        .flatMap { rel =>
+          val release = rel.getPath.getName.stripPrefix("release=")
+          fs.listStatus(rel.getPath).toIndexedSeq
+            .map(_.getPath.getName)
+            .collect { case n if n.startsWith("_dump_theme=") && n.endsWith(".json") =>
+              n.stripPrefix("_dump_theme=").stripSuffix(".json")
+            }
+            .flatMap(theme => readMeta(release, theme))
+        }
+        .sortBy(e => (e.release, e.theme))
+  }
+
+  /** Drop one theme's dump (cli `delete-dump`); true if anything was
+    * removed. Metadata goes FIRST so a partial delete can only leave
+    * data an `exists` check already rejects.
+    */
+  def delete(release: String, theme: String): Boolean = {
+    metaCache.remove((release, theme))
+    val m = fs.delete(new HPath(metaPath(release, theme)), false)
+    val d = fs.delete(new HPath(dataPath(release, theme)), true)
+    m || d
+  }
+
+  /** Read an ensured theme (the dump-served read path). */
+  def read(release: String, theme: String): DataFrame = {
+    require(exists(release, theme),
+      s"no complete dump for release=$release theme=$theme — run ensure first")
+    spark.read.parquet(dataPath(release, theme))
+  }
+}
