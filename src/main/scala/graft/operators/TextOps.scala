@@ -333,25 +333,36 @@ object TextOps {
     * runtime only when it measures small, else the join shuffles on
     * `b`. Docs with fewer than two tokens have no bigrams and drop
     * out (same on the SQL side).
+    *
+    * Shape (round-6 sf1 probe: the instance-stream form ran 13.4×
+    * at 10× data): the exploded stream is compacted to per-doc
+    * bigram COUNTS in its first and only shuffle — the corpus is
+    * tokenized ONCE, every later join/agg moves (doc, bigram, n)
+    * rows (bounded by doc vocabulary, not doc length), and the mean
+    * becomes the n-weighted form Σ n·ln p / Σ n, identical math
+    * with less addition error.
     */
   def bigramLogprob(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
       idCol: String
   ): org.apache.spark.sql.DataFrame = {
-    val bg = docs.select(
+    val db = docs.select(
       col(idCol).as("doc_id"),
       explode(graft.functions.WordBigrams(col(textCol))).as("b"))
-    val freq = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val freq = db.groupBy(col("b")).agg(sum(col("n")).as("cb"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
     val firstFreq = freq.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val probs = freq.join(firstFreq, "w1")
       .select(col("b"), (col("cb").cast("double") / col("cw")).as("p"))
-    bg.join(probs, "b")
+    db.join(probs, "b")
       .groupBy(col("doc_id"))
       .agg(
-        round(avg(log(col("p"))), 4).as("mean_bigram_logprob"),
-        count(lit(1)).as("n_bigrams"))
+        round(sum(col("n") * log(col("p"))) / sum(col("n")), 4)
+          .as("mean_bigram_logprob"),
+        sum(col("n")).as("n_bigrams"))
   }
 
   /** TF-IDF top-k terms per document: tf = in-doc term count,

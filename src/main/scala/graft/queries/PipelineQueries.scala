@@ -403,20 +403,25 @@ object PipelineQueries {
   def txBigramLogprob(spark: SparkSession, dir: String): DataFrame =
     TextOps.bigramLogprob(Tables(spark, dir).documents, "text", "doc_id")
 
+  /** Mirrors the Scala compacted shape: per-doc bigram counts, then
+    * the n-weighted mean — so both engines share one summation
+    * structure.
+    */
   val txBigramLogprobSql: String =
     """WITH bg AS (
       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
       |    i -> concat_ws(' ', t[i], t[i+1]))) AS b
       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
       |        FROM documents) x),
-      |freq AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+      |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+      |freq AS (SELECT b, sum(n) AS cb FROM db GROUP BY 1),
       |ff AS (SELECT split_part(b, ' ', 1) AS w1, sum(cb) AS cw FROM freq GROUP BY 1),
       |probs AS (SELECT b, cb / cw AS p
       |          FROM freq JOIN ff ON split_part(b, ' ', 1) = w1)
       |SELECT doc_id,
-      |  round(avg(ln(p)), 4) + 0 AS mean_bigram_logprob,
-      |  count(*) AS n_bigrams
-      |FROM bg JOIN probs USING (b)
+      |  round(sum(n * ln(p)) / sum(n), 4) + 0 AS mean_bigram_logprob,
+      |  CAST(sum(n) AS BIGINT) AS n_bigrams
+      |FROM db JOIN probs USING (b)
       |GROUP BY doc_id""".stripMargin
 
   /** E9: benchmark decontamination — train docs (doc_id % 97 ≠ 0)
