@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main for the §8 scale-knob measurements:
+  *
+  *   - `runMain graft.ScaleProbe semantic <sfDir> <k> [iters] [threshold] [runs]`
+  *     times `Similarity.semanticPairs` at a caller-chosen cluster
+  *     count (the E11 k ∝ N contract);
+  *   - `runMain graft.ScaleProbe neardup <sfDir> <planes> [threshold] [runs]`
+  *     times `Similarity.embeddingNearDup` at a caller-chosen
+  *     hyperplane count (the E8 planes ∝ log₂N contract — bucket
+  *     occupancy, hence within-bucket pair work, is N/2^planes).
+  *
+  * Exists to MEASURE the documented scale knobs: both registry rows
+  * pin their blocking parameter for oracle determinism; this main is
+  * how the scaling claims were turned into SURVEY §8 numbers
+  * (round 6).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3 && Set("semantic", "neardup")(args(0)),
+      "usage: ScaleProbe semantic|neardup <sfDir> <k|planes> [...]")
+    val sfDir = args(1)
+    val k = args(2).toInt
+    val iters = if (args.length > 3) args(3).toInt else 2
+    val threshold =
+      if (args(0) == "semantic") { if (args.length > 4) args(4).toDouble else 0.35 }
+      else { if (args.length > 3) args(3).toDouble else 0.35 }
+    val runs =
+      if (args(0) == "semantic") { if (args.length > 5) args(5).toInt else 2 }
+      else { if (args.length > 4) args(4).toInt else 2 }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables(spark, sfDir).embeddings
+    def pairs() = args(0) match {
+      case "semantic" =>
+        graft.operators.Similarity
+          .semanticPairs(emb, "vec_id", "embedding", k, iters, threshold)
+      case "neardup" =>
+        graft.operators.Similarity.embeddingNearDup(
+          emb, "vec_id", "embedding", dim = 64, planes = k,
+          threshold = threshold, seed = 42L)
+    }
+    val times = (1 to runs).map { i =>
+      val t0 = System.nanoTime()
+      val n = pairs().count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] ${args(0)} k=$k run $i: $t%.3f s ($n pairs)")
+      t
+    }
+    println(f"[scaleprobe] ${args(0)} k=$k min=${times.min}%.3f s")
+    spark.stop()
+  }
+}
