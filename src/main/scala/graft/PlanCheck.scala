@@ -21,6 +21,19 @@ object PlanCheck {
         w.windowExpressions.map(_.sql).mkString(", ")
     }
   }
+
+  /** Unbroadcast cartesian products in `df`'s physical plan — the
+    * other single-plan scale-killer class beside global windows: a
+    * `CartesianProductExec` pairs every partition with every
+    * partition (O(N·M) IO and compute). Broadcast nested-loop joins
+    * of 1-row/dimension aggregates (the `crossJoin(broadcast(tot))`
+    * totals pattern) are NOT flagged — their loop side is bounded by
+    * construction. PlanGuardSpec runs this over every registry query.
+    */
+  def cartesianProducts(df: org.apache.spark.sql.DataFrame): Int =
+    "CartesianProduct".r
+      .findAllIn(df.queryExecution.executedPlan.toString)
+      .length
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()

@@ -36,6 +36,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(PlanCheck.unpartitionedWindows(ok).isEmpty)
   }
 
+  test("cartesian guard trips on an unbroadcast cross join fixture") {
+    val a = spark.range(8).toDF("a")
+    val b = spark.range(8).toDF("b")
+    // hint both sides AWAY from broadcast so the planner must pick
+    // CartesianProductExec
+    val cross = a.hint("shuffle_replicate_nl").crossJoin(b)
+    assert(PlanCheck.cartesianProducts(cross) > 0)
+    // the bounded totals pattern (broadcast 1-row aggregate) stays legal
+    val tot = b.agg(count(lit(1)).as("n"))
+    assert(PlanCheck.cartesianProducts(a.crossJoin(broadcast(tot))) == 0)
+  }
+
+  test("no registry query has an unbroadcast cartesian product") {
+    val batch = Registry.all.filterNot(_.name.startsWith("st_"))
+    val offenders = batch.flatMap { q =>
+      val n = PlanCheck.cartesianProducts(q.fn(spark, sfDir))
+      if (n > 0) Some(s"${q.name}: $n CartesianProduct node(s)") else None
+    }
+    assert(offenders.isEmpty, s"cartesian products:\n${offenders.mkString("\n")}")
+  }
+
   test("no registry query has an unallowlisted global window") {
     // st_* queries execute their streaming harness on construction
     // (memory-sink correctness shape) and cannot host a batch global
