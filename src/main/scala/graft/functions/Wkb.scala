@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
 
@@ -41,6 +42,232 @@ object Wkb {
     */
   def wkbFromXY(x: Column, y: Column): Column =
     GraftBridge.column(WkbFromXY(GraftBridge.expression(x), GraftBridge.expression(y)))
+
+  /** array<struct<x,y>> → WKB LineString (type 2, LE). */
+  def wkbLineFromCoords(pts: Column): Column =
+    GraftBridge.column(WkbLineFromCoords(GraftBridge.expression(pts)))
+
+  /** array<struct<x,y>> → WKB Polygon (type 3, LE, single exterior
+    * ring). The ring is CLOSED on encode (first vertex re-appended
+    * when absent) — real WKB polygons carry the closing vertex, which
+    * is exactly what the reference's make-valid rules must strip
+    * back off (transform.py:252-294).
+    */
+  def wkbPolygonFromCoords(pts: Column): Column =
+    GraftBridge.column(WkbPolygonFromCoords(GraftBridge.expression(pts)))
+
+  /** WKB blob → array<struct<x,y>>: the point for Point, all
+    * vertices for LineString, the EXTERIOR ring (closing vertex
+    * included, as stored) for Polygon. Null on any other type or
+    * malformed bytes.
+    */
+  def wkbCoords(c: Column): Column =
+    GraftBridge.column(WkbCoords(GraftBridge.expression(c)))
+
+  /** Header-only vertex count (no coordinate materialization):
+    * 1 for Point, n for LineString, exterior-ring n for Polygon.
+    */
+  def wkbNumPoints(c: Column): Column =
+    GraftBridge.column(WkbNumPoints(GraftBridge.expression(c)))
+
+  // ---- static codegen entry points (callable from generated Java) ----
+
+  /** LineString from parallel coordinate structs. */
+  def encodeLineCoords(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val buf = java.nio.ByteBuffer.allocate(9 + 16 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(2).putInt(n)
+    var i = 0
+    while (i < n) {
+      val p = arr.getStruct(i, 2)
+      buf.putDouble(p.getDouble(0)).putDouble(p.getDouble(1))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Polygon (single exterior ring) from coordinate structs; closes
+    * the ring when the caller passed it open.
+    */
+  def encodePolygonCoords(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val closed = n > 0 && {
+      val f = arr.getStruct(0, 2); val l = arr.getStruct(n - 1, 2)
+      f.getDouble(0) == l.getDouble(0) && f.getDouble(1) == l.getDouble(1)
+    }
+    val m = if (closed) n else n + 1
+    val buf = java.nio.ByteBuffer.allocate(13 + 16 * m).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(3).putInt(1).putInt(m)
+    var i = 0
+    while (i < n) {
+      val p = arr.getStruct(i, 2)
+      buf.putDouble(p.getDouble(0)).putDouble(p.getDouble(1))
+      i += 1
+    }
+    if (!closed && n > 0) {
+      val f = arr.getStruct(0, 2)
+      buf.putDouble(f.getDouble(0)).putDouble(f.getDouble(1))
+    }
+    buf.array()
+  }
+
+  /** Decode Point / LineString / Polygon-exterior-ring vertices;
+    * null (not an error) on other types or malformed buffers, so a
+    * mixed-geometry scan can route rows by [[WkbGeometryType]].
+    */
+  def decodeCoords(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 5) return null
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.position(1)
+    val gtype = (buf.getInt & 0x0FFFFFFF) % 1000
+    gtype match {
+      case 1 =>
+        if (bytes.length < 21) null
+        else new GenericArrayData(Array[Any](
+          new GenericInternalRow(Array[Any](buf.getDouble, buf.getDouble))))
+      case 2 =>
+        if (bytes.length < 9) return null
+        val n = buf.getInt
+        if (n < 0 || bytes.length < 9 + 16L * n) null
+        else {
+          val out = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            out(i) = new GenericInternalRow(Array[Any](buf.getDouble, buf.getDouble))
+            i += 1
+          }
+          new GenericArrayData(out)
+        }
+      case 3 =>
+        if (bytes.length < 13) return null
+        val rings = buf.getInt
+        if (rings < 1) return null
+        val n = buf.getInt
+        if (n < 0 || bytes.length < 13 + 16L * n) null
+        else {
+          val out = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            out(i) = new GenericInternalRow(Array[Any](buf.getDouble, buf.getDouble))
+            i += 1
+          }
+          new GenericArrayData(out)
+        }
+      case _ => null
+    }
+  }
+
+  /** Header-only vertex count; -1 signals malformed/unsupported
+    * (mapped to SQL null by [[WkbNumPoints]]).
+    */
+  def numPoints(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.length < 5) return -1
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.position(1)
+    val gtype = (buf.getInt & 0x0FFFFFFF) % 1000
+    gtype match {
+      case 1 => if (bytes.length >= 21) 1 else -1
+      case 2 =>
+        if (bytes.length < 9) -1
+        else { val n = buf.getInt; if (n >= 0 && bytes.length >= 9 + 16L * n) n else -1 }
+      case 3 =>
+        if (bytes.length < 13) -1
+        else {
+          val rings = buf.getInt
+          if (rings < 1) -1
+          else { val n = buf.getInt; if (n >= 0 && bytes.length >= 13 + 16L * n) n else -1 }
+        }
+      case _ => -1
+    }
+  }
+}
+
+/** Shared shape of the coordinate-array WKB encoders. */
+abstract class WkbCoordsEncoder extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  protected def encoderMethod: String // static method name on graft.functions.Wkb
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields.forall(_.dataType == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<struct<x:double,y:double>>, got ${other.simpleString}")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Wkb.$encoderMethod($c);")
+}
+
+/** array<struct<x,y>> → WKB LineString (LE). */
+case class WkbLineFromCoords(child: Expression) extends WkbCoordsEncoder {
+  override protected def encoderMethod: String = "encodeLineCoords"
+  override def nullSafeEval(input: Any): Any =
+    Wkb.encodeLineCoords(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): WkbLineFromCoords =
+    copy(child = newChild)
+}
+
+/** array<struct<x,y>> → WKB Polygon (LE, ring closed on encode). */
+case class WkbPolygonFromCoords(child: Expression) extends WkbCoordsEncoder {
+  override protected def encoderMethod: String = "encodePolygonCoords"
+  override def nullSafeEval(input: Any): Any =
+    Wkb.encodePolygonCoords(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): WkbPolygonFromCoords =
+    copy(child = newChild)
+}
+
+/** Decode Point/LineString/Polygon WKB vertices into
+  * array<struct<x,y>> (Polygon → exterior ring as stored, closing
+  * vertex included). Scan-path work — stays inside whole-stage
+  * codegen via a single static call per row.
+  */
+case class WkbCoords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType))))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Wkb.decodeCoords(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.Wkb.decodeCoords($c);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WkbCoords =
+    copy(child = newChild)
+}
+
+/** Header-only WKB vertex count (null on malformed/unsupported). */
+case class WkbNumPoints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val n = Wkb.numPoints(input.asInstanceOf[Array[Byte]])
+    if (n < 0) null else java.lang.Integer.valueOf(n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = graft.functions.Wkb.numPoints($c);
+         |if ($n < 0) { ${ev.isNull} = true; } else { ${ev.value} = $n; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WkbNumPoints =
+    copy(child = newChild)
 }
 
 /** Encode (x, y) doubles as a little-endian 2D-point WKB. */
