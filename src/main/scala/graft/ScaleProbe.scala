@@ -23,7 +23,9 @@ object ScaleProbe {
       "usage: ScaleProbe semantic|neardup <sfDir> <k|planes> [...]")
     val sfDir = args(1)
     val k = args(2).toInt
-    val iters = if (args.length > 3) args(3).toInt else 2
+    // Positional args differ per mode: `iters` exists only for
+    // `semantic` (for `neardup`, args(3) is the threshold).
+    val iters = if (args(0) == "semantic" && args.length > 3) args(3).toInt else 2
     val threshold =
       if (args(0) == "semantic") { if (args.length > 4) args(4).toDouble else 0.35 }
       else { if (args.length > 3) args(3).toDouble else 0.35 }

@@ -34,15 +34,34 @@ object GlobalRank {
   def ntileExact(df: DataFrame, sortCols: Seq[Column], k: Int, out: String): DataFrame = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val spark = df.sparkSession
-    val n = df.count()
+    // Sort once, cache the sorted partitions, and derive BOTH `n`
+    // and the per-partition offsets from that single evaluation: a
+    // separate `df.count()` would re-read the source, and a source
+    // that changed (or a non-deterministic input) between the two
+    // jobs would desync `n` from the zipped rows — buckets past k or
+    // wrong widths. Driver state stays numPartitions longs.
+    val sorted = df.orderBy(sortCols: _*).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .mapPartitionsWithIndex { (pi, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+        Iterator((pi, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
     val q = n / k
     val r = n % k
     val cut = r * (q + 1) // positions below `cut` fall in the wide buckets
-    val zipped = df.orderBy(sortCols: _*).rdd.zipWithIndex().map { case (row, i) =>
-      val bucket =
-        if (i < cut) i / (q + 1) + 1
-        else (i - cut) / math.max(q, 1L) + r + 1
-      Row.fromSeq(row.toSeq :+ bucket)
+    val zipped = sorted.mapPartitionsWithIndex { (pi, it) =>
+      var i = offsets(pi)
+      it.map { row =>
+        val bucket =
+          if (i < cut) i / (q + 1) + 1
+          else (i - cut) / math.max(q, 1L) + r + 1
+        i += 1
+        Row.fromSeq(row.toSeq :+ bucket)
+      }
     }
     spark.createDataFrame(zipped, df.schema.add(out, LongType, nullable = false))
   }
