@@ -111,10 +111,9 @@ object StreamQueries {
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
-    // Same nanos→micros truncation Tables.events applies on the
-    // batch side (the parquet ts arrives as an epoch-nano long under
-    // nanosAsLong).
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Same ts normalization Tables.events applies on the batch side
+    // (schema-dispatched: nano-long or TIMESTAMP_NTZ → timestamp).
+    val events = graft.Tables.normalizeTs(raw)
     val out = EventStream.windowedAgg(events, "1 hour", "1 hour")
     // Complete mode: emit every window, including those still inside
     // the watermark — matching the batch twin exactly. (Append mode
@@ -168,23 +167,36 @@ object StreamQueries {
     // real session. The sentinels' own session stays in state (never
     // emitted) — it is filtered out below anyway. ONE driver-built
     // single-row write job; its part file is staged twice.
-    val farFutureNanos = 7258118400000000000L // 2200-01-01T00:00Z, epoch nanos
+    val farFutureUs = 7258118400000000L // 2200-01-01T00:00Z, epoch micros
     // Guard the constant: the sentinel only flushes sessions if it is
     // BEYOND every real event. One column-pruned scan of the ts
     // column — cheap, and it fails FAST instead of silently
     // withholding sessions if the data ever reaches the sentinel era.
-    val maxTsRow =
-      spark.read.parquet(s"$dir/events.parquet").agg(max(col("ts"))).head()
+    val tsType = schema("ts").dataType
+    val rawEvents = spark.read.parquet(s"$dir/events.parquet")
+    val maxTsRow = rawEvents
+      .agg(max(graft.Tables.tsMicrosExpr(tsType, col("ts")))).head()
     // Empty source: any sentinel is trivially beyond the (absent)
     // data; the stream then emits no real sessions — correct day-one
     // behavior rather than a null-unboxing crash.
-    val maxTs = if (maxTsRow.isNullAt(0)) Long.MinValue else maxTsRow.getLong(0)
-    require(maxTs < farFutureNanos - 2L * 3600 * 1000 * 1000 * 1000,
-      s"stSessionAgg sentinel (2200-01-01) is not beyond the data (max ts $maxTs); " +
+    val maxTsUs = if (maxTsRow.isNullAt(0)) Long.MinValue else maxTsRow.getLong(0)
+    require(maxTsUs < farFutureUs - 2L * 3600 * 1000 * 1000,
+      s"stSessionAgg sentinel (2200-01-01) is not beyond the data (max ts us $maxTsUs); " +
         "sessions would be silently withheld")
+    // The sentinel row is written through the SOURCE schema, so its
+    // ts literal must carry the file's physical type.
+    val sentinelTs: Any = tsType match {
+      case org.apache.spark.sql.types.LongType => farFutureUs * 1000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(farFutureUs / 1000000L, 0, java.time.ZoneOffset.UTC)
+      case org.apache.spark.sql.types.TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(farFutureUs / 1000000L))
+      case other => throw new IllegalArgumentException(
+        s"stSessionAgg sentinel: unsupported ts type $other")
+    }
     val sentinelRow = org.apache.spark.sql.Row(schema.fields.map { f =>
       f.name match {
-        case "ts"      => farFutureNanos
+        case "ts"      => sentinelTs
         case "user_id" => -1L
         case _ => f.dataType match {
           case org.apache.spark.sql.types.LongType    => -1L
@@ -207,7 +219,7 @@ object StreamQueries {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2")
       .parquet(stage.toString)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.normalizeTs(raw)
     val out = EventStream.sessionWindows(events, "30 minutes", "1 hour")
     val qName = "st_session_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = scratchCheckpointDir()
@@ -290,7 +302,7 @@ object StreamQueries {
     // the production analogue is two topics (clicks, errors).
     def side(eventType: String, prefix: String) =
       spark.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.Tables.normalizeTs(_))
         .filter(col("event_type") === eventType)
         .select(
           col("user_id").as(s"${prefix}_user"),
@@ -412,7 +424,7 @@ object StreamQueries {
     }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(stage.toString)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.normalizeTs(raw)
     val deduped = events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -483,12 +495,16 @@ object StreamQueries {
       val stage = Files.createTempDirectory("graft_stream_late_")
       val splitUs = 1706140800000000L // 2024-01-25T00:00:00Z
       val raw = spark.read.parquet(s"$dir/events.parquet")
+      // Predicate on the RAW ts in its source encoding (the staged
+      // copies must keep the file's physical type so the streaming
+      // reader's schema matches byte-for-byte).
+      val tsUs = graft.Tables.tsMicrosExpr(raw.schema("ts").dataType, col("ts"))
       // Fail fast if the split ever stops bisecting the data — an
       // empty side would silently degrade the scenario to in-order
       // delivery.
       val cnts = raw.agg(
-        coalesce(sum(when(col("ts") >= splitUs * 1000, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("ts") < splitUs * 1000, 1L).otherwise(0L)), lit(0L)))
+        coalesce(sum(when(tsUs >= splitUs, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(tsUs < splitUs, 1L).otherwise(0L)), lit(0L)))
         .head()
       val (nFresh, nLate) = (cnts.getLong(0), cnts.getLong(1))
       // A one-sided split on REAL data silently degrades the scenario
@@ -497,11 +513,11 @@ object StreamQueries {
       require((nFresh == 0L && nLate == 0L) || (nFresh > 0L && nLate > 0L),
         s"stLateDrop split at $splitUs leaves an empty side (fresh=$nFresh late=$nLate)")
       val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
-      stageSinglePart(raw.filter(col("ts") >= splitUs * 1000),
+      stageSinglePart(raw.filter(tsUs >= splitUs),
         Seq(stage.resolve("a_fresh.parquet") -> base))
       stageSinglePart(raw.orderBy(col("ts").desc).limit(1),
         Seq(stage.resolve("m_mid.parquet") -> (base + 30000L)))
-      stageSinglePart(raw.filter(col("ts") < splitUs * 1000),
+      stageSinglePart(raw.filter(tsUs < splitUs),
         Seq(stage.resolve("z_late.parquet") -> (base + 60000L)))
       // Cached for the JVM's lifetime (it holds a full copy of the
       // events table) — reap it on exit so repeated bench/verify
@@ -516,7 +532,7 @@ object StreamQueries {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-    val events = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.normalizeTs(stream)
     val out = EventStream.windowedAgg(events, "1 hour", "1 hour")
     val qName = "st_late_drop_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = scratchCheckpointDir()
