@@ -424,17 +424,21 @@ object Pipeline2 {
     */
   def srcIncremental(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // published snapshot = first two weeks; raw nano-long ts column
+    // published snapshot = first two weeks; predicate in the raw ts
+    // column's own physical type (nano-long or timestamp) so it
+    // stays pushable to parquet row-group stats
     val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
     val raw = t.table("events")
-    val wmRow = raw.filter(col("ts") < cutoffUs * 1000)
-      .agg(max(expr("ts div 1000")).as("wm")).head()
+    val tsType = raw.schema("ts").dataType
+    val tsUs = Tables.tsMicrosExpr(tsType, col("ts"))
+    val wmRow = raw.filter(col("ts") < Tables.tsBoundLit(tsType, cutoffUs))
+      .agg(max(tsUs).as("wm")).head()
     // No published snapshot yet (first run / empty source): the
     // watermark degrades to -1 and the incremental read becomes the
     // full-backlog read — the correct day-one semantics, not an error.
     val wmUs = if (wmRow.isNullAt(0)) -1L else wmRow.getLong(0)
-    raw.filter(col("ts") >= (wmUs + 1) * 1000) // pushable raw-long range
-      .select(col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
+    raw.filter(col("ts") >= Tables.tsBoundLit(tsType, wmUs + 1)) // pushable range
+      .select(col("event_type"), tsUs.as("ts_us"), col("value"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_new"),
         min(col("ts_us")).as("first_us"),
