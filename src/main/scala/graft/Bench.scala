@@ -13,6 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sim_hybrid_rrf's two allowlisted constant-size (≤50-row) global
+    // windows emit `WARN WindowExec: No Partition Defined` once per
+    // task — hundreds of lines that pushed the totals JSON out of the
+    // driver's bounded stdout tail in r05/r06 (BENCH parsed:null).
+    // The warning is audited (PlanGuardSpec allowlists exactly those
+    // two windows with boundedness proofs), so silence it for bench.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Two timed runs per query, BOTH reported (round-5 verdict #7:
     // SURVEY quoted min-of-two steady-state while the driver artifact
     // read cold — one artifact now carries both columns so every
@@ -31,7 +40,11 @@ object Bench {
       val b = if (cold >= 0) once() else cold
       System.gc()
       val steady = if (cold < 0 || b < 0) -1.0 else math.min(cold, b)
-      name -> ((if (b < 0) -1.0 else cold, steady))
+      // Report cold AS MEASURED even when only the steady run failed:
+      // cold=-1 means the first run failed; cold>=0 with steady=-1
+      // means the second run failed — the two modes stay
+      // distinguishable in the artifact.
+      name -> ((cold, steady))
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -53,15 +66,17 @@ object Bench {
     val full = s"""{$totals,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
-    // Totals line FIRST: it must reach stdout even if the file write
-    // fails (read-only cwd, bad SPARK_GRAFT_BENCH_OUT) — losing it
-    // reproduces the parsed:null failure this split exists to fix.
-    println(s"""{$totals,"queries_file":"${outPath.toAbsolutePath}","sf":"$sfDir"}""")
     try java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
     catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop: ${e.getMessage}") }
+    // Totals line LAST, after every Spark/log line has been flushed:
+    // the driver reads a bounded stdout tail, so the one parseable
+    // line must be the final thing this process prints (file write +
+    // stop are exception-guarded above so nothing can pre-empt it).
+    println(s"""{$totals,"queries_file":"${outPath.toAbsolutePath}","sf":"$sfDir"}""")
   }
 }
