@@ -52,4 +52,64 @@ class NativeExprSpec extends SparkSpec {
       .collect()
     assert(rt.forall(_.getBoolean(0)))
   }
+
+  private def coordsDf = Seq(
+    (1L, Seq((0.0, 0.0), (3.0, 0.0), (3.0, 4.0))),
+    (2L, Seq((1.5, -2.25), (1.5, -2.25), (7.0, 8.0), (9.0, -1.0))),
+    (3L, Seq((-179.9, 89.9), (179.9, -89.9)))
+  ).toDF("id", "raw")
+    .select($"id", transform($"raw", p =>
+      struct(p.getField("_1").as("x"), p.getField("_2").as("y"))).as("pts"))
+
+  test("WkbLineFromCoords → WkbCoords round-trips; header count matches") {
+    val rt = coordsDf.select(
+      $"id", $"pts",
+      Wkb.wkbCoords(Wkb.wkbLineFromCoords($"pts")).as("back"),
+      Wkb.wkbNumPoints(Wkb.wkbLineFromCoords($"pts")).as("np"),
+      Wkb.wkbGeometryType(Wkb.wkbLineFromCoords($"pts")).as("gt"),
+      size($"pts").as("n")).collect()
+    rt.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"row ${r.getLong(0)}")
+      assert(r.getInt(3) == r.getInt(5) && r.getInt(4) == 2)
+    }
+  }
+
+  test("WkbPolygonFromCoords closes an open ring exactly once") {
+    val rt = coordsDf.filter($"id" === 1L).select(
+      Wkb.wkbCoords(Wkb.wkbPolygonFromCoords($"pts")).as("back"),
+      Wkb.wkbNumPoints(Wkb.wkbPolygonFromCoords($"pts")).as("np"),
+      Wkb.wkbGeometryType(Wkb.wkbPolygonFromCoords($"pts")).as("gt"),
+      // encoding the already-closed decode output must NOT append again
+      Wkb.wkbNumPoints(Wkb.wkbPolygonFromCoords(
+        Wkb.wkbCoords(Wkb.wkbPolygonFromCoords($"pts")))).as("np2")).head()
+    val back = rt.getSeq[org.apache.spark.sql.Row](0)
+    assert(back.length == 4 && back.head == back.last)
+    assert(rt.getInt(1) == 4 && rt.getInt(2) == 3 && rt.getInt(3) == 4)
+  }
+
+  test("WkbCoords honors the big-endian byte-order marker") {
+    // Hand-build a BE LineString: 00 | 00000002 | 00000002 | 2 pts
+    val buf = java.nio.ByteBuffer.allocate(9 + 32).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(0.toByte).putInt(2).putInt(2)
+      .putDouble(1.0).putDouble(2.0).putDouble(-3.5).putDouble(4.25)
+    val df = Seq(Tuple1(buf.array())).toDF("g")
+    val out = df.select(Wkb.wkbCoords($"g").as("c"), Wkb.wkbNumPoints($"g").as("np")).head()
+    val c = out.getSeq[org.apache.spark.sql.Row](0)
+    assert(out.getInt(1) == 2 && c.map(r => (r.getDouble(0), r.getDouble(1))) ==
+      Seq((1.0, 2.0), (-3.5, 4.25)))
+  }
+
+  test("WkbCoords / WkbNumPoints null (not throw) on malformed or unsupported blobs") {
+    val blobs = Seq(
+      Array[Byte](),                       // empty
+      Array[Byte](1, 2, 0, 0),             // truncated header
+      Array[Byte](1, 7, 0, 0, 0, 9, 9),    // GeometryCollection: unsupported
+      { // LineString header claiming more points than the buffer holds
+        val b = java.nio.ByteBuffer.allocate(9).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).putInt(2).putInt(1000); b.array()
+      })
+    val df = blobs.map(Tuple1(_)).toDF("g")
+    val out = df.select(Wkb.wkbCoords($"g"), Wkb.wkbNumPoints($"g")).collect()
+    out.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
 }
