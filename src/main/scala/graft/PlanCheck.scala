@@ -34,7 +34,44 @@ object PlanCheck {
     "CartesianProduct".r
       .findAllIn(df.queryExecution.executedPlan.toString)
       .length
+
+  /** (shuffle exchanges, broadcast exchanges) in `df`'s physical
+    * plan — the measured shuffle profile of SURVEY §4 as a number.
+    * ReusedExchange subtracts (it re-reads an already-materialized
+    * exchange, no new shuffle). ExchangeBudgetSpec pins a per-query
+    * maximum over the whole registry: any future plan regression
+    * that adds an exchange fails `sbt test` the same way the
+    * window/cartesian guards close their classes.
+    */
+  def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.executedPlan.toString
+    val broadcast = "BroadcastExchange".r.findAllIn(plan).length
+    val reused = "ReusedExchange".r.findAllIn(plan).length
+    val shuffle = "Exchange".r.findAllIn(plan).length - broadcast - reused
+    (shuffle, broadcast)
+  }
+  /** `runMain graft.PlanCheck budget [dir]` prints the per-query
+    * exchange counts as `name shuffle bcast` rows measured in the
+    * TEST session shape (local[4]/4 shuffle partitions, same as
+    * SparkSpec) — the source of ExchangeBudgetSpec's budget table.
+    */
+  def budgetMain(dir: String): Unit = {
+    val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Registry.all.filterNot(_.name.startsWith("st_")).foreach { q =>
+      try {
+        val (s, b) = exchangeCounts(q.fn(spark, dir))
+        println(s"BUDGET ${q.name} $s $b")
+      } catch { case e: Throwable => println(s"BUDGET ${q.name} FAILED ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("budget")) {
+      budgetMain(if (args.length > 1) args(1) else "/root/testdata/sf0.001")
+      return
+    }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,196 @@
+package graft
+
+import graft.queries.Registry
+
+/** Exchange-budget guard (VERDICT r6 ask #2): every batch registry
+  * query's physical plan is pinned to a measured maximum number of
+  * shuffle and broadcast exchanges — the SURVEY §4 shuffle profile
+  * turned into an assertion. Any future change that adds an
+  * exchange (a lost broadcast, a new repartition, a join that
+  * stopped co-locating) fails `sbt test` instead of landing
+  * silently, the same way the global-window and cartesian guards
+  * closed their classes.
+  *
+  * Budgets were measured with `runMain graft.PlanCheck budget` in
+  * this suite's exact session shape (local[4], 4 shuffle
+  * partitions, sf0.001) — regenerate the table the same way after
+  * an INTENTIONAL plan change, and justify any increase in the
+  * commit that carries it.
+  */
+class ExchangeBudgetSpec extends SparkSpec {
+
+  /** name -> (max shuffle exchanges, max broadcast exchanges). */
+  private val budget: Map[String, (Int, Int)] = Map(
+    "q1_pricing" -> ((1, 0)),
+    "q3_priority" -> ((1, 2)),
+    "q5_volume" -> ((1, 5)),
+    "q_topn_window" -> ((1, 0)),
+    "q_events_window" -> ((1, 0)),
+    "q_sessionize" -> ((1, 0)),
+    "src_select_alias" -> ((0, 0)),
+    "src_json_nested" -> ((0, 0)),
+    "src_bbox_filter" -> ((0, 0)),
+    "src_filter_eq" -> ((0, 0)),
+    "src_filter_in" -> ((0, 0)),
+    "src_limit" -> ((0, 0)),
+    "src_multilayer" -> ((0, 0)),
+    "src_geometry_split" -> ((1, 0)),
+    "src_divisions_clip" -> ((0, 2)),
+    "src_polygon_clip" -> ((0, 0)),
+    "tr_normalize_roads" -> ((0, 0)),
+    "tr_normalize_buildings" -> ((0, 0)),
+    "tr_normalize_places" -> ((0, 0)),
+    "tr_clip_strings" -> ((0, 0)),
+    "tr_safe_numeric" -> ((0, 0)),
+    "tr_first_of_array" -> ((0, 0)),
+    "tr_sanitize_fields" -> ((0, 0)),
+    "tr_metadata_enrich" -> ((0, 0)),
+    "tr_drop_invalid" -> ((0, 0)),
+    "tr_geometry_rules" -> ((1, 0)),
+    "geo_bbox_agg" -> ((1, 0)),
+    "geo_line_length" -> ((1, 0)),
+    "geo_point_in_bbox" -> ((1, 0)),
+    "geo_haversine" -> ((1, 0)),
+    "dd_exact" -> ((1, 0)),
+    "dd_minhash_lsh" -> ((1, 1)),
+    "dd_simhash" -> ((0, 0)),
+    "dd_ngram_jaccard" -> ((0, 0)),
+    "dd_embedding_neardup" -> ((0, 1)),
+    "sim_cosine_topk" -> ((1, 1)),
+    "sim_lsh_ann" -> ((2, 1)),
+    "sim_centroid" -> ((2, 0)),
+    "sim_ivf_ann" -> ((4, 2)),
+    "sim_kmeans" -> ((0, 0)),
+    "tx_tokens" -> ((0, 0)),
+    "tx_tokens_bpe" -> ((0, 0)),
+    "tx_quality" -> ((0, 0)),
+    "tx_langid" -> ((0, 0)),
+    "tx_fingerprint" -> ((0, 0)),
+    "mm_binary_meta" -> ((0, 0)),
+    "ref_roads" -> ((0, 0)),
+    "ref_buildings" -> ((0, 0)),
+    "ref_education" -> ((0, 0)),
+    "ref_markets" -> ((0, 0)),
+    "ref_power" -> ((0, 0)),
+    "q_exists" -> ((0, 1)),
+    "q_not_exists" -> ((0, 1)),
+    "q_rollup" -> ((1, 2)),
+    "q_cube" -> ((1, 2)),
+    "q_percentiles" -> ((1, 0)),
+    "q_pivot" -> ((2, 0)),
+    "q_enrich_join" -> ((1, 1)),
+    "q_salted_agg" -> ((2, 0)),
+    "dd_exact_norm" -> ((1, 0)),
+    "tx_bigrams" -> ((2, 0)),
+    "tx_vocab_approx" -> ((1, 0)),
+    "q_asof_join" -> ((2, 0)),
+    "tx_tfidf" -> ((5, 2)),
+    "dd_dedup_groups" -> ((0, 0)),
+    "geo_centroid" -> ((1, 0)),
+    "pipe_clean_corpus" -> ((0, 0)),
+    "q_moving_avg" -> ((1, 0)),
+    "q_ntile" -> ((0, 0)),
+    "q_histogram" -> ((1, 0)),
+    "geo_grid_join" -> ((1, 1)),
+    "geo_bbox_typed" -> ((1, 0)),
+    "q_topn_heap" -> ((1, 0)),
+    "src_regex_extract" -> ((0, 0)),
+    "src_intersect" -> ((1, 1)),
+    "src_except" -> ((3, 1)),
+    "sm_split_assign" -> ((1, 0)),
+    "sm_stratified" -> ((1, 0)),
+    "tr_from_json" -> ((0, 0)),
+    "dd_levenshtein" -> ((0, 2)),
+    "mm_decode_stats" -> ((0, 0)),
+    "mm_frame_sample" -> ((0, 0)),
+    "q_zscore" -> ((1, 0)),
+    "q_minmax_scale" -> ((1, 0)),
+    "tx_redact" -> ((0, 0)),
+    "q_corr_stats" -> ((1, 0)),
+    "q_range_join" -> ((1, 1)),
+    "q_window_range" -> ((1, 0)),
+    "tx_repetition" -> ((0, 0)),
+    "tx_chunk" -> ((0, 0)),
+    "sm_pack_sequences" -> ((1, 0)),
+    "sm_temperature" -> ((1, 0)),
+    "tx_unigram_logprob" -> ((4, 2)),
+    "dd_decontaminate" -> ((2, 1)),
+    "sm_cap_per_source" -> ((1, 0)),
+    "geo_zorder" -> ((0, 0)),
+    "q_grouping_sets" -> ((1, 0)),
+    "q_snapshot_diff" -> ((2, 0)),
+    "mm_feature_neardup" -> ((2, 0)),
+    "tx_bigram_logprob" -> ((7, 2)),
+    "src_hive_partitioned" -> ((0, 0)),
+    "src_schema_evolution" -> ((0, 0)),
+    "q_gap_fill" -> ((2, 1)),
+    "tx_entropy" -> ((0, 0)),
+    "q_profile" -> ((2, 0)),
+    "pipe_canonicalize" -> ((3, 0)),
+    "tr_constraints" -> ((2, 1)),
+    "q_retention" -> ((3, 1)),
+    "dd_latest_wins" -> ((1, 0)),
+    "q_top_paths" -> ((2, 0)),
+    "dd_semantic_pairs" -> ((0, 1)),
+    "q_funnel" -> ((2, 0)),
+    "q_scd2" -> ((1, 0)),
+    "q_first_last_touch" -> ((1, 0)),
+    "geo_nearest" -> ((0, 0)),
+    "tx_span_dedup" -> ((2, 1)),
+    "q_outlier_mad" -> ((4, 3)),
+    "q_outlier_mad_approx" -> ((4, 3)),
+    "dd_decontaminate_bloom" -> ((1, 0)),
+    "dd_containment" -> ((0, 0)),
+    "tx_ttr" -> ((0, 0)),
+    "tx_code_detect" -> ((0, 0)),
+    "tx_unigram_logprob_sketch" -> ((1, 0)),
+    "sm_interleave" -> ((1, 0)),
+    "q_merge_upsert" -> ((3, 0)),
+    "src_incremental" -> ((1, 0)),
+    "q_expanding" -> ((1, 0)),
+    "dd_sketch_precision" -> ((2, 1)),
+    "tx_pseudonymize" -> ((2, 0)),
+    "dd_within_window" -> ((1, 0)),
+    "q_quantile_approx" -> ((1, 0)),
+    "tx_quality_classifier" -> ((0, 0)),
+    "q_mv_merge" -> ((2, 0)),
+    "sim_pq" -> ((0, 0)),
+    "sm_leakage_safe_split" -> ((2, 0)),
+    "q_decay_weighted" -> ((1, 0)),
+    "geo_tile_key" -> ((1, 0)),
+    "pipe_manifest" -> ((3, 2)),
+    "geo_simplify" -> ((1, 0)),
+    "src_csv_read" -> ((1, 0)),
+    "src_jsonl_read" -> ((1, 0)),
+    "mm_shard_manifest" -> ((1, 0)),
+    "tx_bm25" -> ((1, 1)),
+    "tx_dup_ngram_frac" -> ((2, 2)),
+    "sm_curriculum" -> ((0, 0)),
+    "sim_hybrid_rrf" -> ((1, 2)),
+    "dd_cluster_rep" -> ((1, 1)),
+    "q_psi_drift" -> ((3, 3)),
+    "src_geometry_split_wkb" -> ((3, 0)),
+    "geo_line_length_wkb" -> ((1, 0)),
+    "geo_centroid_wkb" -> ((1, 0)),
+    "tr_geometry_rules_wkb" -> ((1, 0)))
+
+  test("every batch registry query has a pinned exchange budget") {
+    val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
+    val missing = batch.filterNot(budget.contains)
+    assert(missing.isEmpty,
+      s"queries without an exchange budget (run PlanCheck budget and add them): $missing")
+  }
+
+  test("no batch registry query exceeds its exchange budget") {
+    val batch = Registry.all.filterNot(_.name.startsWith("st_"))
+    val offenders = batch.flatMap { q =>
+      budget.get(q.name).flatMap { case (maxS, maxB) =>
+        val (s, b) = PlanCheck.exchangeCounts(q.fn(spark, sfDir))
+        if (s > maxS || b > maxB)
+          Some(s"${q.name}: shuffle $s (max $maxS), broadcast $b (max $maxB)")
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"exchange budget exceeded:\n${offenders.mkString("\n")}")
+  }
+}
