@@ -19,18 +19,23 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3 && Set("semantic", "neardup")(args(0)),
-      "usage: ScaleProbe semantic|neardup <sfDir> <k|planes> [...]")
+    require(args.length >= 3 &&
+      Set("semantic", "neardup", "semantic_auto", "neardup_auto")(args(0)),
+      "usage: ScaleProbe semantic|neardup|semantic_auto|neardup_auto <sfDir> <k|planes|target> [...]")
     val sfDir = args(1)
+    // For the *_auto modes this is the TARGET cluster/bucket size
+    // (the knob itself derives from the data count).
     val k = args(2).toInt
-    // Positional args differ per mode: `iters` exists only for
-    // `semantic` (for `neardup`, args(3) is the threshold).
-    val iters = if (args(0) == "semantic" && args.length > 3) args(3).toInt else 2
+    val isSemantic = args(0).startsWith("semantic")
+    // Positional args differ per mode family: `iters` exists only
+    // for semantic modes (for neardup modes, args(3) is the
+    // threshold).
+    val iters = if (isSemantic && args.length > 3) args(3).toInt else 2
     val threshold =
-      if (args(0) == "semantic") { if (args.length > 4) args(4).toDouble else 0.35 }
+      if (isSemantic) { if (args.length > 4) args(4).toDouble else 0.35 }
       else { if (args.length > 3) args(3).toDouble else 0.35 }
     val runs =
-      if (args(0) == "semantic") { if (args.length > 5) args(5).toInt else 2 }
+      if (isSemantic) { if (args.length > 5) args(5).toInt else 2 }
       else { if (args.length > 4) args(4).toInt else 2 }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -51,6 +56,13 @@ object ScaleProbe {
         graft.operators.Similarity.embeddingNearDup(
           emb, "vec_id", "embedding", dim = 64, planes = k,
           threshold = threshold, seed = 42L)
+      case "semantic_auto" =>
+        graft.operators.Similarity.semanticPairsAuto(
+          emb, "vec_id", "embedding", iters, threshold, targetClusterSize = k)
+      case "neardup_auto" =>
+        graft.operators.Similarity.embeddingNearDupAuto(
+          emb, "vec_id", "embedding", dim = 64, threshold = threshold,
+          targetBucketSize = k, seed = 42L)
     }
     val times = (1 to runs).map { i =>
       val t0 = System.nanoTime()

@@ -154,6 +154,31 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** [[embeddingNearDup]] with the SELF-SCALING plane count the
+    * 100 TB path needs: `planes = ceil(log₂(N / targetBucketSize))`
+    * from one cheap count (parquet metadata count-star when the
+    * input is a bare scan), so expected bucket occupancy — and with
+    * it the within-bucket quadratic — stays ~`targetBucketSize` as
+    * the data grows instead of exploding at a pinned constant. The
+    * pinned-knob overload remains for oracle determinism (the E8
+    * registry row pins planes=6 and points here).
+    */
+  def embeddingNearDupAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      targetBucketSize: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(targetBucketSize >= 1, "targetBucketSize must be >= 1")
+    val n = df.count()
+    val planes = math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+    embeddingNearDup(df, idCol, vecCol, dim, planes, threshold, seed)
+  }
+
   /** IVF (inverted-file) ANN search: per-label centroids are the
     * coarse quantizer; each query probes its `nprobe` nearest
     * centroids and exact cosine runs ONLY over the probed labels'
@@ -302,6 +327,30 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.cluster").as("cluster"), col("cosine"))
+  }
+
+  /** [[semanticPairs]] with the SELF-SCALING cluster count the
+    * SemDeDup contract requires: `k = ceil(N / targetClusterSize)`
+    * from one cheap count, keeping per-cluster size — and the
+    * per-cluster pairwise pass — constant as N grows. Past the point
+    * where k itself is large, the quadratic moves into Lloyd
+    * assignment (k·N distance evaluations); go hierarchical via
+    * [[ivfAnn]] blocking there. The pinned-knob overload remains for
+    * oracle determinism (the E11 registry row pins k=16 and points
+    * here).
+    */
+  def semanticPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int,
+      threshold: Double,
+      targetClusterSize: Int = 256
+  ): DataFrame = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    val n = df.count()
+    val k = math.max(1, math.ceil(n.toDouble / targetClusterSize).toInt)
+    semanticPairs(df, idCol, vecCol, k, iters, threshold)
   }
 
   /** Per-label centroids (the coarse-quantizer build step of an IVF

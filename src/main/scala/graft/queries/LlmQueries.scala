@@ -287,6 +287,11 @@ object LlmQueries {
     * (hyperplane constants as SQL literals).
     */
   def ddEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    // planes PINNED at 6 for oracle determinism (the hyperplane
+    // constants are SQL literals below). The library default a
+    // caller should copy at scale is Similarity.embeddingNearDupAuto,
+    // which derives planes = ceil(log2(N/targetBucketSize)) so bucket
+    // occupancy stays flat as N grows.
     Similarity.embeddingNearDup(Tables(spark, dir).embeddings,
       "vec_id", "embedding", dim = 64, planes = 6, threshold = 0.35, seed = 42L)
 
@@ -434,6 +439,11 @@ object LlmQueries {
     * (k=16) then exact cosine ≥ 0.35 within clusters only.
     */
   def ddSemanticPairs(spark: SparkSession, dir: String): DataFrame =
+    // k PINNED at 16 for oracle determinism (the k-means CTEs below
+    // unroll at k=16). The library default a caller should copy at
+    // scale is Similarity.semanticPairsAuto, which derives
+    // k = ceil(N/targetClusterSize) so per-cluster pair work stays
+    // constant as N grows.
     Similarity.semanticPairs(Tables(spark, dir).embeddings,
       "vec_id", "embedding", k = 16, iters = 2, threshold = 0.35)
 
