@@ -77,16 +77,22 @@ object Pipeline3 {
     * feeds BOTH the exploded doc-frequency subtree and the
     * `size(hs)` denominator subtree, and without a materialization
     * boundary Spark re-evaluates the shingle hashing — the expensive
-    * expression — once per consumer. `localCheckpoint` pins the
+    * expression — once per consumer. `persist(DISK_ONLY)` pins the
     * hashes-only projection (doc_id + 8 B/shingle, no raw text) so
-    * the corpus is scanned and hashed exactly once; at 100 TB that
-    * halves the dominant cost of this query.
+    * the corpus is scanned and hashed once; at 100 TB that halves
+    * the dominant cost of this query. persist over localCheckpoint
+    * deliberately: it is LAZY (plan-only consumers — PlanGuardSpec,
+    * explain — trigger no job) and keeps lineage, so an executor
+    * loss recomputes the lost partitions instead of failing the
+    * query (localCheckpoint stores unreplicated blocks); this
+    * subtree is one scan deep, so lineage truncation — the reason
+    * the iterative CC rounds DO use localCheckpoint — buys nothing.
     */
   def dupNgramFrac(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"),
       graft.functions.NgramXxHashes(col("text"), 5).as("hs"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
     // `sh` is distinct per (doc, shingle) by construction, so the
     // document frequency of a shingle is a plain count.

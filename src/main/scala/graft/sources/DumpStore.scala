@@ -88,6 +88,17 @@ final class DumpStore(spark: SparkSession, basePath: String) {
     */
   def ensure(release: String, theme: String, ensuredAt: String, force: Boolean = false)(
       fetch: => DataFrame): String = {
+    // Validate at WRITE time: release/theme/ensuredAt are free-form
+    // CLI input embedded in both the metadata JSON (parsed with a
+    // deliberately simple regex) and filesystem paths. A `,`, `}`,
+    // `"` or path separator would make a COMPLETED dump unreadable
+    // to exists()/list() — reject it before any bytes land.
+    Seq("release" -> release, "theme" -> theme, "ensured_at" -> ensuredAt).foreach {
+      case (what, v) => require(v.nonEmpty && v.forall(ch =>
+          ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-' || ch == ':'),
+        s"dump $what '$v' must be non-empty [A-Za-z0-9._:-] " +
+          "(it is embedded in metadata JSON and storage paths)")
+    }
     val data = dataPath(release, theme)
     if (exists(release, theme)) {
       if (!force) return data
