@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions.col
   * Usage (valued flags use `--key=value`):
   * {{{
   *   graft.Cli export   <catalog.json> <query> <sfDir> <outPath> [--country=ISO3] [--geom=xCol,yCol] [--date=ISO]
-  *   graft.Cli publish  <catalog.json> <query> <sfDir> <servicePath> [--mode=auto|initial|overwrite|append] [--country=ISO3] [--date=ISO]
+  *   graft.Cli publish  <catalog.json> <query> <sfDir> <servicePath> [--mode=auto|initial|overwrite|append] [--country=ISO3] [--date=ISO] [--metadata=template.json]
   *   graft.Cli publish-sectors <catalog.json> <sector,names> <sfDir> <servicePath> [--mode=…] [--geom=xCol,yCol] [--square=xCol,yCol,halfWidth]
   *   graft.Cli run          <registry-query> <sfDir> <outPath.{parquet,csv}>
   *   graft.Cli list-registry
@@ -109,7 +109,8 @@ object Cli {
 
       case Seq("publish", catalogPath, name, sfDir, servicePath) =>
         val cfg = loadEntry(spark, catalogPath, name)
-        val df = runPipeline(spark, cfg, sfDir, opt.getOrElse("country", "AFG"), date)
+        val country = opt.getOrElse("country", "AFG")
+        val df = runPipeline(spark, cfg, sfDir, country, date)
         val mode = opt.getOrElse("mode", "auto").toLowerCase match {
           case "auto"      => PublishMode.Auto
           case "initial"   => PublishMode.Initial
@@ -119,6 +120,26 @@ object Cli {
         }
         FeatureService.publish(df, servicePath, cfg.name, mode, cfg.upsertKey)
         println(s"published ${cfg.name} -> $servicePath (mode=$mode)")
+        // Item metadata (reference publish.py:234-342): a JSON
+        // template rendered with the publish context, then applied
+        // additively to the layer's metadata sidecar.
+        opt.get("metadata").foreach { mPath =>
+          val raw = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mPath)), "UTF-8")
+          val rendered = graft.config.MetadataTemplate.render(raw, Map(
+            "name" -> cfg.name,
+            "country" -> country,
+            "date" -> date,
+            "title" -> cfg.sectorTitle.getOrElse(cfg.name),
+            "tag" -> cfg.sectorTag.getOrElse("")))
+          val rep = FeatureService.applyItemMetadata(
+            spark, servicePath, cfg.name,
+            FeatureService.parseItemMetadata(spark, rendered))
+          println(s"metadata ${if (rep.updated) "applied" else "unchanged"}: " +
+            s"fields=${rep.appliedFields.mkString(",")}" +
+            (if (rep.skippedGroups.nonEmpty)
+               s" skipped_groups=${rep.skippedGroups.mkString(",")}" else ""))
+        }
 
       // Multi-sector composition (reference cli.py:2306
       // `add_sector_layers`): each named catalog entry contributes

@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TmpDebug {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    for (q <- args.drop(1)) {
+      try { println(s"$q -> " + SparkEntry.queries(q)(spark, dir).count()) }
+      catch { case e: Throwable => println(s"$q FAILED: ${e.getClass.getName}: ${e.getMessage}"); e.printStackTrace() }
+    }
+    spark.stop()
+  }
+}

@@ -260,4 +260,334 @@ object FeatureService {
     val parts = math.max(1, math.ceil(totalRows.toDouble / maxRowsPerChunk).toInt)
     df.repartition(parts)
   }
+
+  // -------------------------------------------------------------------
+  // Item metadata + sharing (reference publish.py:234-342
+  // `_normalize_tags` / `_update_item_metadata` /
+  // `_normalize_visibility` / `_apply_item_sharing`): the published
+  // layer's catalog-facing metadata, modeled as a JSON sidecar next
+  // to the layer directory. Same merge discipline as the reference:
+  // text fields overwrite only when non-empty AND different, tags
+  // replace on set difference, visibility only UPGRADES
+  // (private < org < public), group shares are ADDITIVE with
+  // unknown groups skipped (never failing the publish).
+  // -------------------------------------------------------------------
+
+  final case class ItemMetadata(
+      title: Option[String] = None,
+      snippet: Option[String] = None,
+      description: Option[String] = None,
+      tags: Option[Seq[String]] = None,
+      visibility: String = "private",
+      groups: Seq[String] = Nil)
+
+  final case class MetadataReport(
+      updated: Boolean,
+      appliedFields: Seq[String],
+      skippedGroups: Seq[String])
+
+  /** Comma-separated string → clean tag list (publish.py:234). */
+  def normalizeTags(tags: String): Seq[String] =
+    if (tags == null) Nil
+    else tags.split(",").iterator.map(_.trim).filter(_.nonEmpty).toList
+
+  /** Trim/drop-empty over an already-split list (publish.py:239). */
+  def normalizeTagList(tags: Seq[String]): Seq[String] =
+    if (tags == null) Nil
+    else tags.iterator.filter(_ != null).map(_.trim).filter(_.nonEmpty).toList
+
+  private val visibilityRank = Map("private" -> 0, "org" -> 1, "public" -> 2)
+
+  /** Anything not exactly private/org/public → private
+    * (publish.py:289 `_normalize_visibility`).
+    */
+  def normalizeVisibility(v: String): String = {
+    val n = Option(v).map(_.trim.toLowerCase).getOrElse("")
+    if (visibilityRank.contains(n)) n else "private"
+  }
+
+  def metadataPath(servicePath: String, layer: String): String =
+    layerPath(servicePath, layer) + ".metadata.json"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def metadataJson(m: ItemMetadata): String = {
+    val fields = Seq(
+      m.title.map(v => s""""title":${jsonStr(v)}"""),
+      m.snippet.map(v => s""""snippet":${jsonStr(v)}"""),
+      m.description.map(v => s""""description":${jsonStr(v)}"""),
+      m.tags.map(t => s""""tags":[${t.map(jsonStr).mkString(",")}]"""),
+      Some(s""""visibility":${jsonStr(m.visibility)}"""),
+      Some(s""""groups":[${m.groups.map(jsonStr).mkString(",")}]""")
+    ).flatten
+    fields.mkString("{", ",", "}")
+  }
+
+  /** Parse an ItemMetadata JSON document (a rendered template from
+    * the Cli `--metadata=` flag, or the sidecar itself) with Spark's
+    * real JSON reader — free-form titles/descriptions are legal,
+    * unlike the deliberately-restricted DumpStore metadata.
+    */
+  def parseItemMetadata(spark: SparkSession, json: String): ItemMetadata = {
+    import spark.implicits._
+    val df = spark.read.json(Seq(json).toDS)
+    val cols = df.columns.toSet
+    val r = df.head()
+    def optS(c: String): Option[String] =
+      if (cols.contains(c)) Option(r.getAs[Any](c)).map(_.toString) else None
+    def optL(c: String): Option[Seq[String]] =
+      if (cols.contains(c))
+        Option(r.getAs[Any](c)).map(
+          _.asInstanceOf[scala.collection.Seq[Any]].iterator.map(_.toString).toList)
+      else None
+    ItemMetadata(
+      title = optS("title"),
+      snippet = optS("snippet"),
+      description = optS("description"),
+      tags = optL("tags"),
+      visibility = normalizeVisibility(optS("visibility").orNull),
+      groups = optL("groups").getOrElse(Nil))
+  }
+
+  /** Read the sidecar back (None when never applied). */
+  def readItemMetadata(spark: SparkSession, servicePath: String, layer: String): Option[ItemMetadata] = {
+    val p = new HPath(metadataPath(servicePath, layer))
+    val f = fs(spark, servicePath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(parseItemMetadata(spark, txt))
+    }
+  }
+
+  /** Apply desired metadata to a published layer's sidecar. Returns
+    * which fields changed; a no-op diff writes nothing (the
+    * reference only calls item.update when props is non-empty).
+    * `knownGroup` models AGOL group validation: unknown groups are
+    * skipped with a report entry, matching on_missing_group=warn.
+    */
+  def applyItemMetadata(
+      spark: SparkSession,
+      servicePath: String,
+      layer: String,
+      desired: ItemMetadata,
+      knownGroup: String => Boolean = _ => true
+  ): MetadataReport = {
+    require(layerExists(spark, servicePath, layer),
+      s"cannot apply metadata: layer '$layer' not published at $servicePath")
+    val current = readItemMetadata(spark, servicePath, layer).getOrElse(ItemMetadata())
+    val applied = scala.collection.mutable.ListBuffer.empty[String]
+    def textField(name: String, want: Option[String], have: Option[String]): Option[String] =
+      want.map(_.trim).filter(_.nonEmpty) match {
+        case Some(w) if !have.contains(w) => applied += name; Some(w)
+        case _ => have
+      }
+    val title = textField("title", desired.title, current.title)
+    val snippet = textField("snippet", desired.snippet, current.snippet)
+    val description = textField("description", desired.description, current.description)
+    val tags = desired.tags.map(normalizeTagList) match {
+      case Some(want) if !current.tags.exists(_.toSet == want.toSet) =>
+        applied += "tags"; Some(want)
+      case _ => current.tags
+    }
+    val wantVis = normalizeVisibility(desired.visibility)
+    val haveVis = normalizeVisibility(current.visibility)
+    val visibility =
+      if (visibilityRank(wantVis) > visibilityRank(haveVis)) { applied += "visibility"; wantVis }
+      else haveVis
+    val wanted = normalizeTagList(desired.groups).distinct
+    val (known, skipped) = wanted.partition(knownGroup)
+    val newGroups = known.filterNot(current.groups.contains)
+    val groups =
+      if (newGroups.nonEmpty) { applied += "groups"; current.groups ++ newGroups }
+      else current.groups
+    val merged = ItemMetadata(title, snippet, description, tags, visibility, groups)
+    if (applied.isEmpty) MetadataReport(updated = false, Nil, skipped)
+    else {
+      // tmp + rename: the sidecar is never half-written
+      val f = fs(spark, servicePath)
+      val tmp = new HPath(metadataPath(servicePath, layer) + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(metadataJson(merged).getBytes("UTF-8"))
+      finally out.close()
+      val dest = new HPath(metadataPath(servicePath, layer))
+      f.delete(dest, false)
+      if (!f.rename(tmp, dest))
+        throw new java.io.IOException(s"metadata sidecar rename failed: $tmp -> $dest")
+      MetadataReport(updated = true, applied.toList, skipped)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Hardened append path (reference publish.py:505
+  // `_append_via_item_hardened`, :604 `_append_via_batches`, :646
+  // `_initial_with_seed_and_append`, :478 `_poll_append_job`): each
+  // batch stages as a TEMP ITEM (its own directory), commits into
+  // the live layer with per-batch rollback, and the temp item is
+  // deleted on success AND failure. Batch windows walk a key range;
+  // a transient transport failure halves the window and retries the
+  // SAME window (never advancing past unappended rows), down to a
+  // floor. The poll loop is bounded by a timeout.
+  // -------------------------------------------------------------------
+
+  /** 413/502/504-class failure — the only class the batch walker
+    * retries with a smaller window; anything else propagates.
+    */
+  final class TransientAppendError(msg: String) extends RuntimeException(msg)
+
+  final case class AppendReport(
+      windows: Int,
+      halvings: Int,
+      finalSpan: Long,
+      rowsAppended: Long)
+
+  private def appendItemsDir(servicePath: String) = s"$servicePath/_append_items"
+
+  /** Temp-item dirs left behind by crashed appends (cleanup sweeps
+    * them like .staging/.backup debris).
+    */
+  def orphanAppendItems(spark: SparkSession, servicePath: String): Seq[String] = {
+    val f = fs(spark, servicePath)
+    val base = new HPath(appendItemsDir(servicePath))
+    if (!f.exists(base)) Nil
+    else f.listStatus(base).toIndexedSeq.map(_.getPath.getName).sorted
+  }
+
+  /** Stage `batch` as a temp item, then commit its part files into
+    * the live layer. Commit is file-at-a-time rename with uuid-fresh
+    * names; on ANY failure every file already moved is rolled back
+    * (reference append(rollback=True)) and the temp item is removed
+    * in finally (reference's finally: temp_item.delete()). Returns
+    * rows appended.
+    */
+  def appendItemHardened(batch: DataFrame, servicePath: String, layer: String): Long = {
+    val spark = batch.sparkSession
+    require(layerExists(spark, servicePath, layer),
+      s"append target layer '$layer' does not exist (publish Initial/Auto first)")
+    val f = fs(spark, servicePath)
+    val itemId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val itemDir = new HPath(s"${appendItemsDir(servicePath)}/item_$itemId")
+    val live = new HPath(layerPath(servicePath, layer))
+    val obs = org.apache.spark.sql.Observation()
+    val moved = scala.collection.mutable.ListBuffer.empty[HPath]
+    try {
+      batch
+        .observe(obs, count(lit(1)).as("rows"))
+        .write.mode("errorifexists").parquet(itemDir.toString)
+      val parts = f.listStatus(itemDir).toIndexedSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      parts.zipWithIndex.foreach { case (s, i) =>
+        val dest = new HPath(live, s"part-append-$itemId-$i.parquet")
+        if (!f.rename(s.getPath, dest))
+          throw new java.io.IOException(s"append commit: rename ${s.getPath} -> $dest failed")
+        moved += dest
+      }
+      obs.get("rows").asInstanceOf[Long]
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        moved.foreach(p => f.delete(p, false)) // rollback=True
+        throw e
+    } finally {
+      f.delete(itemDir, true) // temp item removed on success AND failure
+    }
+  }
+
+  /** Batched hardened append over the `[keyMin, keyMax]` range of a
+    * long key: windows of `span` keys commit left to right; a
+    * [[TransientAppendError]] halves the span (floor `minSpan`) and
+    * retries the SAME window. `commit` is injectable so failure
+    * shapes are testable; production callers take the default.
+    */
+  def appendBatches(
+      df: DataFrame,
+      servicePath: String,
+      layer: String,
+      keyCol: String,
+      keyMin: Long,
+      keyMax: Long,
+      span: Long,
+      minSpan: Long = 1L
+  )(commit: DataFrame => Long = appendItemHardened(_, servicePath, layer)): AppendReport = {
+    require(span >= 1 && minSpan >= 1 && minSpan <= span, "need span >= minSpan >= 1")
+    var bs = span
+    var start = keyMin
+    var windows = 0
+    var halvings = 0
+    var rows = 0L
+    while (start <= keyMax) {
+      val batch = df.filter(col(keyCol) >= start && col(keyCol) < start + bs)
+      try {
+        if (!batch.isEmpty) {
+          rows += commit(batch)
+          windows += 1
+        }
+        start += bs
+      } catch {
+        case e: TransientAppendError if bs > minSpan =>
+          // same window, half the payload (publish.py:634)
+          bs = math.max(minSpan, bs / 2)
+          halvings += 1
+        case e: TransientAppendError =>
+          throw new RuntimeException(
+            s"append window [$start, ${start + bs}) still failing at minimum span $minSpan", e)
+      }
+    }
+    AppendReport(windows, halvings, bs, rows)
+  }
+
+  /** INITIAL as seed-then-append (publish.py:646): a small seed
+    * batch creates the layer (schema + first rows), the remainder
+    * flows through the hardened batch path — the shape that keeps a
+    * huge initial publish restartable instead of one giant upload.
+    */
+  def initialWithSeedAndAppend(
+      df: DataFrame,
+      servicePath: String,
+      layer: String,
+      keyCol: String,
+      keyMin: Long,
+      keyMax: Long,
+      seedSpan: Long,
+      span: Long,
+      minSpan: Long = 1L
+  ): AppendReport = {
+    val spark = df.sparkSession
+    if (layerExists(spark, servicePath, layer))
+      throw new IllegalStateException(s"layer '$layer' already exists at $servicePath")
+    val seedEnd = keyMin + seedSpan
+    df.filter(col(keyCol) >= keyMin && col(keyCol) < seedEnd)
+      .write.mode("errorifexists").parquet(layerPath(servicePath, layer))
+    appendBatches(df, servicePath, layer, keyCol, seedEnd, keyMax, span, minSpan)()
+  }
+
+  /** Bounded job poll (publish.py:478 `_poll_append_job`): `status`
+    * returns running/completed/failed; failed raises, and a job that
+    * never completes raises at `timeoutMs` instead of spinning
+    * forever.
+    */
+  def pollAppendJob(status: () => String, timeoutMs: Long, intervalMs: Long = 10L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (true) {
+      status() match {
+        case "completed" => return
+        case "failed"    => throw new RuntimeException("append job failed")
+        case _ =>
+          if (System.nanoTime() > deadline)
+            throw new RuntimeException(s"append job timed out after ${timeoutMs}ms")
+          Thread.sleep(intervalMs)
+      }
+    }
+  }
 }

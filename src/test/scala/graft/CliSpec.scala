@@ -60,6 +60,24 @@ class CliSpec extends SparkSpec {
     assert(FeatureService.readLayer(spark, svc, "supplier_sites").count() == n1)
   }
 
+  test("publish verb renders and applies an item-metadata template") {
+    val dir = tmp()
+    val catalog = writeCatalog(dir)
+    val svc = s"$dir/svc"
+    val tpl = Paths.get(dir, "meta.json")
+    Files.writeString(tpl,
+      """{"title": "{title} ({country})", "tags": ["{tag}", "sector", "{date}"],
+        |"visibility": "org", "groups": ["g-open"]}""".stripMargin)
+    Cli.run(spark, Seq("publish", catalog, "supplier_sites", "/root/testdata/sf0.001",
+      svc, "--mode=initial", "--country=KEN", "--date=2026-08-13", s"--metadata=$tpl"))
+    val m = FeatureService.readItemMetadata(spark, svc, "supplier_sites").get
+    assert(m.title.contains("Supplier Sites (KEN)"))
+    // the empty {tag} placeholder (no sector_tag configured) is
+    // dropped by tag normalization
+    assert(m.tags.contains(Seq("sector", "2026-08-13")))
+    assert(m.visibility == "org" && m.groups == Seq("g-open"))
+  }
+
   test("cache verbs and errors") {
     val dir = tmp()
     val catalog = writeCatalog(dir)
