@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, MinHashSig, RollingHash, WkbFromXY, WkbGeometryType, WkbPointXY, WordBigrams}
+import graft.functions.{CosineSim, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPointXY, WkbPolygonFromCoords, WordBigrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -15,6 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   SELECT graft_wkb_point(geometry).x FROM features
   *   SELECT graft_wkb_type(geometry) FROM features
   *   SELECT graft_wkb_from_xy(x, y) FROM points
+  *   SELECT graft_wkb_line(coords) FROM trajectories
+  *   SELECT graft_wkb_polygon(ring) FROM footprints
+  *   SELECT graft_wkb_coords(geometry) FROM features
+  *   SELECT graft_wkb_num_points(geometry) FROM features
   *   SELECT graft_cosine(vec_a, vec_b) FROM pairs
   *   SELECT graft_word_bigrams(text) FROM documents
   *   SELECT graft_minhash(text, 3, 32, 42) FROM documents
@@ -42,6 +46,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_wkb_from_xy"),
       new ExpressionInfo(classOf[WkbFromXY].getName, "graft_wkb_from_xy"),
       (children: Seq[Expression]) => WkbFromXY(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wkb_line"),
+      new ExpressionInfo(classOf[WkbLineFromCoords].getName, "graft_wkb_line"),
+      (children: Seq[Expression]) => WkbLineFromCoords(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wkb_polygon"),
+      new ExpressionInfo(classOf[WkbPolygonFromCoords].getName, "graft_wkb_polygon"),
+      (children: Seq[Expression]) => WkbPolygonFromCoords(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wkb_coords"),
+      new ExpressionInfo(classOf[WkbCoords].getName, "graft_wkb_coords"),
+      (children: Seq[Expression]) => WkbCoords(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wkb_num_points"),
+      new ExpressionInfo(classOf[WkbNumPoints].getName, "graft_wkb_num_points"),
+      (children: Seq[Expression]) => WkbNumPoints(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

@@ -88,6 +88,19 @@ class FunctionsSpec extends SparkSpec {
       assert(rt.getDouble(0) == 2.5 && rt.getDouble(1) == -3.5)
       val mh = s.sql("SELECT graft_minhash('a b c d e', 3, 8, 42) AS m").head().getSeq[Long](0)
       assert(mh.length == 8 && mh.forall(_ < 2147483647L))
+      // line/polygon codecs round-trip through SQL, header count reads
+      val ln = s.sql(
+        """SELECT graft_wkb_coords(graft_wkb_line(array(
+          |  named_struct('x', 1.0D, 'y', 2.0D),
+          |  named_struct('x', 3.0D, 'y', 4.0D)))) AS c""".stripMargin)
+        .selectExpr("c[0].x", "c[1].y").head()
+      assert(ln.getDouble(0) == 1.0 && ln.getDouble(1) == 4.0)
+      val np = s.sql(
+        """SELECT graft_wkb_num_points(graft_wkb_polygon(array(
+          |  named_struct('x', 0.0D, 'y', 0.0D),
+          |  named_struct('x', 1.0D, 'y', 0.0D),
+          |  named_struct('x', 1.0D, 'y', 1.0D)))) AS n""".stripMargin).head().getInt(0)
+      assert(np == 4) // encoder appended the closing vertex
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
