@@ -566,6 +566,11 @@ object FeatureService {
     val spark = df.sparkSession
     if (layerExists(spark, servicePath, layer))
       throw new IllegalStateException(s"layer '$layer' already exists at $servicePath")
+    // "Nothing to publish (no features)" — the reference returns
+    // without creating anything (publish.py:652); creating a layer
+    // from zero rows would leave a part-less directory a reader
+    // can't open.
+    if (df.isEmpty) return AppendReport(0, 0, span, 0L)
     val seedEnd = keyMin + seedSpan
     df.filter(col(keyCol) >= keyMin && col(keyCol) < seedEnd)
       .write.mode("errorifexists").parquet(layerPath(servicePath, layer))

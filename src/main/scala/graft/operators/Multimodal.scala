@@ -155,11 +155,17 @@ object Multimodal {
     * closes when the next payload would overflow it (no payload
     * splitting; an oversized payload owns its shard). The greedy
     * reset depends on the previous SHARD boundary, not a running
-    * sum, so it is a per-source fold over the sorted payload list —
-    * one shuffle on the shard-group key, list width bounded by the
-    * per-source corpus (the same sequential-fold shape as
-    * radial simplification). Emits (doc, shard, offset): exactly
-    * the index a tar-shard writer consumes.
+    * sum, so it is inherently a per-source sequential pass; it runs
+    * as `flatMapGroups` — the typed-API seam for exactly this kind
+    * of per-key state machine — so the pass is LINEAR in the
+    * source's payload count. (A previous HOF-fold formulation
+    * rebuilt its accumulator array per element: O(n²) copies per
+    * source, measured 12.5× at 10× data; the groups rewrite removes
+    * the quadratic while keeping the identical one-exchange shuffle
+    * shape.) Emits (doc, shard, offset): exactly the index a
+    * tar-shard writer consumes. null sizes normalize to 0 so an
+    * unknown size can't poison the rest of the source's pack;
+    * zero-byte payloads are legal and occupy no budget.
     */
   def shardManifest(
       df: DataFrame,
@@ -168,35 +174,29 @@ object Multimodal {
       bytesCol: String,
       budget: Long
   ): DataFrame = {
-    val emptyOut = array().cast("array<struct<doc_id:bigint,shard:bigint,offset:bigint>>")
-    // null sizes normalize to 0 (an unknown size must not poison
-    // the rest of the source's fold); zero-byte payloads are legal
-    // and occupy no budget.
-    df.select(col(sourceCol).as("source"),
-        struct(col(idCol).as("doc_id"),
-          coalesce(col(bytesCol).cast("long"), lit(0L)).as("bytes")).as("p"))
-      .groupBy(col("source"))
-      .agg(array_sort(collect_list(col("p"))).as("ps"))
-      .select(col("source"), explode(aggregate(col("ps"),
-        struct(lit(-1L).as("shard"), lit(0L).as("used"), emptyOut.as("out")),
-        (acc, p) => {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        coalesce(col(bytesCol).cast("long"), lit(0L)).as("bytes"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src, it) =>
+        // (doc_id, bytes) order — same order array_sort gave the
+        // fold formulation (deterministic, id-led)
+        val payloads = it.toArray.sortBy(p => (p._2, p._3))
+        var shard = -1L
+        var used = 0L
+        payloads.iterator.map { case (_, id, bytes) =>
           // the first payload always OPENS shard 0 (shard −1 is the
           // pre-start sentinel), whatever its size — including 0,
           // which the used+bytes>budget rule alone would misplace.
-          val overflow = acc.getField("shard") === -1L ||
-            acc.getField("used") + p.getField("bytes") > budget
-          val shard = when(overflow, acc.getField("shard") + 1L)
-            .otherwise(acc.getField("shard"))
-          val offset = when(overflow, lit(0L)).otherwise(acc.getField("used"))
-          struct(
-            shard.as("shard"),
-            (offset + p.getField("bytes")).as("used"),
-            concat(acc.getField("out"), array(struct(
-              p.getField("doc_id").as("doc_id"), shard.as("shard"),
-              offset.as("offset")))).as("out"))
-        },
-        acc => acc.getField("out"))).as("m"))
-      .select(col("source"), col("m.doc_id").as("doc_id"),
-        col("m.shard").as("shard"), col("m.offset").as("offset"))
+          if (shard == -1L || used + bytes > budget) { shard += 1L; used = 0L }
+          val offset = used
+          used += bytes
+          (src, id, shard, offset)
+        }
+      }
+      .toDF("source", "doc_id", "shard", "offset")
   }
 }

@@ -65,13 +65,18 @@ object GeoWkbQueries {
     */
   def srcGeometrySplitWkb(spark: SparkSession, dir: String): DataFrame = {
     val p = pts(Tables(spark, dir))
-    val seqs = userSeqs(p)
+    // ONE per-user aggregation emits both derived geometries (union
+    // branches over the same agg don't get exchange reuse — two
+    // subtree scans would pay the user shuffle twice, measured in
+    // the exchange budget: 3 -> 2)
+    val derived = userSeqs(p)
+      .select(explode(array(
+        when(size(col("coords")) >= 2, Wkb.wkbLineFromCoords(col("coords"))),
+        when(size(col("coords")) >= 3,
+          Wkb.wkbPolygonFromCoords(slice(col("coords"), lit(1), lit(5)))))).as("geom"))
+      .filter(col("geom").isNotNull)
     val geoms =
-      p.select(Wkb.wkbFromXY(col("x"), col("y")).as("geom"))
-        .unionAll(seqs.filter(size(col("coords")) >= 2)
-          .select(Wkb.wkbLineFromCoords(col("coords")).as("geom")))
-        .unionAll(seqs.filter(size(col("coords")) >= 3)
-          .select(Wkb.wkbPolygonFromCoords(slice(col("coords"), 1, 5)).as("geom")))
+      p.select(Wkb.wkbFromXY(col("x"), col("y")).as("geom")).unionAll(derived)
     geoms
       .select(Wkb.wkbGeometryType(col("geom")).as("geometry_type"),
         Wkb.wkbNumPoints(col("geom")).as("np"))

@@ -162,14 +162,16 @@ class ExchangeBudgetSpec extends SparkSpec {
     "geo_simplify" -> ((1, 0)),
     "src_csv_read" -> ((1, 0)),
     "src_jsonl_read" -> ((1, 0)),
-    "mm_shard_manifest" -> ((1, 0)),
+    "mm_shard_manifest" -> ((2, 0)), // +1 vs r7 first cut: the linear flatMapGroups pack
+    // does not propagate its key partitioning to the (source,shard) rollup; the
+    // extra exchange moves manifest-sized rows and replaced an O(n^2) fold (12.5x -> 2.7x at 10x),
     "tx_bm25" -> ((1, 1)),
     "tx_dup_ngram_frac" -> ((2, 2)),
     "sm_curriculum" -> ((0, 0)),
     "sim_hybrid_rrf" -> ((1, 2)),
     "dd_cluster_rep" -> ((1, 1)),
     "q_psi_drift" -> ((3, 3)),
-    "src_geometry_split_wkb" -> ((3, 0)),
+    "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
     "tr_geometry_rules_wkb" -> ((1, 0)))

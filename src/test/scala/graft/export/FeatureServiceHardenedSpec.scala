@@ -80,6 +80,9 @@ class FeatureServiceHardenedSpec extends SparkSpec {
     intercept[IllegalStateException] {
       initialWithSeedAndAppend(data, svc, "big", "id", 0L, 99L, 10L, 25L)
     }
+    // empty input: no layer created, clean no-op report
+    val empty = initialWithSeedAndAppend(df(0), svc, "nothing", "id", 0L, 99L, 10L, 25L)
+    assert(empty.rowsAppended == 0 && !layerExists(spark, svc, "nothing"))
   }
 
   test("transient failures halve the window and retry without loss or duplication") {

@@ -46,4 +46,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
+
+  test("shardManifest: greedy budget packing, oversize and zero/null byte edges") {
+    val df = Seq(
+      ("a", 1L, Some(300L)),  // opens shard 0
+      ("a", 2L, Some(300L)),  // fits: shard 0 @300
+      ("a", 3L, Some(500L)),  // 600+500 > 1000 -> shard 1
+      ("a", 4L, Some(2000L)), // oversize: owns shard 2
+      ("a", 5L, None),        // null -> 0 bytes; 2000+0 > 1000 closes the oversize shard
+      ("b", 9L, Some(0L))     // zero-byte payload opens b's shard 0
+    ).toDF("src", "doc", "nbytes")
+    val out = Multimodal
+      .shardManifest(df, "src", "doc", "nbytes", budget = 1000L)
+      .orderBy("source", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 0L, 0L),
+      ("a", 2L, 0L, 300L),
+      ("a", 3L, 1L, 0L),
+      ("a", 4L, 2L, 0L),   // oversize payload owns its shard
+      ("a", 5L, 3L, 0L),
+      ("b", 9L, 0L, 0L)))
+  }
 }
