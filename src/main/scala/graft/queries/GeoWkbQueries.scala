@@ -110,7 +110,14 @@ object GeoWkbQueries {
     val seqs = userSeqs(pts(Tables(spark, dir)))
       .filter(size(col("coords")) >= 2)
       .select(col("user_id"), Wkb.wkbLineFromCoords(col("coords")).as("geom"))
-    val ring = Wkb.wkbCoords(col("geom"))
+    // Decode ONCE into a projection column before any HOF touches
+    // it: Catalyst does not hoist loop-invariant subtrees out of
+    // lambda bodies, so an inline WkbCoords(geom) inside the
+    // distance transform would re-parse the whole blob per
+    // element_at — O(n²) per row on the scan path.
+    val decoded = seqs.select(col("user_id"), col("geom"),
+      Wkb.wkbCoords(col("geom")).as("ring"))
+    val ring = col("ring")
     val segs = transform(sequence(lit(2), size(ring)), i =>
       sqrt(
         (element_at(ring, i).getField("x") - element_at(ring, i - 1).getField("x")) *
@@ -118,7 +125,7 @@ object GeoWkbQueries {
           (element_at(ring, i).getField("y") - element_at(ring, i - 1).getField("y")) *
             (element_at(ring, i).getField("y") - element_at(ring, i - 1).getField("y"))))
     val len = round(aggregate(segs, lit(0.0), (a, v) => a + v), 4)
-    seqs
+    decoded
       .select(col("user_id"), len.as("length"),
         Wkb.wkbNumPoints(col("geom")).cast("long").as("n_points"))
       .filter(col("length") > 1e-10)
@@ -152,9 +159,15 @@ object GeoWkbQueries {
       .filter(size(col("coords")) >= 3)
       .select(col("user_id"),
         Wkb.wkbPolygonFromCoords(slice(col("coords"), 1, 5)).as("geom"))
-    val stored = Wkb.wkbCoords(col("geom"))
-    val ring = slice(stored, lit(1), size(stored) - 1)
-    seqs
+    // decode + closing-vertex strip materialized as a column (see
+    // geoLineLengthWkb: inline decode inside the shoelace HOFs
+    // would re-parse the blob per ring element)
+    val decoded = seqs
+      .select(col("user_id"), Wkb.wkbCoords(col("geom")).as("stored"))
+      .select(col("user_id"),
+        slice(col("stored"), lit(1), size(col("stored")) - 1).as("ring"))
+    val ring = col("ring")
+    decoded
       .withColumn("area", round(Geo.polygonArea(ring), 4))
       .withColumn("c", Geo.polygonCentroid(ring))
       .filter(abs(Geo.polygonArea(ring)) > 1e-12)
@@ -189,14 +202,24 @@ object GeoWkbQueries {
     val seqs = userSeqs(pts(Tables(spark, dir)))
       .select(col("user_id"),
         Wkb.wkbPolygonFromCoords(col("coords")).as("geom"))
-    val raw = Wkb.wkbCoords(col("geom"))
-    val valid = Geo.normalizeRing(raw)
-    seqs.select(
-      col("user_id"),
-      size(raw).cast("long").as("n_raw"),
-      size(valid).cast("long").as("n_valid"),
-      round(abs(Geo.polygonArea(valid)), 4).as("area_abs"),
-      Geo.ringIsValid(raw).cast("int").cast("long").as("is_valid"))
+    // staged projections: decode once, normalize once, compute the
+    // shoelace once — every downstream reference is a column read,
+    // not a re-evaluated subtree (the decode would otherwise run
+    // inside each HOF lambda; see geoLineLengthWkb)
+    seqs
+      .select(col("user_id"), Wkb.wkbCoords(col("geom")).as("raw"))
+      .select(col("user_id"), col("raw"), Geo.normalizeRing(col("raw")).as("valid"))
+      .select(col("user_id"), col("raw"), col("valid"),
+        Geo.polygonArea(col("valid")).as("area"))
+      .select(
+        col("user_id"),
+        size(col("raw")).cast("long").as("n_raw"),
+        size(col("valid")).cast("long").as("n_valid"),
+        round(abs(col("area")), 4).as("area_abs"),
+        // ringIsValid(raw) unrolled over the materialized pieces:
+        // same normalizeRing + minArea=1e-9 test, evaluated once
+        (size(col("valid")) >= 3 && abs(col("area")) > 1e-9)
+          .cast("int").cast("long").as("is_valid"))
   }
 
   val trGeometryRulesWkbSql: String = {
