@@ -35,6 +35,19 @@ object PlanCheck {
       .findAllIn(df.queryExecution.executedPlan.toString)
       .length
 
+  /** True iff at least one scan in `df`'s physical plan carries a
+    * non-empty PushedFilters list — the "did the predicate reach
+    * parquet row-group stats" check. PushdownGuardSpec pins every
+    * query measured pushing today, so a refactor that silently
+    * lifts a filter off the scan (a cast on the column, a UDF in
+    * the predicate, a restructure above the read) fails `sbt test`.
+    */
+  def hasPushedFilters(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("PushedFilters: [") &&
+      "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
+  }
+
   /** (shuffle exchanges, broadcast exchanges) in `df`'s physical
     * plan — the measured shuffle profile of SURVEY §4 as a number.
     * ReusedExchange subtracts (it re-reads an already-materialized
