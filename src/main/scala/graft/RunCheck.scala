@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
-object TmpDebug {
+
+/** Count-and-stacktrace smoke for a list of registered queries:
+  * `runMain graft.RunCheck <sfDir> <query> [query...]` — the
+  * fastest way to see WHY a query fails at a given sf dir (Bench
+  * swallows exceptions into -1 sentinels; this prints them).
+  * Round 7's 59-query testdata-encoding break was diagnosed with
+  * exactly this loop.
+  */
+object RunCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
