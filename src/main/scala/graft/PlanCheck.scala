@@ -57,10 +57,16 @@ object PlanCheck {
     * window/cartesian guards close their classes.
     */
   def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
-    val plan = df.queryExecution.executedPlan.toString
-    val broadcast = "BroadcastExchange".r.findAllIn(plan).length
-    val reused = "ReusedExchange".r.findAllIn(plan).length
-    val shuffle = "Exchange".r.findAllIn(plan).length - broadcast - reused
+    // Line-based: each plan node prints one line, and a
+    // `ReusedExchange [...], Exchange hashpartitioning(...)` line
+    // names the node it reuses — substring counting over the whole
+    // plan would charge every reuse as a fresh exchange (and a
+    // reused broadcast as a broadcast). A ReusedExchange line
+    // contributes to neither count: it re-reads materialized data.
+    val lines = df.queryExecution.executedPlan.toString.split('\n')
+    val live = lines.filterNot(_.contains("ReusedExchange"))
+    val broadcast = live.count(_.contains("BroadcastExchange"))
+    val shuffle = live.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
     (shuffle, broadcast)
   }
   /** `runMain graft.PlanCheck budget [dir]` prints the per-query

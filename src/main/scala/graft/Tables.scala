@@ -59,7 +59,11 @@ object Tables {
     * it (e.g. staging files in their source encoding).
     */
   def tsMicrosExpr(dt: org.apache.spark.sql.types.DataType, c: Column): Column = dt match {
-    case LongType          => (c / 1000L).cast(LongType)
+    // INTEGRAL division: `c / 1000` is double math, and epoch nanos
+    // (~1.7e18) exceed double's 2^53 integer precision — the lossy
+    // quotient truncates to M-1 for about half of all micro-aligned
+    // values. SQL `div` (IntegralDivide) is exact.
+    case LongType          => call_function("div", c, lit(1000L))
     case TimestampNTZType  => unix_micros(c.cast(TimestampType))
     case TimestampType     => unix_micros(c)
     case other =>

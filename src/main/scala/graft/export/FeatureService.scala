@@ -340,6 +340,12 @@ object FeatureService {
   def parseItemMetadata(spark: SparkSession, json: String): ItemMetadata = {
     import spark.implicits._
     val df = spark.read.json(Seq(json).toDS)
+    // PERMISSIVE mode degrades malformed JSON to a lone
+    // _corrupt_record column — without this check a broken
+    // --metadata template would silently apply NOTHING and report a
+    // clean no-op.
+    require(df.columns.nonEmpty && !df.columns.contains("_corrupt_record"),
+      s"malformed item metadata JSON: ${json.take(200)}")
     val cols = df.columns.toSet
     val r = df.head()
     def optS(c: String): Option[String] =
@@ -358,18 +364,20 @@ object FeatureService {
       groups = optL("groups").getOrElse(Nil))
   }
 
-  /** Read the sidecar back (None when never applied). */
+  /** Read the sidecar back (None when never applied). Falls back to
+    * the `.backup` copy when a crashed swap left no live sidecar —
+    * same recovery discipline as the layer swap.
+    */
   def readItemMetadata(spark: SparkSession, servicePath: String, layer: String): Option[ItemMetadata] = {
-    val p = new HPath(metadataPath(servicePath, layer))
     val f = fs(spark, servicePath)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      Some(parseItemMetadata(spark, txt))
-    }
+    val live = new HPath(metadataPath(servicePath, layer))
+    val backup = new HPath(metadataPath(servicePath, layer) + ".backup")
+    val p = if (f.exists(live)) live else if (f.exists(backup)) backup else return None
+    val in = f.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(parseItemMetadata(spark, txt))
   }
 
   /** Apply desired metadata to a published layer's sidecar. Returns
@@ -416,16 +424,27 @@ object FeatureService {
     val merged = ItemMetadata(title, snippet, description, tags, visibility, groups)
     if (applied.isEmpty) MetadataReport(updated = false, Nil, skipped)
     else {
-      // tmp + rename: the sidecar is never half-written
+      // Same rename-aside swap the layer upsert uses: the previous
+      // sidecar is moved ASIDE (never deleted while it is the only
+      // copy), so a crash at any point leaves either the old or the
+      // new metadata readable (readItemMetadata falls back to
+      // .backup) — a delete-then-rename would open a window with no
+      // sidecar at all.
       val f = fs(spark, servicePath)
+      val dest = new HPath(metadataPath(servicePath, layer))
       val tmp = new HPath(metadataPath(servicePath, layer) + ".tmp")
+      val backup = new HPath(metadataPath(servicePath, layer) + ".backup")
       val out = f.create(tmp, true)
       try out.write(metadataJson(merged).getBytes("UTF-8"))
       finally out.close()
-      val dest = new HPath(metadataPath(servicePath, layer))
-      f.delete(dest, false)
+      if (f.exists(backup) && !f.delete(backup, false))
+        throw new java.io.IOException(s"metadata swap: cannot clear stale $backup")
+      if (f.exists(dest) && !f.rename(dest, backup))
+        throw new java.io.IOException(s"metadata swap: cannot move $dest aside")
       if (!f.rename(tmp, dest))
-        throw new java.io.IOException(s"metadata sidecar rename failed: $tmp -> $dest")
+        throw new java.io.IOException(
+          s"metadata swap: promote failed; previous sidecar preserved at $backup")
+      f.delete(backup, false)
       MetadataReport(updated = true, applied.toList, skipped)
     }
   }
@@ -526,22 +545,28 @@ object FeatureService {
     var windows = 0
     var halvings = 0
     var rows = 0L
-    while (start <= keyMax) {
-      val batch = df.filter(col(keyCol) >= start && col(keyCol) < start + bs)
+    var done = start > keyMax
+    while (!done) {
+      // inclusive window end, computed by SUBTRACTION: `start + bs`
+      // overflows Long when keyMax sits near Long.MaxValue (a
+      // realistic shape for hashed keys) and would spin the loop on
+      // empty wrapped windows forever
+      val last = if (keyMax - start >= bs) start + bs - 1 else keyMax
+      val batch = df.filter(col(keyCol) >= start && col(keyCol) <= last)
       try {
         if (!batch.isEmpty) {
           rows += commit(batch)
           windows += 1
         }
-        start += bs
+        if (last == keyMax) done = true else start = last + 1
       } catch {
-        case e: TransientAppendError if bs > minSpan =>
+        case _: TransientAppendError if bs > minSpan =>
           // same window, half the payload (publish.py:634)
           bs = math.max(minSpan, bs / 2)
           halvings += 1
         case e: TransientAppendError =>
           throw new RuntimeException(
-            s"append window [$start, ${start + bs}) still failing at minimum span $minSpan", e)
+            s"append window [$start, $last] still failing at minimum span $minSpan", e)
       }
     }
     AppendReport(windows, halvings, bs, rows)
@@ -571,9 +596,24 @@ object FeatureService {
     // from zero rows would leave a part-less directory a reader
     // can't open.
     if (df.isEmpty) return AppendReport(0, 0, span, 0L)
-    val seedEnd = keyMin + seedSpan
-    df.filter(col(keyCol) >= keyMin && col(keyCol) < seedEnd)
-      .write.mode("errorifexists").parquet(layerPath(servicePath, layer))
+    // Every row must fall inside the declared key range: a key
+    // outside [keyMin, keyMax] (or null) would be dropped by the
+    // window walk SILENTLY — data loss on an INITIAL publish that
+    // claims to equal a one-shot publish. One column-pruned scan.
+    require(df.filter(col(keyCol).isNull ||
+        col(keyCol) < keyMin || col(keyCol) > keyMax).isEmpty,
+      s"initialWithSeedAndAppend: rows carry $keyCol outside [$keyMin, $keyMax] (or null); " +
+        "they would be silently skipped — widen the range or fix the key")
+    require(keyMax - keyMin >= seedSpan - 1, "seedSpan must fit inside the key range")
+    val seedEnd = keyMin + seedSpan // no overflow: seedSpan bounded by the range above
+    val seed = df.filter(col(keyCol) >= keyMin && col(keyCol) < seedEnd)
+    // An empty seed window would create the layer from zero rows —
+    // a part-less directory subsequent appends target but a reader
+    // cannot open.
+    require(!seed.isEmpty,
+      s"initialWithSeedAndAppend: seed window [$keyMin, $seedEnd) holds no rows; " +
+        "start keyMin at the data's minimum key")
+    seed.write.mode("errorifexists").parquet(layerPath(servicePath, layer))
     appendBatches(df, servicePath, layer, keyCol, seedEnd, keyMax, span, minSpan)()
   }
 

@@ -87,19 +87,24 @@ object GeoWkbQueries {
 
   /** Oracle: arithmetic twin of the blob counts — Points carry one
     * vertex each; LineStrings all trajectory vertices; Polygons the
-    * first-5 ring plus the closing vertex the encoder appends.
+    * first-5 ring plus the closing vertex — which the encoder
+    * appends ONLY when the ring is not already closed (first ==
+    * last coordinate), mirrored here as in trGeometryRulesWkbSql.
     */
   val srcGeometrySplitWkbSql: String =
     s"""WITH pts AS ($PtsSql),
-       |users AS (SELECT user_id, count(*) AS n FROM pts GROUP BY user_id)
+       |users AS (SELECT user_id, count(*) AS n FROM pts GROUP BY user_id),
+       |rings AS (
+       |  SELECT c[1:least(len(c), 5)] AS r FROM ($UserSeqsSql) q WHERE len(c) >= 3)
        |SELECT 1 AS geometry_type, count(*) AS n_features, count(*) AS n_vertices
        |FROM pts HAVING count(*) > 0
        |UNION ALL
        |SELECT 2, count(*), CAST(sum(n) AS BIGINT) FROM users WHERE n >= 2
        |HAVING count(*) > 0
        |UNION ALL
-       |SELECT 3, count(*), CAST(sum(least(n, 5) + 1) AS BIGINT) FROM users WHERE n >= 3
-       |HAVING count(*) > 0""".stripMargin
+       |SELECT 3, count(*),
+       |  CAST(sum(len(r) + CASE WHEN r[1] = r[-1] THEN 0 ELSE 1 END) AS BIGINT)
+       |FROM rings HAVING count(*) > 0""".stripMargin
 
   /** C2-wkb: trajectory length computed FROM the LineString blob —
     * encode the per-user vertex sequence to WKB, decode it back, sum

@@ -87,6 +87,11 @@ object Pipeline3 {
     * query (localCheckpoint stores unreplicated blocks); this
     * subtree is one scan deep, so lineage truncation — the reason
     * the iterative CC rounds DO use localCheckpoint — buys nothing.
+    * Note: CacheManager matches by plan, so repeat invocations in
+    * one session reuse the first materialization — INTENDED, the
+    * same session-materialized-view semantics as the Memo-cached
+    * shingle/CC subtrees (E4/E6/M6), and the blocks are disk-only
+    * and bounded by one hashed-corpus projection per sf dir.
     */
   def dupNgramFrac(docs: DataFrame): DataFrame = {
     val base = docs.select(

@@ -495,16 +495,17 @@ object StreamQueries {
       val stage = Files.createTempDirectory("graft_stream_late_")
       val splitUs = 1706140800000000L // 2024-01-25T00:00:00Z
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      // Predicate on the RAW ts in its source encoding (the staged
-      // copies must keep the file's physical type so the streaming
-      // reader's schema matches byte-for-byte).
-      val tsUs = graft.Tables.tsMicrosExpr(raw.schema("ts").dataType, col("ts"))
+      // Bound literal in the RAW column's own physical type: keeps
+      // the two stage filters parquet-prunable (column vs literal)
+      // AND the staged copies in the file's encoding so the
+      // streaming reader's schema matches byte-for-byte.
+      val splitBound = graft.Tables.tsBoundLit(raw.schema("ts").dataType, splitUs)
       // Fail fast if the split ever stops bisecting the data — an
       // empty side would silently degrade the scenario to in-order
       // delivery.
       val cnts = raw.agg(
-        coalesce(sum(when(tsUs >= splitUs, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(tsUs < splitUs, 1L).otherwise(0L)), lit(0L)))
+        coalesce(sum(when(col("ts") >= splitBound, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("ts") < splitBound, 1L).otherwise(0L)), lit(0L)))
         .head()
       val (nFresh, nLate) = (cnts.getLong(0), cnts.getLong(1))
       // A one-sided split on REAL data silently degrades the scenario
@@ -513,11 +514,11 @@ object StreamQueries {
       require((nFresh == 0L && nLate == 0L) || (nFresh > 0L && nLate > 0L),
         s"stLateDrop split at $splitUs leaves an empty side (fresh=$nFresh late=$nLate)")
       val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
-      stageSinglePart(raw.filter(tsUs >= splitUs),
+      stageSinglePart(raw.filter(col("ts") >= splitBound),
         Seq(stage.resolve("a_fresh.parquet") -> base))
       stageSinglePart(raw.orderBy(col("ts").desc).limit(1),
         Seq(stage.resolve("m_mid.parquet") -> (base + 30000L)))
-      stageSinglePart(raw.filter(tsUs < splitUs),
+      stageSinglePart(raw.filter(col("ts") < splitBound),
         Seq(stage.resolve("z_late.parquet") -> (base + 60000L)))
       // Cached for the JVM's lifetime (it holds a full copy of the
       // events table) — reap it on exit so repeated bench/verify
