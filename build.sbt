@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain ..."`
+// as the bench totals JSON. Two sbt behaviors break that: (a) forked
+// run output is re-logged with an "[info] " prefix, (b) sbt prints a
+// "[success] Total time..." trailer AFTER the program's last line.
+// Inherit the child's stdio directly and drop the success trailer so
+// the program's own final println IS the final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting;
+// exclude it from the unused-key lint so `compile` output stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

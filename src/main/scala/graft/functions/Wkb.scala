@@ -111,73 +111,115 @@ object Wkb {
     buf.array()
   }
 
-  /** Decode Point / LineString / Polygon-exterior-ring vertices;
-    * null (not an error) on other types or malformed buffers, so a
-    * mixed-geometry scan can route rows by [[WkbGeometryType]].
+  /** Parse the 4-byte type word (buffer positioned just past the
+    * byte-order marker) and consume any EWKB SRID payload.
+    *
+    * Both dimensional conventions are honored: ISO-WKB adds
+    * +1000/+2000/+3000 to the type for Z/M/ZM; EWKB sets flag bits
+    * 0x80000000 (Z) / 0x40000000 (M), and 0x20000000 flags a 4-byte
+    * SRID that FOLLOWS the type word — masking the flag without
+    * skipping the payload (the pre-round-8 bug) shifted every
+    * subsequent read by 4 bytes and produced silently wrong
+    * coordinates instead of null.
+    *
+    * @return packed `(baseType << 3) | coordDims`, or -1 when the
+    *         word is malformed (trailing SRID missing, ISO dim code
+    *         out of range).
+    */
+  private def parseTypeWord(buf: java.nio.ByteBuffer): Int = {
+    val raw = buf.getInt
+    val hasZ = (raw & 0x80000000) != 0
+    val hasM = (raw & 0x40000000) != 0
+    val hasSrid = (raw & 0x20000000) != 0
+    val iso = raw & 0x0FFFFFFF
+    val isoDim = iso / 1000 // 0 plain, 1 Z, 2 M, 3 ZM
+    if (isoDim > 3) return -1
+    val dims = 2 +
+      (if (hasZ || isoDim == 1 || isoDim == 3) 1 else 0) +
+      (if (hasM || isoDim == 2 || isoDim == 3) 1 else 0)
+    if (hasSrid) {
+      if (buf.remaining < 4) return -1
+      buf.getInt // skip the SRID payload
+    }
+    ((iso % 1000) << 3) | dims
+  }
+
+  /** Decode Point / LineString / Polygon-exterior-ring vertices as
+    * their 2D (x, y) projection — Z/M ordinates are read with the
+    * correct per-point stride and dropped, matching the reference's
+    * force-2D round-trip (transform.py:207-214). Null (not an error)
+    * on other types or malformed buffers, so a mixed-geometry scan
+    * can route rows by [[WkbGeometryType]].
     */
   def decodeCoords(bytes: Array[Byte]): ArrayData = {
     if (bytes == null || bytes.length < 5) return null
     val buf = java.nio.ByteBuffer.wrap(bytes)
     buf.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
     buf.position(1)
-    val gtype = (buf.getInt & 0x0FFFFFFF) % 1000
-    gtype match {
+    val packed = parseTypeWord(buf)
+    if (packed < 0) return null
+    val stride = (packed & 7) * 8
+    val skip = stride - 16
+    def readVertex(): GenericInternalRow = {
+      val r = new GenericInternalRow(Array[Any](buf.getDouble, buf.getDouble))
+      if (skip > 0) buf.position(buf.position() + skip)
+      r
+    }
+    def readRing(n: Int): GenericArrayData = {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = readVertex(); i += 1 }
+      new GenericArrayData(out)
+    }
+    (packed >> 3) match {
       case 1 =>
-        if (bytes.length < 21) null
-        else new GenericArrayData(Array[Any](
-          new GenericInternalRow(Array[Any](buf.getDouble, buf.getDouble))))
+        if (buf.remaining < stride) null
+        else new GenericArrayData(Array[Any](readVertex()))
       case 2 =>
-        if (bytes.length < 9) return null
+        if (buf.remaining < 4) return null
         val n = buf.getInt
-        if (n < 0 || bytes.length < 9 + 16L * n) null
-        else {
-          val out = new Array[Any](n)
-          var i = 0
-          while (i < n) {
-            out(i) = new GenericInternalRow(Array[Any](buf.getDouble, buf.getDouble))
-            i += 1
-          }
-          new GenericArrayData(out)
-        }
+        if (n < 0 || buf.remaining.toLong < stride.toLong * n) null
+        else readRing(n)
       case 3 =>
-        if (bytes.length < 13) return null
+        if (buf.remaining < 8) return null
         val rings = buf.getInt
         if (rings < 1) return null
         val n = buf.getInt
-        if (n < 0 || bytes.length < 13 + 16L * n) null
-        else {
-          val out = new Array[Any](n)
-          var i = 0
-          while (i < n) {
-            out(i) = new GenericInternalRow(Array[Any](buf.getDouble, buf.getDouble))
-            i += 1
-          }
-          new GenericArrayData(out)
-        }
+        if (n < 0 || buf.remaining.toLong < stride.toLong * n) null
+        else readRing(n)
       case _ => null
     }
   }
 
   /** Header-only vertex count; -1 signals malformed/unsupported
-    * (mapped to SQL null by [[WkbNumPoints]]).
+    * (mapped to SQL null by [[WkbNumPoints]]). SRID payloads are
+    * skipped and Z/M strides honored exactly as in [[decodeCoords]].
     */
   def numPoints(bytes: Array[Byte]): Int = {
     if (bytes == null || bytes.length < 5) return -1
     val buf = java.nio.ByteBuffer.wrap(bytes)
     buf.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
     buf.position(1)
-    val gtype = (buf.getInt & 0x0FFFFFFF) % 1000
-    gtype match {
-      case 1 => if (bytes.length >= 21) 1 else -1
+    val packed = parseTypeWord(buf)
+    if (packed < 0) return -1
+    val stride = (packed & 7) * 8
+    (packed >> 3) match {
+      case 1 => if (buf.remaining >= stride) 1 else -1
       case 2 =>
-        if (bytes.length < 9) -1
-        else { val n = buf.getInt; if (n >= 0 && bytes.length >= 9 + 16L * n) n else -1 }
+        if (buf.remaining < 4) -1
+        else {
+          val n = buf.getInt
+          if (n >= 0 && buf.remaining.toLong >= stride.toLong * n) n else -1
+        }
       case 3 =>
-        if (bytes.length < 13) -1
+        if (buf.remaining < 8) -1
         else {
           val rings = buf.getInt
           if (rings < 1) -1
-          else { val n = buf.getInt; if (n >= 0 && bytes.length >= 13 + 16L * n) n else -1 }
+          else {
+            val n = buf.getInt
+            if (n >= 0 && buf.remaining.toLong >= stride.toLong * n) n else -1
+          }
         }
       case _ => -1
     }

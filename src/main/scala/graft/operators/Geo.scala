@@ -28,6 +28,36 @@ object Geo {
   /** Planar euclidean distance. */
   def euclid(dx: Column, dy: Column): Column = sqrt(dx * dx + dy * dy)
 
+  // ---- CRS reprojection: WGS84 (EPSG:4326) ↔ web-mercator ----
+  // The reference reprojects every non-4326 input back to WGS84
+  // (transform.py:259-260 to_crs(4326), also :352-355, :819-823).
+  // Spherical web-mercator (EPSG:3857) is the one projected CRS the
+  // pipeline's own outputs use (tile keys, map publishing), so both
+  // directions ship as closed-form codegen column math — the 100 TB
+  // path is a map-only projection, no UDF, no shuffle.
+
+  /** WGS84 ellipsoid semi-major axis (m) — the 3857 sphere radius. */
+  val MercatorRadiusM = 6378137.0
+
+  /** EPSG:4326 longitude (deg) → EPSG:3857 easting (m). */
+  def lonToMercatorX(lon: Column): Column =
+    lon * lit(math.Pi * MercatorRadiusM / 180.0)
+
+  /** EPSG:4326 latitude (deg) → EPSG:3857 northing (m). Valid on the
+    * web-mercator domain (|lat| < 85.051129°); poles diverge, as in
+    * every 3857 implementation.
+    */
+  def latToMercatorY(lat: Column): Column =
+    log(tan((lat + 90.0) * lit(math.Pi / 360.0))) * MercatorRadiusM
+
+  /** EPSG:3857 easting (m) → EPSG:4326 longitude (deg). */
+  def mercatorXToLon(x: Column): Column =
+    x / lit(math.Pi * MercatorRadiusM / 180.0)
+
+  /** EPSG:3857 northing (m) → EPSG:4326 latitude (deg). */
+  def mercatorYToLat(y: Column): Column =
+    (atan(exp(y / MercatorRadiusM)) * 2.0 - lit(math.Pi / 2.0)) * lit(180.0 / math.Pi)
+
   /** Point-in-bbox predicate (the reference's 4-range filter). */
   def inBBox(x: Column, y: Column, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Column =
     x >= xmin && x <= xmax && y >= ymin && y <= ymax

@@ -255,4 +255,58 @@ object TransformQueries {
        |       THEN 1 ELSE 0 END AS BIGINT) AS is_valid
        |FROM norm""".stripMargin
   }
+
+  /** B13: CRS reprojection (reference transform.py:259-260
+    * `to_crs(4326)`, also :352-355, :819-823 — every non-4326 input
+    * is reprojected back to WGS84 before publishing). Closed-form
+    * spherical web-mercator both directions as codegen column math:
+    * lon/lat (derived from the events analogue, C10's derivation) →
+    * EPSG:3857 meters → back to WGS84. The round-trip columns pin
+    * the inverse against the forward — the whole operator is
+    * map-only, so at 100 TB it rides the scan with zero exchanges.
+    */
+  def trReproject(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Geo
+    val t = Tables(spark, dir)
+    val src = t.events.select(
+      col("event_id"),
+      (pmod(col("value"), lit(360.0)) - 180.0).as("lon"),
+      (get_json_object(col("props"), "$.k").cast("double") * 0.8 - 40.0).as("lat"))
+      .filter(col("lat").isNotNull)
+    // Mercator meters materialized once; the inverse reads the
+    // UNROUNDED meters so the round-trip is exact to fp noise.
+    val merc = src.select(
+      col("event_id"), col("lon"), col("lat"),
+      Geo.lonToMercatorX(col("lon")).as("mx"),
+      Geo.latToMercatorY(col("lat")).as("my"))
+    merc.select(
+      col("event_id"),
+      round(col("mx"), 3).as("merc_x"),
+      round(col("my"), 3).as("merc_y"),
+      round(Geo.mercatorXToLon(col("mx")), 6).as("lon_rt"),
+      round(Geo.mercatorYToLat(col("my")), 6).as("lat_rt"),
+      round(col("lon"), 6).as("lon_src"),
+      round(col("lat"), 6).as("lat_src"))
+  }
+
+  val trReprojectSql: String =
+    """WITH src AS (
+      |  SELECT event_id,
+      |    ((value % 360.0) + 360.0) % 360.0 - 180.0 AS lon,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) * 0.8 - 40.0 AS lat
+      |  FROM events
+      |  WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL),
+      |merc AS (
+      |  SELECT event_id, lon, lat,
+      |    lon * (pi() * 6378137.0 / 180.0) AS mx,
+      |    ln(tan((lat + 90.0) * (pi() / 360.0))) * 6378137.0 AS my
+      |  FROM src)
+      |SELECT event_id,
+      |  round(mx, 3) + 0 AS merc_x,
+      |  round(my, 3) + 0 AS merc_y,
+      |  round(mx / (pi() * 6378137.0 / 180.0), 6) + 0 AS lon_rt,
+      |  round((atan(exp(my / 6378137.0)) * 2.0 - pi() / 2.0) * (180.0 / pi()), 6) + 0 AS lat_rt,
+      |  round(lon, 6) + 0 AS lon_src,
+      |  round(lat, 6) + 0 AS lat_src
+      |FROM merc""".stripMargin
 }

@@ -47,6 +47,7 @@ class ExchangeBudgetSpec extends SparkSpec {
     "tr_metadata_enrich" -> ((0, 0)),
     "tr_drop_invalid" -> ((0, 0)),
     "tr_geometry_rules" -> ((1, 0)),
+    "tr_reproject" -> ((0, 0)),
     "geo_bbox_agg" -> ((1, 0)),
     "geo_line_length" -> ((1, 0)),
     "geo_point_in_bbox" -> ((1, 0)),

@@ -112,4 +112,53 @@ class NativeExprSpec extends SparkSpec {
     val out = df.select(Wkb.wkbCoords($"g"), Wkb.wkbNumPoints($"g")).collect()
     out.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
   }
+
+  test("EWKB SRID payload is skipped, never read as coordinates") {
+    // PostGIS-style EWKB: type word carries flag 0x20000000 and a
+    // 4-byte SRID FOLLOWS it. Before round 8 the flag was masked but
+    // the payload not skipped — coordinates came back silently shifted
+    // by 4 bytes. Pin the correct decode for all three base types.
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sridPoint = le(25).put(1.toByte).putInt(0x20000001).putInt(4326)
+      .putDouble(11.5).putDouble(-7.25).array()
+    val sridLine = le(45).put(1.toByte).putInt(0x20000002).putInt(4326).putInt(2)
+      .putDouble(1.0).putDouble(2.0).putDouble(3.0).putDouble(4.0).array()
+    val sridPoly = le(65).put(1.toByte).putInt(0x20000003).putInt(3857).putInt(1).putInt(3)
+      .putDouble(0.0).putDouble(0.0).putDouble(5.0).putDouble(0.0)
+      .putDouble(0.0).putDouble(0.0).array()
+    val df = Seq((1, sridPoint), (2, sridLine), (3, sridPoly)).toDF("id", "g")
+    val out = df.orderBy("id").select(
+      Wkb.wkbCoords($"g").as("c"), Wkb.wkbNumPoints($"g").as("np"),
+      Wkb.wkbGeometryType($"g").as("gt")).collect()
+    def xy(r: org.apache.spark.sql.Row, i: Int) =
+      r.getSeq[org.apache.spark.sql.Row](i).map(p => (p.getDouble(0), p.getDouble(1)))
+    assert(xy(out(0), 0) == Seq((11.5, -7.25)) && out(0).getInt(1) == 1 && out(0).getInt(2) == 1)
+    assert(xy(out(1), 0) == Seq((1.0, 2.0), (3.0, 4.0)) && out(1).getInt(1) == 2 && out(1).getInt(2) == 2)
+    assert(xy(out(2), 0) == Seq((0.0, 0.0), (5.0, 0.0), (0.0, 0.0)) && out(2).getInt(1) == 3 && out(2).getInt(2) == 3)
+    // An SRID-flagged blob whose payload is truncated must null out.
+    val truncated = le(7).put(1.toByte).putInt(0x20000001).putShort(0.toShort).array()
+    val t = Seq(Tuple1(truncated)).toDF("g")
+      .select(Wkb.wkbCoords($"g"), Wkb.wkbNumPoints($"g")).head()
+    assert(t.isNullAt(0) && t.isNullAt(1))
+  }
+
+  test("Z/M ordinates decode as their 2D projection with correct stride") {
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // ISO LineString Z (type 1002): 2 vertices of 3 doubles each.
+    val isoZ = le(9 + 2 * 24).put(1.toByte).putInt(1002).putInt(2)
+      .putDouble(1.0).putDouble(2.0).putDouble(99.0)
+      .putDouble(3.0).putDouble(4.0).putDouble(88.0).array()
+    // EWKB LineString ZM (flags Z|M): 1 vertex of 4 doubles.
+    val ewkbZM = le(9 + 32).put(1.toByte).putInt(0x80000000 | 0x40000000 | 2).putInt(1)
+      .putDouble(-5.0).putDouble(6.5).putDouble(7.0).putDouble(8.0).array()
+    val df = Seq((1, isoZ), (2, ewkbZM)).toDF("id", "g")
+    val out = df.orderBy("id").select(
+      Wkb.wkbCoords($"g").as("c"), Wkb.wkbNumPoints($"g").as("np")).collect()
+    def xy(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](0).map(p => (p.getDouble(0), p.getDouble(1)))
+    // Pre-fix, the Z stride shifted vertex 2 to (99.0, 3.0) — pin the
+    // projected values exactly.
+    assert(xy(out(0)) == Seq((1.0, 2.0), (3.0, 4.0)) && out(0).getInt(1) == 2)
+    assert(xy(out(1)) == Seq((-5.0, 6.5)) && out(1).getInt(1) == 1)
+  }
 }
