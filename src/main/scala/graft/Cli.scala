@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions.col
   *   graft.Cli list-queries <catalog.json>
   *   graft.Cli list-cache   <cachePath>
   *   graft.Cli clear-cache  <cachePath> <release> <country> <theme> <type>
-  *   graft.Cli ensure-dump  <sfDir> <dumpBase> <theme> <release> [--force] [--date=ISO]
+  *   graft.Cli ensure-dump  <sfDir> <dumpBase> <theme> <release|latest> [--force] [--date=ISO]
   *   graft.Cli list-dumps   <dumpBase>
   *   graft.Cli delete-dump  <dumpBase> <theme> <release>
   *   graft.Cli cleanup      <servicePath> <keep,names> [--dry-run]
@@ -235,13 +235,17 @@ object Cli {
       // a table name — the release dir is sf-dir-shaped, so ANY
       // registry/ref query runs against it once its tables are
       // ensured (pass the printed release dir as sfDir).
-      case Seq("ensure-dump", sfDir, dumpBase, theme, release) =>
+      case Seq("ensure-dump", sfDir, dumpBase, theme, releaseSpec) =>
         val known = Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
         if (!known.contains(theme))
           throw new IllegalArgumentException(
             s"unknown theme '$theme' (have: ${known.mkString(", ")})")
         val store = new graft.sources.DumpStore(spark, dumpBase)
+        // `latest` resolves like the reference's catalog probe
+        // (settings.py:45), served from local state: catalog.json pin
+        // first, else the newest complete release already in the store.
+        val release = store.resolveRelease(releaseSpec)
         val had = store.exists(release, theme)
         val path = store.ensure(release, theme, date, force = opt.contains("force")) {
           Tables(spark, sfDir).table(theme)
@@ -253,8 +257,9 @@ object Cli {
         new graft.sources.DumpStore(spark, dumpBase).list()
           .foreach(e => println(s"${e.release}\t${e.theme}\t${e.rows}\t${e.ensuredAt}"))
 
-      case Seq("delete-dump", dumpBase, theme, release) =>
-        val ok = new graft.sources.DumpStore(spark, dumpBase).delete(release, theme)
+      case Seq("delete-dump", dumpBase, theme, releaseSpec) =>
+        val store = new graft.sources.DumpStore(spark, dumpBase)
+        val ok = store.delete(store.resolveRelease(releaseSpec), theme)
         println(if (ok) "deleted" else "not found")
 
       case Seq("cleanup", servicePath, keepList) =>

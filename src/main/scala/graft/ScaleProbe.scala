@@ -20,8 +20,8 @@ import org.apache.spark.sql.SparkSession
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3 &&
-      Set("semantic", "neardup", "semantic_auto", "neardup_auto")(args(0)),
-      "usage: ScaleProbe semantic|neardup|semantic_auto|neardup_auto <sfDir> <k|planes|target> [...]")
+      Set("semantic", "neardup", "semantic_auto", "neardup_auto", "semantic_hier")(args(0)),
+      "usage: ScaleProbe semantic|neardup|semantic_auto|neardup_auto|semantic_hier <sfDir> <k|planes|target> [...]")
     val sfDir = args(1)
     // For the *_auto modes this is the TARGET cluster/bucket size
     // (the knob itself derives from the data count).
@@ -63,6 +63,9 @@ object ScaleProbe {
         graft.operators.Similarity.embeddingNearDupAuto(
           emb, "vec_id", "embedding", dim = 64, threshold = threshold,
           targetBucketSize = k, seed = 42L)
+      case "semantic_hier" =>
+        graft.operators.Similarity.semanticPairsHier(
+          emb, "vec_id", "embedding", iters, threshold, targetClusterSize = k)
     }
     val times = (1 to runs).map { i =>
       val t0 = System.nanoTime()

@@ -261,6 +261,37 @@ object FeatureService {
     df.repartition(parts)
   }
 
+  /** Rows-per-chunk from a memory budget (reference utils.py:346-374
+    * `estimate_chunk_size`): sample up to `sampleRows` rows, measure
+    * the average serialized feature size, and size chunks to fit
+    * `maxMemoryMb`. The size metric is the row's JSON payload octet
+    * length — measured distributively inside codegen (one small
+    * aggregate, nothing collected) and the honest proxy for a feature
+    * upload, whose wire format IS the JSON feature. Bounds match the
+    * reference: [100, 50000], default 1000 on empty input.
+    */
+  def estimateChunkSize(df: DataFrame, maxMemoryMb: Int = 500, sampleRows: Int = 1000): Int = {
+    require(maxMemoryMb > 0, s"maxMemoryMb must be positive, got $maxMemoryMb")
+    val agg = df.limit(sampleRows)
+      .select(octet_length(to_json(struct(col("*")))).cast("long").as("sz"))
+      .agg(sum(col("sz")).as("bytes"), count(lit(1)).as("n"))
+      .head()
+    val n = agg.getLong(1)
+    if (n == 0L) 1000
+    else {
+      val perRowMb = agg.getLong(0).toDouble / n / (1024.0 * 1024.0)
+      val size = if (perRowMb > 0) (maxMemoryMb / perRowMb).toInt else 1000
+      math.max(100, math.min(size, 50000))
+    }
+  }
+
+  /** Memory-budgeted chunking: [[chunkForUpload]] with the row count
+    * per chunk derived from [[estimateChunkSize]] instead of an
+    * explicit caller knob.
+    */
+  def chunkForUploadAuto(df: DataFrame, totalRows: Long, maxMemoryMb: Int = 500): DataFrame =
+    chunkForUpload(df, totalRows, estimateChunkSize(df, maxMemoryMb))
+
   // -------------------------------------------------------------------
   // Item metadata + sharing (reference publish.py:234-342
   // `_normalize_tags` / `_update_item_metadata` /

@@ -353,6 +353,99 @@ object Similarity {
     semanticPairs(df, idCol, vecCol, k, iters, threshold)
   }
 
+  /** Hierarchical SemDeDup — [[semanticPairsAuto]] with the Lloyd-
+    * assignment quadratic removed. Flat SemDeDup must grow k ∝ N to
+    * hold cluster size constant, so assignment costs k·N ∝ N²
+    * cosine evaluations. This is the documented E11 limit; the escape
+    * is the IVF two-level shape (the F4 coarse quantizer): ~√k coarse
+    * centroids assign every vector (√k·N evals), then each coarse
+    * cell trains its own ~k/√k sub-centroids and re-assigns only ITS
+    * members (another ~√k·N) — O(N·√k) ≈ O(N^1.5/√target) total,
+    * while the final (coarse, sub) cell still holds
+    * ~targetClusterSize vectors so the pairwise pass stays linear.
+    *
+    * Spark shape: both levels are map-only assignment passes against
+    * broadcast centroid literals (the sub level dispatches per-row
+    * through `element_at(map, cluster)`, so each row evaluates ONLY
+    * its own cell's sub-centroids); recompute shuffles are k·dim
+    * partial sums, independent of N. Deterministic end-to-end, same
+    * conventions as the flat path: lowest-id seeds per cell, 4-dp
+    * rounded scores, first-index tie-break; empty sub-cells keep
+    * their previous centroid.
+    */
+  def semanticPairsHier(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int,
+      threshold: Double,
+      targetClusterSize: Int = 256
+  ): DataFrame = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    val n = df.count()
+    val k = math.max(1, math.ceil(n.toDouble / targetClusterSize).toInt)
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(k.toDouble / kc).toInt)
+    // Level 1: coarse assignment (√k centroids). Checkpointed — it
+    // seeds sub-training, every Lloyd pass, and the final join.
+    val coarse = kmeansAssign(df, idCol, vecCol, kc, iters)
+      .select(col("id"), col("vec"), col("cluster"))
+      .localCheckpoint(true)
+    // Sub-seeds: the k2 lowest-id vectors of each coarse cell
+    // (k·dim doubles through the driver — centroid-sized, not data).
+    val wSeed = Window.partitionBy(col("cluster")).orderBy(col("id"))
+    var subCents: Map[Long, Seq[Seq[Double]]] = coarse
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= k2)
+      .select(col("cluster"), col("rn"),
+        transform(col("vec"), x => x.cast("double")).as("v"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cl, rows) =>
+        cl -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      }
+    if (subCents.isEmpty)
+      return coarse.select(col("id").as("id_a"), col("id").as("id_b"),
+        col("cluster"), lit(0.0).as("cosine")).limit(0)
+    def assignedSub = {
+      val mapLit = typedlit(subCents)
+      val cents = element_at(mapLit, col("cluster"))
+      val scores = transform(cents, c => round(cosine(col("vec"), c), 4))
+      coarse
+        .withColumn("scores", scores)
+        .withColumn("sub", array_position(col("scores"), array_max(col("scores"))))
+        .drop("scores")
+    }
+    for (_ <- 1 until iters) {
+      // Recompute per (coarse, sub, d): k·dim shuffle rows total.
+      val recomputed = assignedSub
+        .select(col("cluster"), col("sub"), posexplode(col("vec")).as(Seq("d", "v")))
+        .groupBy(col("cluster"), col("sub"), col("d"))
+        .agg(round(avg(col("v").cast("double")), 4).as("c"))
+        .groupBy(col("cluster"), col("sub"))
+        .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+        .select(col("cluster"), col("sub"),
+          transform(col("dc"), s => s.getField("c")).as("cvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      subCents = subCents.map { case (cl, cs) =>
+        cl -> cs.zipWithIndex.map { case (old, i) =>
+          recomputed.getOrElse((cl, (i + 1).toLong), old)
+        }
+      }
+    }
+    val blocked = assignedSub.localCheckpoint(true)
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.sub") === col("b.sub") &&
+          col("a.id") < col("b.id"))
+      .withColumn("cosine", round(cosine(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cluster").as("cluster"), col("cosine"))
+  }
+
   /** Per-label centroids (the coarse-quantizer build step of an IVF
     * index): posexplode to (label, dim) partial sums — shuffle width
     * is |labels|·dim, independent of N.

@@ -162,4 +162,89 @@ final class DumpStore(spark: SparkSession, basePath: String) {
       s"no complete dump for release=$release theme=$theme — run ensure first")
     spark.read.parquet(dataPath(release, theme))
   }
+
+  // ---- "latest" resolution (reference settings.py:45
+  // get_latest_overture_release, which probes the remote STAC
+  // catalog's "latest" field). Declared network deviation: the same
+  // contract is served from LOCAL state — a catalog.json at the store
+  // base wins (the exact file shape the reference fetches), else the
+  // newest release that has at least one COMPLETE theme, under the
+  // natural release ordering (so `2025-06-25.10` > `2025-06-25.9`,
+  // which plain string order gets wrong).
+
+  /** The store-base catalog file, same shape the reference probes. */
+  def catalogPath: String = s"$basePath/catalog.json"
+
+  private def catalogLatest(): Option[String] = {
+    val p = new HPath(catalogPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val latest = """"latest"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(txt).map(_.group(1)).filter(_.nonEmpty)
+      // Mirror the reference's failure contract: a catalog that omits
+      // (or blanks) "latest" is an error, not a silent fallback —
+      // settings.py:53-55 raises ValueError.
+      if (latest.isEmpty)
+        throw new IllegalStateException(
+          s"catalog $catalogPath is present but has no 'latest' field")
+      latest
+    }
+  }
+
+  /** Newest release with at least one complete theme, or the
+    * catalog's pin when one exists.
+    */
+  def latestRelease(): Option[String] =
+    catalogLatest().orElse(
+      list().map(_.release).distinct
+        .sortWith(DumpStore.compareReleases(_, _) < 0).lastOption)
+
+  /** Resolve a CLI release spec: the literal `latest` resolves via
+    * [[latestRelease]]; anything else passes through unchanged.
+    */
+  def resolveRelease(spec: String): String =
+    if (spec != "latest") spec
+    else latestRelease().getOrElse(throw new NoSuchElementException(
+      s"cannot resolve 'latest': no catalog.json at $catalogPath and no complete dumps under $basePath"))
+}
+
+object DumpStore {
+
+  /** Natural ordering for release identifiers (`2025-06-25.2`-shaped,
+    * but tolerant of arbitrary text): digit runs compare numerically,
+    * non-digit runs lexicographically, a proper prefix sorts first,
+    * and exact-tie-under-natural-order (e.g. `1.02` vs `1.2`) falls
+    * back to plain string order so the ordering stays total and
+    * deterministic.
+    */
+  def compareReleases(a: String, b: String): Int = {
+    def tokens(s: String): List[String] =
+      if (s.isEmpty) Nil
+      else {
+        val (run, rest) = s.span(_.isDigit == s.head.isDigit)
+        run :: tokens(rest)
+      }
+    @annotation.tailrec
+    def cmp(xs: List[String], ys: List[String]): Int = (xs, ys) match {
+      case (Nil, Nil) => 0
+      case (Nil, _)   => -1
+      case (_, Nil)   => 1
+      case (x :: xt, y :: yt) =>
+        val c =
+          if (x.head.isDigit && y.head.isDigit) {
+            // Numeric compare without overflow: strip leading zeros,
+            // longer run is greater, then lexicographic.
+            val (nx, ny) = (x.dropWhile(_ == '0'), y.dropWhile(_ == '0'))
+            if (nx.length != ny.length) nx.length.compareTo(ny.length)
+            else nx.compareTo(ny)
+          } else x.compareTo(y)
+        if (c != 0) c else cmp(xt, yt)
+    }
+    val c = cmp(tokens(a), tokens(b))
+    if (c != 0) c else a.compareTo(b)
+  }
 }

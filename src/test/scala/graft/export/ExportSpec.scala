@@ -101,6 +101,27 @@ class ExportSpec extends SparkSpec {
     assert(chunked.rdd.getNumPartitions == math.ceil(n / 100.0).toInt)
   }
 
+  test("estimateChunkSize responds to row width within reference bounds") {
+    import org.apache.spark.sql.functions._
+    val narrow = spark.range(2000).select($"id", lit("x").as("v"))
+    val wide = spark.range(2000).select($"id",
+      concat_ws("", array_repeat(lit("wide-payload-"), 400)).as("v"))
+    val nSize = FeatureService.estimateChunkSize(narrow, maxMemoryMb = 1)
+    val wSize = FeatureService.estimateChunkSize(wide, maxMemoryMb = 1)
+    // Wider rows → fewer rows per memory budget (utils.py:346-374).
+    assert(wSize < nSize, s"wide=$wSize narrow=$nSize")
+    // Reference bounds [100, 50000] and the empty-input default.
+    assert(wSize >= 100 && nSize <= 50000)
+    assert(FeatureService.estimateChunkSize(narrow.limit(0)) == 1000)
+    // A doubled budget buys proportionally more rows per chunk
+    // (cap-free regime; ±1 for integer truncation).
+    val w2 = FeatureService.estimateChunkSize(wide, maxMemoryMb = 2)
+    assert(math.abs(w2 - 2 * wSize) <= 2, s"w2=$w2 wSize=$wSize")
+    // The budgeted chunker wires the estimate through to partitions.
+    val auto = FeatureService.chunkForUploadAuto(wide, 2000L, maxMemoryMb = 1)
+    assert(auto.rdd.getNumPartitions == math.ceil(2000.0 / wSize).toInt)
+  }
+
   test("CountryCache list and clear manage entries") {
     val cache = new CountryCache(spark, tmpDir() + "/cache")
     val k1 = CacheKey("AF", "places", "place", "2026-01")

@@ -74,6 +74,46 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_._2).distinct.length == 4) // all clusters populated
   }
 
+  test("semanticPairsHier: exact-precision pairs, recall vs flat, deterministic") {
+    val emb = tables.embeddings
+    val n = emb.count()
+    // Brute-force truth: every pair ≥ threshold.
+    val thr = 0.35
+    val truth = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("c", round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("c") >= thr)
+      .select(col("a.vec_id"), col("b.vec_id"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val target = 64
+    val hier = Similarity
+      .semanticPairsHier(emb, "vec_id", "embedding", iters = 2, threshold = thr, targetClusterSize = target)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // Exact precision: every emitted pair is a true pair with the
+    // exact brute-force cosine (blocking can lose pairs, never alter
+    // or invent scores).
+    hier.foreach { case (pair, c) =>
+      assert(truth.get(pair).contains(c), s"pair $pair score $c not in truth")
+    }
+    // Recall comparable to the flat SemDeDup blocking at the same
+    // target cell size (both lose cross-cell pairs by design).
+    val flat = Similarity
+      .semanticPairsAuto(emb, "vec_id", "embedding", iters = 2, threshold = thr, targetClusterSize = target)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hRecall = hier.keySet.count(truth.contains).toDouble / math.max(1, truth.size)
+    val fRecall = flat.count(truth.contains).toDouble / math.max(1, truth.size)
+    assert(truth.nonEmpty && hier.nonEmpty, s"degenerate fixture: truth=${truth.size}")
+    assert(hRecall >= fRecall * 0.5,
+      s"hier recall $hRecall collapsed vs flat $fRecall")
+    // Deterministic across repartitioning (same conventions as flat).
+    val again = Similarity
+      .semanticPairsHier(emb.repartition(7), "vec_id", "embedding", iters = 2,
+        threshold = thr, targetClusterSize = target)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(again == hier)
+    assert(n > 0)
+  }
+
   test("centroids: one row per label, dim = vector width") {
     val out = Similarity.centroids(tables.embeddings, "label", "embedding").collect()
     assert(out.length == 10)

@@ -73,6 +73,57 @@ class DumpStoreSpec extends SparkSpec {
     assert(fromDump.except(fromLake).isEmpty && fromLake.except(fromDump).isEmpty)
   }
 
+  test("release natural ordering: numeric runs, prefixes, total-order ties") {
+    import DumpStore.compareReleases
+    // The case plain string order gets wrong: .10 after .9.
+    assert(compareReleases("2025-06-25.9", "2025-06-25.10") < 0)
+    assert(compareReleases("2025-06-25.10", "2025-06-25.9") > 0)
+    assert(compareReleases("2025-06-25.0", "2025-06-25.0") == 0)
+    // A proper prefix sorts first; months/years compare numerically.
+    assert(compareReleases("2025-06-25", "2025-06-25.1") < 0)
+    assert(compareReleases("2025-06", "2025-07") < 0)
+    assert(compareReleases("2024-12-31.5", "2025-01-01.0") < 0)
+    // Natural tie (leading zeros) stays a deterministic total order.
+    assert(compareReleases("1.02", "1.2") != 0)
+    assert(math.signum(compareReleases("1.02", "1.2")) ==
+      -math.signum(compareReleases("1.2", "1.02")))
+  }
+
+  test("latest resolves from newest complete dump, catalog.json wins") {
+    val base = tmp()
+    val store = new DumpStore(spark, base)
+    // Empty store: latest is unresolvable, and says so.
+    intercept[NoSuchElementException] { store.resolveRelease("latest") }
+    // Non-latest specs pass through untouched (no store probe).
+    assert(store.resolveRelease("2030-01-01.0") == "2030-01-01.0")
+    store.ensure("2025-06-25.9", "region", At)(tables.table("region"))
+    store.ensure("2025-06-25.10", "nation", At)(tables.table("nation"))
+    // Natural order picks .10 over .9 (string order would not).
+    assert(store.resolveRelease("latest") == "2025-06-25.10")
+    // Incomplete data (no metadata commit) must not win `latest`.
+    tables.table("region").write.parquet(s"$base/release=2026-12-31.0/region.parquet")
+    assert(store.resolveRelease("latest") == "2025-06-25.10")
+    // A catalog.json pin (the reference's STAC shape) takes priority.
+    Files.write(java.nio.file.Paths.get(base, "catalog.json"),
+      """{"latest": "2025-01-01.0", "type": "Catalog"}""".getBytes("UTF-8"))
+    assert(store.resolveRelease("latest") == "2025-01-01.0")
+    // A catalog that omits `latest` is an error (settings.py:53-55),
+    // never a silent fallback.
+    Files.write(java.nio.file.Paths.get(base, "catalog.json"),
+      """{"type": "Catalog"}""".getBytes("UTF-8"))
+    intercept[IllegalStateException] { store.resolveRelease("latest") }
+  }
+
+  test("cli ensure-dump latest resolves before ensuring") {
+    val base = tmp()
+    val store = new DumpStore(spark, base)
+    store.ensure("2026-02.1", "region", At)(tables.table("region"))
+    graft.Cli.run(spark, Seq("ensure-dump", sfDir, base, "nation", "latest", s"--date=$At"))
+    assert(store.exists("2026-02.1", "nation"))
+    graft.Cli.run(spark, Seq("delete-dump", base, "nation", "latest"))
+    assert(!store.exists("2026-02.1", "nation"))
+  }
+
   test("cli verbs: ensure-dump / list-dumps / delete-dump dispatch") {
     val base = tmp()
     graft.Cli.run(spark, Seq("ensure-dump", sfDir, base, "region", Rel, s"--date=$At"))
