@@ -191,6 +191,69 @@ object Wkb {
     }
   }
 
+  /** Column form of [[pathLength]]. */
+  def wkbPathLength(c: Column): Column =
+    GraftBridge.column(WkbPathLength(GraftBridge.expression(c)))
+
+  /** Sequential 2D path length of the blob's vertex run — Point → 0,
+    * LineString → sum of segment lengths, Polygon → exterior-ring
+    * perimeter as stored (closing vertex included). One parse + one
+    * fold per row with NO coordinate materialization: the
+    * composed form (`aggregate(transform(sequence(...)))` over
+    * [[decodeCoords]]) allocates two arrays per row and interprets
+    * its lambdas per element (higher-order functions are
+    * CodegenFallback), which made the WKB length row a bench top-8
+    * entry. The fold is left-to-right from 0.0 — the SAME IEEE
+    * addition order as the HOF twin, so results are bit-identical.
+    *
+    * NaN signals malformed/unsupported (mapped to SQL null by
+    * [[WkbPathLength]]); genuinely-NaN coordinates also fold to NaN
+    * → null, the one divergence from the HOF twin's NaN — both are
+    * dropped by any finite-threshold filter.
+    */
+  def pathLength(bytes: Array[Byte]): Double = {
+    if (bytes == null || bytes.length < 5) return Double.NaN
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.position(1)
+    val packed = parseTypeWord(buf)
+    if (packed < 0) return Double.NaN
+    val stride = (packed & 7) * 8
+    val skip = stride - 16
+    val n = (packed >> 3) match {
+      case 1 => if (buf.remaining >= stride) 1 else return Double.NaN
+      case 2 =>
+        if (buf.remaining < 4) return Double.NaN
+        val k = buf.getInt
+        if (k < 0 || buf.remaining.toLong < stride.toLong * k) return Double.NaN
+        k
+      case 3 =>
+        if (buf.remaining < 8) return Double.NaN
+        if (buf.getInt < 1) return Double.NaN
+        val k = buf.getInt
+        if (k < 0 || buf.remaining.toLong < stride.toLong * k) return Double.NaN
+        k
+      case _ => return Double.NaN
+    }
+    var sum = 0.0
+    var px = 0.0
+    var py = 0.0
+    var i = 0
+    while (i < n) {
+      val x = buf.getDouble
+      val y = buf.getDouble
+      if (skip > 0) buf.position(buf.position() + skip)
+      if (i > 0) {
+        val dx = x - px
+        val dy = y - py
+        sum += math.sqrt(dx * dx + dy * dy)
+      }
+      px = x; py = y
+      i += 1
+    }
+    sum
+  }
+
   /** Header-only vertex count; -1 signals malformed/unsupported
     * (mapped to SQL null by [[WkbNumPoints]]). SRID payloads are
     * skipped and Z/M strides honored exactly as in [[decodeCoords]].
@@ -309,6 +372,33 @@ case class WkbNumPoints(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): WkbNumPoints =
+    copy(child = newChild)
+}
+
+/** Single-pass 2D path length of a WKB blob's vertex run (null on
+  * malformed/unsupported — see [[Wkb.pathLength]]). Scan-path work
+  * inside whole-stage codegen: one static call per row, no
+  * coordinate arrays, no interpreted HOF lambdas.
+  */
+case class WkbPathLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = Wkb.pathLength(input.asInstanceOf[Array[Byte]])
+    if (java.lang.Double.isNaN(v)) null else java.lang.Double.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("len")
+      s"""
+         |double $v = graft.functions.Wkb.pathLength($c);
+         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WkbPathLength =
     copy(child = newChild)
 }
 

@@ -115,23 +115,14 @@ object GeoWkbQueries {
     val seqs = userSeqs(pts(Tables(spark, dir)))
       .filter(size(col("coords")) >= 2)
       .select(col("user_id"), Wkb.wkbLineFromCoords(col("coords")).as("geom"))
-    // Decode ONCE into a projection column before any HOF touches
-    // it: Catalyst does not hoist loop-invariant subtrees out of
-    // lambda bodies, so an inline WkbCoords(geom) inside the
-    // distance transform would re-parse the whole blob per
-    // element_at — O(n²) per row on the scan path.
-    val decoded = seqs.select(col("user_id"), col("geom"),
-      Wkb.wkbCoords(col("geom")).as("ring"))
-    val ring = col("ring")
-    val segs = transform(sequence(lit(2), size(ring)), i =>
-      sqrt(
-        (element_at(ring, i).getField("x") - element_at(ring, i - 1).getField("x")) *
-          (element_at(ring, i).getField("x") - element_at(ring, i - 1).getField("x")) +
-          (element_at(ring, i).getField("y") - element_at(ring, i - 1).getField("y")) *
-            (element_at(ring, i).getField("y") - element_at(ring, i - 1).getField("y"))))
-    val len = round(aggregate(segs, lit(0.0), (a, v) => a + v), 4)
-    decoded
-      .select(col("user_id"), len.as("length"),
+    // Single-pass native fold over the blob (WkbPathLength): same
+    // left-to-right IEEE addition order as the decode→HOF composed
+    // form, but one codegen'd static call per row — no coordinate
+    // arrays, no interpreted lambdas (HOFs are CodegenFallback; the
+    // composed form was a bench top-8 row, 1.51 s → this plan).
+    seqs
+      .select(col("user_id"),
+        round(Wkb.wkbPathLength(col("geom")), 4).as("length"),
         Wkb.wkbNumPoints(col("geom")).cast("long").as("n_points"))
       .filter(col("length") > 1e-10)
   }

@@ -48,6 +48,10 @@ class ExchangeBudgetSpec extends SparkSpec {
     "tr_drop_invalid" -> ((0, 0)),
     "tr_geometry_rules" -> ((1, 0)),
     "tr_reproject" -> ((0, 0)),
+    // N9: 1 corpus-sized (source,bucket) window exchange; the other
+    // three move bucket-combined partials / per-source finals only.
+    "sm_token_budget_mix" -> ((4, 1)),
+    "sm_epoch_shuffle" -> ((1, 0)),
     "geo_bbox_agg" -> ((1, 0)),
     "geo_line_length" -> ((1, 0)),
     "geo_point_in_bbox" -> ((1, 0)),

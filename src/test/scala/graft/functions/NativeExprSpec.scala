@@ -142,6 +142,54 @@ class NativeExprSpec extends SparkSpec {
     assert(t.isNullAt(0) && t.isNullAt(1))
   }
 
+  test("WkbPathLength matches the decode→HOF fold bit-for-bit; Point 0, ring perimeter as stored") {
+    val coords = Seq(
+      (1L, Seq((0.0, 0.0), (3.0, 4.0), (3.0, 8.5), (-1.0, 8.5))),
+      (2L, Seq((2.25, -1.5), (2.25, -1.5))), // zero-length segment
+      (3L, Seq((1.0, 1.0), (4.0, 5.0)))
+    ).toDF("id", "pts")
+      .select($"id", expr("transform(pts, p -> struct(p._1 as x, p._2 as y))").as("coords"))
+    val geoms = coords.select($"id",
+      Wkb.wkbLineFromCoords($"coords").as("line"),
+      Wkb.wkbPolygonFromCoords($"coords").as("poly"))
+    // Composed twin: decode, per-segment distances, sequential fold.
+    def hofLen(g: org.apache.spark.sql.Column) = {
+      val ring = Wkb.wkbCoords(g)
+      aggregate(
+        transform(sequence(lit(2), size(ring)), i =>
+          sqrt(
+            (element_at(ring, i).getField("x") - element_at(ring, i - 1).getField("x")) *
+              (element_at(ring, i).getField("x") - element_at(ring, i - 1).getField("x")) +
+              (element_at(ring, i).getField("y") - element_at(ring, i - 1).getField("y")) *
+                (element_at(ring, i).getField("y") - element_at(ring, i - 1).getField("y")))),
+        lit(0.0), (a, v) => a + v)
+    }
+    val rows = geoms.select(
+      Wkb.wkbPathLength($"line").as("nl"), hofLen($"line").as("hl"),
+      Wkb.wkbPathLength($"poly").as("np"), hofLen($"poly").as("hp")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"line: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"poly (perimeter incl. closing vertex): $r")
+    }
+    // Point → 0; malformed/unsupported → null (same classes as WkbCoords).
+    val point = Seq(Tuple1(Wkb.encodePointXY(7.0, -2.0))).toDF("g")
+    assert(point.select(Wkb.wkbPathLength($"g")).head().getDouble(0) == 0.0)
+    val bad = Seq(
+      Array[Byte](),
+      Array[Byte](1, 7, 0, 0, 0, 9, 9),
+      { val b = java.nio.ByteBuffer.allocate(9).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).putInt(2).putInt(1000); b.array() })
+    bad.map(Tuple1(_)).toDF("g").select(Wkb.wkbPathLength($"g")).collect()
+      .foreach(r => assert(r.isNullAt(0)))
+    // EWKB SRID payload skipped: same SRID LineString as the decode
+    // spec must measure the true segment, not SRID-shifted bytes.
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sridLine = le(45).put(1.toByte).putInt(0x20000002).putInt(4326).putInt(2)
+      .putDouble(0.0).putDouble(0.0).putDouble(3.0).putDouble(4.0).array()
+    assert(Seq(Tuple1(sridLine)).toDF("g")
+      .select(Wkb.wkbPathLength($"g")).head().getDouble(0) == 5.0)
+  }
+
   test("Z/M ordinates decode as their 2D projection with correct stride") {
     def le(n: Int) = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     // ISO LineString Z (type 1002): 2 vertices of 3 doubles each.

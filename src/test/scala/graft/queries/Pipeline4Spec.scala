@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class Pipeline4Spec extends SparkSpec {
+
+  test("sm_token_budget_mix: two-phase prefix sum equals the naive per-source window") {
+    val docs = tables.documents
+    val naive = {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .groupBy(col("source"))
+        .agg(
+          count(when(col("cum") <= 150, 1)).as("n_selected"),
+          coalesce(sum(when(col("cum") <= 150, col("tok"))), lit(0L)).as("tok_selected"),
+          count(lit(1)).as("n_total"))
+    }
+    val fast = Pipeline4.tokenBudgetMix(docs, budget = 150L, bucketWidth = 64L)
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
+
+  test("sm_token_budget_mix: selected token mass respects the budget per source") {
+    val bad = Pipeline4.tokenBudgetMix(tables.documents, 150L, 64L)
+      .filter(col("tok_selected") > 150 || col("n_selected") > col("n_total"))
+    assert(bad.isEmpty)
+  }
+
+  test("sm_token_budget_mix: bucket width does not change the answer") {
+    val docs = tables.documents
+    val a = Pipeline4.tokenBudgetMix(docs, 150L, 64L)
+    val b = Pipeline4.tokenBudgetMix(docs, 150L, 7L)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("sm_epoch_shuffle: each epoch is a complete permutation with contiguous shard positions") {
+    val out = Pipeline4.epochShuffle(tables.documents, epochs = 2, nShards = 8)
+    val nDocs = tables.documents.count()
+    // Every doc exactly once per epoch.
+    val perEpoch = out.groupBy(col("epoch")).agg(
+      count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd")).collect()
+    assert(perEpoch.length == 2)
+    perEpoch.foreach(r => assert(r.getLong(1) == nDocs && r.getLong(2) == nDocs))
+    // Positions are 1..count(shard) with no gaps.
+    val gaps = out.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(gaps.isEmpty)
+  }
+
+  test("sm_epoch_shuffle: epochs produce different orders, reruns identical") {
+    val out = Pipeline4.epochShuffle(tables.documents, epochs = 2, nShards = 8).cache()
+    try {
+      val e0 = out.filter(col("epoch") === 0).select(col("shard"), col("pos"), col("doc_id"))
+      val e1 = out.filter(col("epoch") === 1).select(col("shard"), col("pos"), col("doc_id"))
+      assert(!e0.except(e1).isEmpty, "epoch salt must re-permute")
+      val again = Pipeline4.epochShuffle(tables.documents, epochs = 2, nShards = 8)
+      assert(out.select(out.columns.map(col): _*).except(again).isEmpty &&
+        again.except(out).isEmpty, "shuffle must be deterministic")
+    } finally out.unpersist()
+  }
+}
