@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions.col
   *   graft.Cli ensure-dump  <sfDir> <dumpBase> <theme> <release|latest> [--force] [--date=ISO]
   *   graft.Cli list-dumps   <dumpBase>
   *   graft.Cli delete-dump  <dumpBase> <theme> <release>
+  *   graft.Cli compact      <inDir> <outDir> [--target-mb=128]
   *   graft.Cli cleanup      <servicePath> <keep,names> [--dry-run]
   *   graft.Cli version
   * }}}
@@ -261,6 +262,14 @@ object Cli {
         val store = new graft.sources.DumpStore(spark, dumpBase)
         val ok = store.delete(store.resolveRelease(releaseSpec), theme)
         println(if (ok) "deleted" else "not found")
+
+      // Lake hygiene (M15): rewrite a parquet dir at the byte-planned
+      // file count. Target size in MB (default 128).
+      case Seq("compact", inDir, outDir) =>
+        val targetMb = opt.get("target-mb").map(_.toLong).getOrElse(128L)
+        val (planned, inFiles) = graft.`export`.Compactor.compact(
+          spark, inDir, outDir, targetBytes = targetMb * 1024 * 1024)
+        println(s"[compact] $inFiles -> $planned files @ ${targetMb}MB target -> $outDir")
 
       case Seq("cleanup", servicePath, keepList) =>
         val report = FeatureService.cleanup(spark, servicePath,

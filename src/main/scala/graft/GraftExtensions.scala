@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbPolygonFromCoords, WordBigrams}
+import graft.functions.{CosineSim, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   SELECT graft_wkb_coords(geometry) FROM features
   *   SELECT graft_wkb_num_points(geometry) FROM features
   *   SELECT graft_wkb_path_length(geometry) FROM features
+  *   SELECT graft_wkb_ring_stats(geometry).area FROM features
   *   SELECT graft_cosine(vec_a, vec_b) FROM pairs
   *   SELECT graft_word_bigrams(text) FROM documents
   *   SELECT graft_minhash(text, 3, 32, 42) FROM documents
@@ -67,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_wkb_path_length"),
       new ExpressionInfo(classOf[WkbPathLength].getName, "graft_wkb_path_length"),
       (children: Seq[Expression]) => WkbPathLength(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wkb_ring_stats"),
+      new ExpressionInfo(classOf[WkbRingStats].getName, "graft_wkb_ring_stats"),
+      (children: Seq[Expression]) => WkbRingStats(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

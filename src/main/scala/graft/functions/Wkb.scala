@@ -254,6 +254,48 @@ object Wkb {
     sum
   }
 
+  /** Column form of [[ringStats]]. */
+  def wkbRingStats(c: Column): Column =
+    GraftBridge.column(WkbRingStats(GraftBridge.expression(c)))
+
+  /** Shoelace statistics of the blob's vertex ring in ONE pass:
+    * struct(area, cx, cy) — signed area and true area centroid of
+    * the 2D-projected exterior ring, the closing vertex stripped
+    * when present (first == last), exactly the decode → strip →
+    * three-HOF-fold composition the WKB centroid row ran
+    * (`Geo.polygonArea`/`polygonCentroid` over `WkbCoords`). Each
+    * fold is left-to-right over the SAME cyclic cross-term order
+    * (p_i × p_{i+1}, wrapping), and the centroid divisions keep the
+    * `sum / (3.0 * a2)` association — results are bit-identical to
+    * the composed form, including the IEEE ±Inf/NaN centroid of a
+    * zero-area ring (callers filter on |area| first, as the HOF
+    * path did). Null on malformed/unsupported blobs.
+    */
+  def ringStats(bytes: Array[Byte]): GenericInternalRow = {
+    val coords = decodeCoords(bytes)
+    if (coords == null) return null
+    var n = coords.numElements()
+    if (n > 1) {
+      val f = coords.getStruct(0, 2)
+      val l = coords.getStruct(n - 1, 2)
+      if (f.getDouble(0) == l.getDouble(0) && f.getDouble(1) == l.getDouble(1)) n -= 1
+    }
+    var a2 = 0.0 // Σ cross terms = 2·area
+    var sx = 0.0
+    var sy = 0.0
+    var i = 0
+    while (i < n) {
+      val p = coords.getStruct(i, 2)
+      val q = coords.getStruct(if (i + 1 == n) 0 else i + 1, 2)
+      val cross = p.getDouble(0) * q.getDouble(1) - q.getDouble(0) * p.getDouble(1)
+      a2 += cross
+      sx += (p.getDouble(0) + q.getDouble(0)) * cross
+      sy += (p.getDouble(1) + q.getDouble(1)) * cross
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](a2 / 2.0, sx / (3.0 * a2), sy / (3.0 * a2)))
+  }
+
   /** Header-only vertex count; -1 signals malformed/unsupported
     * (mapped to SQL null by [[WkbNumPoints]]). SRID payloads are
     * skipped and Z/M strides honored exactly as in [[decodeCoords]].
@@ -399,6 +441,33 @@ case class WkbPathLength(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): WkbPathLength =
+    copy(child = newChild)
+}
+
+/** One-pass shoelace area + centroid of a WKB blob's vertex ring
+  * (null on malformed/unsupported — see [[Wkb.ringStats]]). Replaces
+  * a decode plus THREE interpreted HOF folds (area, cx, cy each
+  * re-walked the ring) with one static call inside whole-stage
+  * codegen.
+  */
+case class WkbRingStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("area", DoubleType),
+    StructField("cx", DoubleType),
+    StructField("cy", DoubleType)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Wkb.ringStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.Wkb.ringStats($c);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WkbRingStats =
     copy(child = newChild)
 }
 

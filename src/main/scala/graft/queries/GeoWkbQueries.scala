@@ -155,20 +155,19 @@ object GeoWkbQueries {
       .filter(size(col("coords")) >= 3)
       .select(col("user_id"),
         Wkb.wkbPolygonFromCoords(slice(col("coords"), 1, 5)).as("geom"))
-    // decode + closing-vertex strip materialized as a column (see
-    // geoLineLengthWkb: inline decode inside the shoelace HOFs
-    // would re-parse the blob per ring element)
-    val decoded = seqs
-      .select(col("user_id"), Wkb.wkbCoords(col("geom")).as("stored"))
+    // Single-pass native shoelace over the blob (WkbRingStats):
+    // strips the encoder's closing vertex and folds area/cx/cy in
+    // the SAME cyclic cross-term order as the composed
+    // decode→polygonArea/polygonCentroid HOFs it replaces (three
+    // interpreted ring walks → one codegen'd static call;
+    // spec-pinned bit-identical).
+    seqs
+      .select(col("user_id"), Wkb.wkbRingStats(col("geom")).as("s"))
+      .filter(abs(col("s.area")) > 1e-12)
       .select(col("user_id"),
-        slice(col("stored"), lit(1), size(col("stored")) - 1).as("ring"))
-    val ring = col("ring")
-    decoded
-      .withColumn("area", round(Geo.polygonArea(ring), 4))
-      .withColumn("c", Geo.polygonCentroid(ring))
-      .filter(abs(Geo.polygonArea(ring)) > 1e-12)
-      .select(col("user_id"), col("area"),
-        round(col("c.x"), 4).as("cx"), round(col("c.y"), 4).as("cy"))
+        round(col("s.area"), 4).as("area"),
+        round(col("s.cx"), 4).as("cx"),
+        round(col("s.cy"), 4).as("cy"))
   }
 
   val geoCentroidWkbSql: String =

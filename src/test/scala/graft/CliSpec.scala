@@ -111,4 +111,14 @@ class CliSpec extends SparkSpec {
     assert(fmtErr.getMessage.contains("tabular"))
     Cli.run(spark, Seq("list-registry"))
   }
+
+  test("compact verb rewrites a parquet dir at the byte-planned file count") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(20).write.parquet(s"$dir/in")
+    Cli.run(spark, Seq("compact", s"$dir/in", s"$dir/out", "--target-mb=128"))
+    assert(graft.`export`.Compactor.dataFileCount(spark, s"$dir/out") == 1)
+    assert(spark.read.parquet(s"$dir/out").count() == 2000)
+  }
 }

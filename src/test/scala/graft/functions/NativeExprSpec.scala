@@ -190,6 +190,38 @@ class NativeExprSpec extends SparkSpec {
       .select(Wkb.wkbPathLength($"g")).head().getDouble(0) == 5.0)
   }
 
+  test("WkbRingStats matches decode→strip→polygonArea/polygonCentroid bit-for-bit") {
+    import graft.operators.Geo
+    val rings = Seq(
+      (1L, Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0))), // CCW rectangle
+      (2L, Seq((0.0, 0.0), (0.0, 3.0), (4.0, 3.0), (4.0, 0.0))), // CW (negative area)
+      (3L, Seq((1.0, 1.0), (5.5, 2.0), (3.0, 6.0), (-1.0, 4.5), (0.5, 2.0))),
+      (4L, Seq((2.0, 2.0), (7.0, 2.0), (7.0, 2.0), (4.0, 8.0))), // duplicate vertex
+      (5L, Seq((0.0, 0.0), (2.0, 0.0), (3.0, 1.5), (0.0, 0.0)))  // pre-closed input
+    ).toDF("id", "pts")
+      .select($"id", expr("transform(pts, p -> struct(p._1 as x, p._2 as y))").as("coords"))
+    val geoms = rings.select($"id", Wkb.wkbPolygonFromCoords($"coords").as("geom"))
+    // Composed twin: decode as stored, strip the closing vertex, run
+    // the three HOF shoelace folds.
+    val stored = Wkb.wkbCoords($"geom")
+    val ring = slice(stored, lit(1), size(stored) - 1)
+    val rows = geoms.select(
+      Wkb.wkbRingStats($"geom").as("s"),
+      Geo.polygonArea(ring).as("a"),
+      Geo.polygonCentroid(ring).as("c")).collect()
+    rows.foreach { r =>
+      val s = r.getStruct(0)
+      val c = r.getStruct(2)
+      assert(s.getDouble(0) == r.getDouble(1), s"area: $r")
+      assert(s.getDouble(1) == c.getDouble(0), s"cx: $r")
+      assert(s.getDouble(2) == c.getDouble(1), s"cy: $r")
+    }
+    // Malformed/unsupported blobs null out, same classes as WkbCoords.
+    val bad = Seq(Array[Byte](), Array[Byte](1, 7, 0, 0, 0, 9, 9))
+    bad.map(Tuple1(_)).toDF("g").select(Wkb.wkbRingStats($"g")).collect()
+      .foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("Z/M ordinates decode as their 2D projection with correct stride") {
     def le(n: Int) = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     // ISO LineString Z (type 1002): 2 vertices of 3 doubles each.
