@@ -206,34 +206,36 @@ object Wkb {
     * entry. The fold is left-to-right from 0.0 — the SAME IEEE
     * addition order as the HOF twin, so results are bit-identical.
     *
-    * NaN signals malformed/unsupported (mapped to SQL null by
-    * [[WkbPathLength]]); genuinely-NaN coordinates also fold to NaN
-    * → null, the one divergence from the HOF twin's NaN — both are
-    * dropped by any finite-threshold filter.
+    * -1.0 signals malformed/unsupported (mapped to SQL null by
+    * [[WkbPathLength]]; a real path length is never negative).
+    * Genuinely-NaN coordinates fold to NaN and are RETURNED as NaN —
+    * the HOF twin yields NaN there too, and Spark ranks NaN above
+    * every numeric, so a `length > ε` filter KEEPS such rows on both
+    * paths; mapping them to null instead would silently drop them.
     */
   def pathLength(bytes: Array[Byte]): Double = {
-    if (bytes == null || bytes.length < 5) return Double.NaN
+    if (bytes == null || bytes.length < 5) return -1.0
     val buf = java.nio.ByteBuffer.wrap(bytes)
     buf.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
     buf.position(1)
     val packed = parseTypeWord(buf)
-    if (packed < 0) return Double.NaN
+    if (packed < 0) return -1.0
     val stride = (packed & 7) * 8
     val skip = stride - 16
     val n = (packed >> 3) match {
-      case 1 => if (buf.remaining >= stride) 1 else return Double.NaN
+      case 1 => if (buf.remaining >= stride) 1 else return -1.0
       case 2 =>
-        if (buf.remaining < 4) return Double.NaN
+        if (buf.remaining < 4) return -1.0
         val k = buf.getInt
-        if (k < 0 || buf.remaining.toLong < stride.toLong * k) return Double.NaN
+        if (k < 0 || buf.remaining.toLong < stride.toLong * k) return -1.0
         k
       case 3 =>
-        if (buf.remaining < 8) return Double.NaN
-        if (buf.getInt < 1) return Double.NaN
+        if (buf.remaining < 8) return -1.0
+        if (buf.getInt < 1) return -1.0
         val k = buf.getInt
-        if (k < 0 || buf.remaining.toLong < stride.toLong * k) return Double.NaN
+        if (k < 0 || buf.remaining.toLong < stride.toLong * k) return -1.0
         k
-      case _ => return Double.NaN
+      case _ => return -1.0
     }
     var sum = 0.0
     var px = 0.0
@@ -428,7 +430,7 @@ case class WkbPathLength(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val v = Wkb.pathLength(input.asInstanceOf[Array[Byte]])
-    if (java.lang.Double.isNaN(v)) null else java.lang.Double.valueOf(v)
+    if (v == -1.0) null else java.lang.Double.valueOf(v)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -436,7 +438,7 @@ case class WkbPathLength(child: Expression) extends UnaryExpression {
       val v = ctx.freshName("len")
       s"""
          |double $v = graft.functions.Wkb.pathLength($c);
-         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         |if ($v == -1.0D) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
          |""".stripMargin
     })
 

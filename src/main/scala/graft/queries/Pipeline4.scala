@@ -116,17 +116,25 @@ object Pipeline4 {
 
   /** Library form over any frame with a stable long id column. */
   def epochShuffle(docs: DataFrame, epochs: Int, nShards: Int): DataFrame = {
+    require(epochs > 0, s"epochs must be positive: $epochs")
+    require(nShards > 0, s"nShards must be positive: $nShards")
     val P = 1000000007L
     val mixed = docs
       .select(col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
-      // Reduce mod P FIRST so the product stays below 2^63 (see
-      // Sampling.idBucket — raw id·constant overflows Long for ids
-      // ≳3.5e9: an ANSI-mode crash and an engine-divergence hazard).
+      // The epoch salt goes INSIDE the multiplicative mix: salting
+      // AFTER it (mix + 97·epoch) merely shifts every mix value by a
+      // constant, and since a constant shift preserves both `mod
+      // nShards` structure and relative order, each "epoch" would be
+      // a shard-relabeling of epoch 0 with identical in-shard order —
+      // no re-permutation at all. Reduce mod P FIRST so the product
+      // stays below 2^63 (see Sampling.idBucket — raw id·constant
+      // overflows Long for ids ≳3.5e9: an ANSI-mode crash and an
+      // engine-divergence hazard).
       .withColumn("mix",
-        (pmod(col("doc_id"), lit(P)) * lit(2654435761L)
-          + lit(1013904223L) + col("epoch").cast("long") * lit(97L)) % lit(P))
+        (pmod(col("doc_id") + col("epoch").cast("long") * lit(7919L), lit(P))
+          * lit(2654435761L) + lit(1013904223L)) % lit(P))
       .withColumn("shard", pmod(col("mix"), lit(nShards.toLong)))
     val posW = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("mix"), col("doc_id"))
@@ -140,7 +148,7 @@ object Pipeline4 {
   val smEpochShuffleSql: String =
     """WITH m AS (
       |  SELECT doc_id, epoch,
-      |    ((doc_id % 1000000007) * 2654435761 + 1013904223 + epoch * 97)
+      |    (((doc_id + epoch * 7919) % 1000000007) * 2654435761 + 1013904223)
       |      % 1000000007 AS mix
       |  FROM documents, range(0, 3) AS t(epoch)),
       |s AS (SELECT doc_id, epoch, mix, mix % 32 AS shard FROM m)

@@ -47,11 +47,23 @@ class CompactorSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2000)
   }
 
-  test("planFileCount: ceil division, floor of 1, rejects non-positive target") {
+  test("planFileCount: ceil division, floor of 1, rejects non-positive target and Int overflow") {
     assert(Compactor.planFileCount(0L, 100L) == 1)
     assert(Compactor.planFileCount(100L, 100L) == 1)
     assert(Compactor.planFileCount(101L, 100L) == 2)
     intercept[IllegalArgumentException](Compactor.planFileCount(10L, 0L))
+    // A plan past Int range must error, not wrap through .toInt.
+    intercept[IllegalArgumentException](Compactor.planFileCount(Long.MaxValue / 2, 1L))
+  }
+
+  test("Hive-partitioned input is refused, not flattened") {
+    import spark.implicits._
+    val in = tmp("compact-part")
+    val out = tmp("compact-part-out")
+    (1 to 100).map(i => (i, i % 3)).toDF("id", "k")
+      .write.partitionBy("k").parquet(in)
+    val err = intercept[IllegalArgumentException](Compactor.compact(spark, in, out))
+    assert(err.getMessage.contains("partition"))
   }
 
   test("in-place compaction is refused") {

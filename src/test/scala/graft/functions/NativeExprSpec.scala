@@ -188,6 +188,18 @@ class NativeExprSpec extends SparkSpec {
       .putDouble(0.0).putDouble(0.0).putDouble(3.0).putDouble(4.0).array()
     assert(Seq(Tuple1(sridLine)).toDF("g")
       .select(Wkb.wkbPathLength($"g")).head().getDouble(0) == 5.0)
+    // A NaN COORDINATE is a data fact, not a malformed blob: the HOF
+    // twin folds it to NaN, and Spark ranks NaN above every numeric
+    // (a `length > ε` filter keeps the row) — so the native path must
+    // return NaN, never null (null would silently drop the row).
+    val nanLine = le(41).put(1.toByte).putInt(2).putInt(2)
+      .putDouble(0.0).putDouble(Double.NaN).putDouble(3.0).putDouble(4.0).array()
+    val nanOut = Seq(Tuple1(nanLine)).toDF("g")
+      .select(Wkb.wkbPathLength($"g").as("l"), hofLen($"g").as("h")).head()
+    assert(!nanOut.isNullAt(0) && nanOut.getDouble(0).isNaN && nanOut.getDouble(1).isNaN)
+    assert(Seq(Tuple1(nanLine)).toDF("g")
+      .select(Wkb.wkbPathLength($"g") > 1e-10).head().getBoolean(0),
+      "NaN length must survive a finite-threshold filter, as on the HOF path")
   }
 
   test("WkbRingStats matches decode→strip→polygonArea/polygonCentroid bit-for-bit") {

@@ -58,6 +58,17 @@ class Pipeline4Spec extends SparkSpec {
       val e0 = out.filter(col("epoch") === 0).select(col("shard"), col("pos"), col("doc_id"))
       val e1 = out.filter(col("epoch") === 1).select(col("shard"), col("pos"), col("doc_id"))
       assert(!e0.except(e1).isEmpty, "epoch salt must re-permute")
+      // A GENUINE re-mix, not a shard relabeling: an additive
+      // post-mix salt shifts every mix value by a constant, which
+      // rotates shard labels and preserves in-shard order — e0 != e1
+      // passes while every epoch reads the data in the same order.
+      // With the salt inside the multiplicative mix, the expected
+      // same-shard fraction is ~1/nShards.
+      val n = e0.count()
+      val sameShard = e0.as("a").join(e1.as("b"), "doc_id")
+        .filter(col("a.shard") === col("b.shard")).count()
+      assert(sameShard < n * 0.3,
+        s"epochs look like a shard rotation: $sameShard/$n docs kept their shard")
       val again = Pipeline4.epochShuffle(tables.documents, epochs = 2, nShards = 8)
       assert(out.select(out.columns.map(col): _*).except(again).isEmpty &&
         again.except(out).isEmpty, "shuffle must be deterministic")
