@@ -52,6 +52,17 @@ class ExchangeBudgetSpec extends SparkSpec {
     // three move bucket-combined partials / per-source finals only.
     "sm_token_budget_mix" -> ((4, 1)),
     "sm_epoch_shuffle" -> ((1, 0)),
+    // Round-8 batch 2: gopher + importance scoring are map-only
+    // (the DSIR model is collected eagerly, outside the scored
+    // plan); soft dedup's one shuffle is the LABELS-side component
+    // agg (tiny), the corpus side is broadcast-joined and never
+    // exchanges; source overlap is bigram-agg + tiny pair-agg;
+    // the composed curation adds only the 20-row source rollup.
+    "tx_gopher_rules" -> ((0, 0)),
+    "sm_importance_weight" -> ((0, 0)),
+    "dd_soft_dedup" -> ((1, 2)),
+    "dd_source_overlap" -> ((2, 0)),
+    "pipe_curate_corpus" -> ((2, 2)),
     "geo_bbox_agg" -> ((1, 0)),
     "geo_line_length" -> ((1, 0)),
     "geo_point_in_bbox" -> ((1, 0)),
