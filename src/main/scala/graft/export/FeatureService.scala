@@ -370,7 +370,7 @@ object FeatureService {
     */
   def parseItemMetadata(spark: SparkSession, json: String): ItemMetadata = {
     import spark.implicits._
-    val df = spark.read.json(Seq(json).toDS)
+    val df = spark.read.json(Seq(json).toDS())
     // PERMISSIVE mode degrades malformed JSON to a lone
     // _corrupt_record column — without this check a broken
     // --metadata template would silently apply NOTHING and report a

@@ -108,8 +108,26 @@ object Pipeline5 {
     * larger hashed feature space (1e5 buckets) still broadcasts as a
     * sub-megabyte literal.
     */
-  def smImportanceWeight(spark: SparkSession, dir: String): DataFrame =
-    importanceWeight(Tables(spark, dir).documents, targetSource = "src0", nBuckets = 64)
+  def smImportanceWeight(spark: SparkSession, dir: String): DataFrame = {
+    val nonEmpty = Tables(spark, dir).documents
+      .filter(length(trim(col("text"))) > 0)
+    nonEmpty.select(
+      col("doc_id"), col("lang"),
+      importanceScore(cachedModel(spark, dir), 64, col("text")).as("weight"))
+  }
+
+  /** Session-scoped model memo (same immutable-sf-dir contract as
+    * the pairs/CC caches): the N11 registry row, the N12 resample,
+    * and the M11 composed report all score under ONE fitted model —
+    * fitting it once per (session, dir) instead of per invocation.
+    */
+  private val modelCache = new graft.util.Memo[(SparkSession, String), Array[Double]]
+
+  private def cachedModel(spark: SparkSession, dir: String): Array[Double] =
+    modelCache.getOrElseUpdate((spark, dir),
+      importanceModel(
+        Tables(spark, dir).documents.filter(length(trim(col("text"))) > 0),
+        targetSource = "src0", nBuckets = 64))
 
   private def bucketCol(w: Column, nBuckets: Int): Column =
     pmod(length(w) * lit(31) + ascii(w), lit(nBuckets))
@@ -149,7 +167,7 @@ object Pipeline5 {
     */
   def importanceScore(lr: Array[Double], nBuckets: Int, text: Column): Column = {
     val toks = TextOps.tokens(text)
-    val lrArr = array(lr.map(lit(_)): _*)
+    val lrArr = array(lr.toIndexedSeq.map(lit(_)): _*)
     round(
       aggregate(
         transform(toks, w => element_at(lrArr, bucketCol(w, nBuckets) + lit(1))),
@@ -198,6 +216,45 @@ object Pipeline5 {
       |      list_transform(t, x -> lr[(length(x) * 31 + ascii(x)) % 64 + 1])),
       |    (a, v) -> a + v) / len(t), 4) + 0 AS weight
       |FROM toks, model""".stripMargin
+
+  /** N12: DSIR selection step — Gumbel top-k sampling without
+    * replacement ∝ exp(weight): key = weight − ln(−ln(u)) with u a
+    * closed-form per-doc uniform from the shared LCG mix, so any
+    * engine (and any rerun) reproduces the same sample. The
+    * exponential-race equivalence makes this a true weighted sample
+    * without replacement, yet fully deterministic.
+    *
+    * Scale shape: the key is map-side arithmetic on top of the N11
+    * zero-shuffle scorer; top-k short-circuits as TakeOrdered
+    * (per-partition heaps + a k-row driver merge) — no global sort
+    * exchange, k bounds driver memory.
+    */
+  def smImportanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val base = smImportanceWeight(spark, dir)
+    val P = 1000000007L
+    val mix = (pmod(col("doc_id"), lit(P)) * lit(2654435761L) + lit(1013904223L)) % lit(P)
+    val u = (mix.cast("double") + lit(0.5)) / lit(P.toDouble)
+    base
+      .withColumn("gkey", col("weight") - log(-log(u)))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("weight"),
+        round(col("gkey"), 4).as("gkey"))
+  }
+
+  /** Selection boundary safety: adjacent keys differ by ~1e-3 while
+    * the only cross-engine surface (libm `ln`) moves them ~1 ulp, so
+    * the top-100 SET cannot diverge; the emitted key is rounded like
+    * every other double column.
+    */
+  val smImportanceResampleSql: String =
+    s"""SELECT doc_id, lang, weight, round(gkey, 4) + 0 AS gkey FROM (
+       |  SELECT doc_id, lang, weight,
+       |    weight - ln(-ln(
+       |      (((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007
+       |        + 0.5) / 1000000007)) AS gkey
+       |  FROM ($smImportanceWeightSql) w) x
+       |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin
 
   /** E18: soft dedup — instead of dropping near-duplicates, assign
     * every document the weight 1/|its near-dup component| (the
@@ -315,7 +372,7 @@ object Pipeline5 {
   def pipeCurateCorpus(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents.filter(length(trim(col("text"))) > 0)
-    val lr = importanceModel(docs, targetSource = "src0", nBuckets = 64)
+    val lr = cachedModel(spark, dir)
     val labels = LlmQueries.ccLabels(spark, dir)
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("comp_size"))

@@ -377,6 +377,7 @@ object SourceQueries {
       fmt match {
         case "csv"  => slim.write.mode("overwrite").option("header", "true").csv(out)
         case "json" => slim.write.mode("overwrite").json(out)
+        case "orc"  => slim.write.mode("overwrite").orc(out)
       }
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(out))))
@@ -411,4 +412,15 @@ object SourceQueries {
       .json(textStage(spark, dir, "json")))
 
   val srcJsonlReadSql: String = srcCsvReadSql
+
+  /** A18: ORC source path — the remaining Spark-native columnar
+    * format (a lake this engine must read alongside parquet/CSV/
+    * JSONL). Binary round trip, so the oracle runs on the ORIGINAL
+    * parquet; schema passed explicitly like A16/A17.
+    */
+  def srcOrcRead(spark: SparkSession, dir: String): DataFrame =
+    textAgg(spark.read.schema(textSchema)
+      .orc(textStage(spark, dir, "orc")))
+
+  val srcOrcReadSql: String = srcCsvReadSql
 }

@@ -178,6 +178,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "geo_simplify" -> ((1, 0)),
     "src_csv_read" -> ((1, 0)),
     "src_jsonl_read" -> ((1, 0)),
+    "src_orc_read" -> ((1, 0)),
+    // N12: TakeOrdered top-k — per-partition heaps, no sort exchange.
+    "sm_importance_resample" -> ((0, 0)),
     "mm_shard_manifest" -> ((2, 0)), // +1 vs r7 first cut: the linear flatMapGroups pack
     // does not propagate its key partitioning to the (source,shard) rollup; the
     // extra exchange moves manifest-sized rows and replaced an O(n^2) fold (12.5x -> 2.7x at 10x),

@@ -127,6 +127,28 @@ class Pipeline5Spec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("sm_importance_resample: deterministic top-k, biased toward high weights") {
+    val a = Pipeline5.smImportanceResample(spark, sfDir)
+    val b = Pipeline5.smImportanceResample(spark, sfDir)
+    assert(a.count() == 100)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "rerun must reproduce the sample")
+    // Gumbel-perturbed selection ∝ exp(weight): the sampled docs'
+    // mean weight must exceed the corpus mean.
+    val sampled = a.agg(avg(col("weight"))).collect()(0).getDouble(0)
+    val corpus = Pipeline5
+      .importanceWeight(tables.documents, "src0", 64)
+      .agg(avg(col("weight"))).collect()(0).getDouble(0)
+    assert(sampled > corpus, s"sample avg $sampled should exceed corpus avg $corpus")
+  }
+
+  test("src_orc_read: ORC round trip reproduces the parquet aggregate exactly") {
+    val viaOrc = graft.queries.SourceQueries.srcOrcRead(spark, sfDir)
+    val direct = tables.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    assert(viaOrc.except(direct).isEmpty && direct.except(viaOrc).isEmpty)
+  }
+
   test("dd_source_overlap: agrees with a direct distinct-intersection count on a pair") {
     val docs = tables.documents
     val bg = docs.select(col("source"),
