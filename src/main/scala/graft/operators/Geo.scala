@@ -275,4 +275,47 @@ object Geo {
     spreadBits16(quant(x, xmin, xmax))
       .bitwiseOR(shiftleft(spreadBits16(quant(y, ymin, ymax)), 1))
   }
+
+  /** Spread the low 32 bits of a long so bit i lands at bit 2i —
+    * the 64-bit extension of [[spreadBits16]] for curves needing
+    * more than 16 bits per axis (geohash's 20).
+    */
+  private def spreadBits32(v: Column): Column = {
+    val s16 = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val s8 = (s16.bitwiseOR(shiftleft(s16, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val s4 = (s8.bitwiseOR(shiftleft(s8, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val s2 = (s4.bitwiseOR(shiftleft(s4, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Geohash base-32 alphabet (no a/i/l/o). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** The 40-bit geohash-8 integer key: lon and lat quantized onto
+    * 2^20 cells of their full WGS84 ranges and bit-interleaved
+    * MSB-first with longitude leading — exactly the bit stream the
+    * standard geohash encoder produces for an even-length hash.
+    */
+  def geohashKey(lat: Column, lon: Column): Column = {
+    def cell(c: Column, lo: Double, hi: Double): Column =
+      least(greatest(floor((c - lo) / (hi - lo) * (1L << 20).toDouble), lit(0L)),
+        lit((1L << 20) - 1L)).cast("long")
+    shiftleft(spreadBits32(cell(lon, -180.0, 180.0)), 1)
+      .bitwiseOR(spreadBits32(cell(lat, -90.0, 90.0)))
+  }
+
+  /** 8-character geohash of a WGS84 point — the grid key gazetteers
+    * and tile caches bucket by (~±19 m cells). Closed-form column
+    * math: interleaved 40-bit key, then eight 5-bit base-32 digits;
+    * codegen throughout, so at 100 TB this is scan-speed keying for
+    * a spatial groupBy/bucketing without any geometry library.
+    */
+  def geohash(lat: Column, lon: Column): Column = {
+    val key = geohashKey(lat, lon)
+    val chars = (0 until 8).map { j =>
+      val idx = shiftright(key, 35 - 5 * j).bitwiseAND(lit(31L))
+      lit(GeohashAlphabet).substr((idx + lit(1L)).cast("int"), lit(1))
+    }
+    concat(chars: _*)
+  }
 }

@@ -58,6 +58,17 @@ class ExchangeBudgetSpec extends SparkSpec {
     // agg (tiny), the corpus side is broadcast-joined and never
     // exchanges; source overlap is bigram-agg + tiny pair-agg;
     // the composed curation adds only the 20-row source rollup.
+    // Round-8 batch 3: the bloom join broadcasts the dimension and
+    // pays the countDistinct two-phase agg (the bloom build itself
+    // runs eagerly, outside the result plan); heavy hitters' one
+    // shuffle is the exact groupBy over CMS-surviving rows only;
+    // URL dedup exchanges once on the canonical key; geohash and
+    // readability are map-only column math.
+    "q_bloom_join" -> ((2, 1)),
+    "q_heavy_hitters" -> ((1, 0)),
+    "dd_url_dedup" -> ((1, 0)),
+    "geo_geohash" -> ((0, 0)),
+    "tx_readability" -> ((0, 0)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),
