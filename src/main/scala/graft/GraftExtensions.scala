@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
+import graft.functions.{CharPairs, CosineSim, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -23,6 +23,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   SELECT graft_wkb_ring_stats(geometry).area FROM features
   *   SELECT graft_cosine(vec_a, vec_b) FROM pairs
   *   SELECT graft_word_bigrams(text) FROM documents
+  *   SELECT graft_char_pairs(text) FROM documents
   *   SELECT graft_minhash(text, 3, 32, 42) FROM documents
   * }}}
   */
@@ -80,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_word_bigrams"),
       new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
       (children: Seq[Expression]) => WordBigrams(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_pairs"),
+      new ExpressionInfo(classOf[CharPairs].getName, "graft_char_pairs"),
+      (children: Seq[Expression]) => CharPairs(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),

@@ -81,6 +81,35 @@ object Exporter {
     * conf, SPARK-25556), so concurrent writes on one session can
     * never observe each other's mode or leak it.
     */
+  /** Z-order clustered parquet write — the 2-D extension of
+    * `FeatureService.writeRangeSorted`: rows are range-partitioned
+    * AND sorted by their Morton key (`Geo.mortonKey` over x/y), so
+    * every output file covers one tight, disjoint z-range and its
+    * footer min/max statistics become a spatial index. At 100 TB a
+    * bbox predicate rewritten to z-range bounds prunes to the
+    * handful of files whose ranges intersect it (the lake-table
+    * Z-ORDER clustering move) instead of scanning the world. The
+    * `zkey` column is kept in the output — it is the pruning
+    * predicate's column.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      x: Column,
+      y: Column,
+      xmin: Double,
+      ymin: Double,
+      xmax: Double,
+      ymax: Double,
+      partitions: Int
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("zkey", graft.operators.Geo.mortonKey(x, y, xmin, ymin, xmax, ymax))
+      .repartitionByRange(partitions, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -199,4 +199,91 @@ object Multimodal {
       }
       .toDF("source", "doc_id", "shard", "offset")
   }
+
+  /** 64-bit perceptual hash of a payload — the block-mean pHash
+    * recipe over the stubbed decode: 64 byte stripes (position mod
+    * 64), bit i set iff stripe i's mean exceeds the payload mean.
+    * Comparisons run on EXACT integer cross-products
+    * (stripeSum·n > totalSum·stripeCount), never on divided
+    * doubles, so the DuckDB twin is bit-identical by construction.
+    * Empty stripes (payload shorter than 64 bytes) contribute 0
+    * bits. A real build hashes decoded pixel blocks — same shape.
+    */
+  object FakePHash {
+    def phash(payload: Array[Byte]): Long = {
+      val n = payload.length.toLong
+      if (n == 0L) return 0L
+      val stripeSum = new Array[Long](64)
+      val stripeCnt = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < payload.length) {
+        val v = (payload(i) & 0xff).toLong
+        stripeSum(i % 64) += v
+        stripeCnt(i % 64) += 1
+        total += v
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (stripeCnt(b) > 0 && stripeSum(b) * n > total * stripeCnt(b))
+          h |= (1L << b)
+        b += 1
+      }
+      h
+    }
+  }
+
+  /** Per-media pHash rows (media_id, phash) — partition-batched like
+    * [[decodeFeatures]] (one codec context per batch in a real
+    * build).
+    */
+  def phashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df
+      .select(col(idCol).cast("long").as("_id"), col(payloadCol))
+      .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
+    val rows = input.rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), FakePHash.phash(r.getAs[Array[Byte]](1)))
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+  }
+
+  /** pHash near-dup pairs with Hamming distance ≤ `maxHamming`,
+    * found by BAND BLOCKING, never all-pairs: the 64-bit hash splits
+    * into `nBands` equal bands; by pigeonhole any pair within
+    * `maxHamming < nBands` bit flips agrees on at least one whole
+    * band, so the (band_idx, band_value) equi-join generates every
+    * true pair — candidates then verify exactly with
+    * bit_count(xor). At 100 TB the join fan-out is bounded by
+    * bucket occupancy (hash-random 16-bit bands), the same regime
+    * as MinHash-LSH; output pairs are (a < b), distinct, with their
+    * exact hamming distance.
+    */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole needs maxHamming < nBands (got $maxHamming, $nBands)")
+    require(64 % nBands == 0, s"nBands must divide 64 (got $nBands)")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val h = hashes.select(col("media_id"), col("phash"))
+    val banded = h.select(col("media_id"), col("phash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * width).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -574,6 +574,97 @@ object StreamQueries {
     * `> gap` starts a new session: `session_window` still merges an
     * event landing exactly on the previous session's end.
     */
+  /** Session-cached CDC stage: the events table time-sliced into
+    * three single-part files (by event_id residue — every slice
+    * spans the full time range, so batches genuinely interleave
+    * out of order), delivered in mtime order one file per
+    * micro-batch.
+    */
+  private val cdcStageCache = new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
+  private def cdcStage(spark: SparkSession, dir: String): java.nio.file.Path =
+    cdcStageCache.getOrElseUpdate((spark, dir), {
+      val stage = Files.createTempDirectory("graft_stream_cdc_")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
+      (0 until 3).foreach { i =>
+        stageSinglePart(raw.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq(stage.resolve(s"${('a' + i).toChar}_slice.parquet") -> (base + i * 30000L)))
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(stage)))
+      stage
+    })
+
+  /** I11: streaming CDC apply — a change stream (upserts from
+    * ordinary events, DELETE tombstones from `error` events) applied
+    * to a keyed serving table through foreachBatch. Each micro-batch
+    * COMPACTS itself to one winner row per key (`max_by` over the
+    * (ts, event_id) version — map-side combine, no window sort) and
+    * appends that delta; the serving read merges deltas
+    * last-writer-wins and drops tombstones. Because the merge order
+    * is the VERSION, not arrival order, the sink converges to the
+    * same state under out-of-order and redelivered batches — the
+    * log-structured (delta + compaction) shape CDC sinks use, and
+    * the reason the batch oracle (latest row per key, tombstones
+    * excluded) matches exactly.
+    */
+  def stCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val stage = cdcStage(spark, dir)
+    val deltas = Files.createTempDirectory("graft_stream_cdc_delta_")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val cdc = graft.Tables.normalizeTs(raw).select(
+      col("user_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("value"), col("ts"), col("event_id"))
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = cdc.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch
+            .groupBy(col("user_id"))
+            .agg(max_by(
+              struct(col("op"), col("value"), col("ts"), col("event_id")),
+              struct(col("ts"), col("event_id"))).as("w"))
+            .select(col("user_id"), col("w.op").as("op"), col("w.value").as("value"),
+              col("w.ts").as("ts"), col("w.event_id").as("event_id"))
+            .write.mode("append").parquet(deltas.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    val served = spark.read.parquet(deltas.toString)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("op"), col("value")),
+        struct(col("ts"), col("event_id"))).as("w"))
+      .filter(col("w.op") === "U")
+      .select(col("user_id"), round(col("w.value"), 4).as("last_value"))
+    val rows = java.util.Arrays.asList(served.collect(): _*)
+    val out = spark.createDataFrame(rows, served.schema)
+    deleteRecursively(deltas)
+    out
+  }
+
+  /** Latest change per key wins; keys whose latest change is a
+    * delete are absent.
+    */
+  val stCdcApplySql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value, ts, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, op, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM c)
+      |SELECT user_id, round(value, 4) + 0 AS last_value
+      |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin
+
   val stSessionAggSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, value,

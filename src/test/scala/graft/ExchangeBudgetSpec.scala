@@ -69,6 +69,14 @@ class ExchangeBudgetSpec extends SparkSpec {
     "dd_url_dedup" -> ((1, 0)),
     "geo_geohash" -> ((0, 0)),
     "tx_readability" -> ((0, 0)),
+    // Round-8 batch 4: phash pairs shuffle the banded 16-byte rows
+    // (band join both sides + the distinct), never payloads; BPE
+    // pair counts collapse to the alphabet²-bounded vocabulary
+    // map-side before ONE exchange; the skew report pays one
+    // count-shuffle per candidate key (3) + their single-row finals.
+    "mm_phash_neardup" -> ((3, 0)),
+    "tx_bpe_pair_stats" -> ((1, 0)),
+    "q_skew_report" -> ((6, 0)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),
