@@ -543,4 +543,56 @@ object Similarity {
       .agg(
         round(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"),
         count(lit(1)).as("dim"))
+
+  /** Brute-force exact maximum-inner-product top-k (MIPS — the
+    * retrieval objective for unnormalized embeddings, where cosine
+    * top-k is wrong whenever vector norms carry signal). Same plan
+    * shape as [[cosineTopK]]: queries broadcast, scores map-side,
+    * row_number per query, base-id tie-break.
+    */
+  def mipsTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = b
+      .join(broadcast(q), col("base_id") =!= col("query_id"))
+      .withColumn("score", round(dot(col("base_vec"), col("query_vec")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("base_id"), col("score"), col("rank"))
+  }
+
+  /** The MIPS → cosine reduction (the asymmetric augmentation from
+    * the published MIPS-ANN literature): append
+    * `sqrt(M² − ‖x‖²)` to every base vector (M = max base norm) and
+    * `0` to every query. Augmented base vectors all have norm M, so
+    * cosine (or any angle-based ANN — the F2 LSH or F4 IVF index)
+    * over the augmented space ranks EXACTLY by inner product of the
+    * originals — the bridge that lets every cosine-path index serve
+    * MIPS at 100 TB. The norm scan is one aggregate; augmentation
+    * is map-side array math.
+    */
+  def mipsAugment(
+      base: DataFrame,
+      queries: DataFrame,
+      vecCol: String
+  ): (DataFrame, DataFrame) = {
+    val normSq = aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val maxSq = base.agg(max(normSq)).collect()(0).getDouble(0)
+    val augBase = base.withColumn(vecCol,
+      concat(transform(col(vecCol), x => x.cast("double")),
+        array(sqrt(greatest(lit(maxSq) - normSq, lit(0.0))))))
+    val augQ = queries.withColumn(vecCol,
+      concat(transform(col(vecCol), x => x.cast("double")), array(lit(0.0))))
+    (augBase, augQ)
+  }
 }

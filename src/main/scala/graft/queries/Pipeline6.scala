@@ -201,15 +201,32 @@ object Pipeline6 {
   def txReadability(spark: SparkSession, dir: String): DataFrame =
     readability(Tables(spark, dir).documents)
 
-  /** Library form over any (doc_id, text) frame. */
-  def readability(docs: DataFrame): DataFrame = {
-    val nWords = size(TextOps.tokens(col("text"))).cast("long")
-    val sylMark = regexp_replace(lower(col("text")), "[aeiouy]+", "\u0001")
+  /** The count columns behind the Flesch score, over a text column —
+    * shared by the registry row and the M12 corpus card.
+    */
+  private[queries] def readabilityCounts(text: Column): (Column, Column, Column) = {
+    val nWords = size(TextOps.tokens(text)).cast("long")
+    val sylMark = regexp_replace(lower(text), "[aeiouy]+", "\u0001")
     val nSyll = (length(sylMark) - length(translate(sylMark, "\u0001", ""))).cast("long")
-    val sentMark = regexp_replace(col("text"), "[.!?]+", "\u0001")
+    val sentMark = regexp_replace(text, "[.!?]+", "\u0001")
     val nSents = greatest(
       (length(sentMark) - length(translate(sentMark, "\u0001", ""))).cast("long"),
       lit(1L))
+    (nWords, nSents, nSyll)
+  }
+
+  /** The rounded Flesch score from the count columns (the Pipeline5
+    * rounded-ratio convention, shared with M12).
+    */
+  private[queries] def fleschCol(nWords: Column, nSents: Column, nSyll: Column): Column = {
+    val wps = round(nWords.cast("double") / nSents.cast("double"), 4)
+    val spw = round(nSyll.cast("double") / nWords.cast("double"), 4)
+    round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+  }
+
+  /** Library form over any (doc_id, text) frame. */
+  def readability(docs: DataFrame): DataFrame = {
+    val (nWords, nSents, nSyll) = readabilityCounts(col("text"))
     docs.select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
         nSyll.as("n_syll"))
       .withColumn("wps",

@@ -77,6 +77,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "mm_phash_neardup" -> ((3, 0)),
     "tx_bpe_pair_stats" -> ((1, 0)),
     "q_skew_report" -> ((6, 0)),
+    // Round-8 batch 5: MIPS broadcasts the 10 queries and pays the
+    // per-query window; the noisy release and the corpus card are
+    // one-rollup aggregates with map-side noise/signal math.
+    "sim_mips_topk" -> ((1, 1)),
+    "q_dp_counts" -> ((1, 0)),
+    "pipe_corpus_card" -> ((1, 0)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),
