@@ -18,10 +18,44 @@ import org.apache.spark.sql.SparkSession
   * (round 6).
   */
 object ScaleProbe {
+  /** `runMain graft.ScaleProbe query <name>[,<name>…] <sfDir> [runs]`
+    * — time any registry query in the Bench session shape (min of
+    * `runs`, default 2). The single-query iteration loop Bench's
+    * full sweep is too slow for.
+    */
+  private def queryMain(names: String, sfDir: String, runs: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.split(",").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to runs).map { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scaleprobe] $name run $i: $t%.3f s ($n rows)")
+        t
+      }
+      println(f"[scaleprobe] $name min=${times.min}%.3f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("query")) {
+      queryMain(args(1), args(2), if (args.length > 3) args(3).toInt else 2)
+      return
+    }
     require(args.length >= 3 &&
       Set("semantic", "neardup", "semantic_auto", "neardup_auto", "semantic_hier")(args(0)),
-      "usage: ScaleProbe semantic|neardup|semantic_auto|neardup_auto|semantic_hier <sfDir> <k|planes|target> [...]")
+      "usage: ScaleProbe semantic|neardup|semantic_auto|neardup_auto|semantic_hier <sfDir> <k|planes|target> [...] | query <name> <sfDir> [runs]")
     val sfDir = args(1)
     // For the *_auto modes this is the TARGET cluster/bucket size
     // (the knob itself derives from the data count).

@@ -185,6 +185,29 @@ object Dedup {
   def minhashSignature(text: Column, n: Int, k: Int, seed: Long): Column =
     minhashFromHashes(shingleHashes(text, n), k, seed)
 
+  /** (doc, sig, band, bucket) rows from a (doc, sig) frame: band
+    * bucket = rolling-hash fold of the band's signature slice mod P
+    * (reproducible in SQL, unlike murmur3). Map-shaped.
+    */
+  private[graft] def bandBucketsOf(
+      signed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    signed.select(
+      col("doc"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            lit(0L), (acc, v) => (acc * 31 + v) % P))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Signature-agreement estimate of Jaccard between two minhash
+    * signatures of length k, rounded to 4 dp.
+    */
+  private[graft] def sigAgreement(sigA: Column, sigB: Column, k: Int): Column =
+    round(aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k, 4)
+
   /** LSH candidate pairs: signatures banded (`bands` × `rowsPerBand`
     * = k); docs sharing any band bucket are candidates. Shuffle is
     * on (band, bucket-hash) only. Returns pairs with their
@@ -226,14 +249,7 @@ object Dedup {
     // Band bucket = rolling-hash fold of the band's signature slice
     // (not murmur3): same join semantics, reproducible in the SQL
     // oracle.
-    val banded = signed.select(
-      $"doc", $"sig",
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => aggregate(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)),
-            lit(0L), (acc, v) => (acc * 31 + v) % P))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandBucketsOf(signed, bands, rowsPerBand)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -242,11 +258,90 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
-      .withColumn("est_jaccard",
-        round(aggregate(
-          zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k, 4))
+      .withColumn("est_jaccard", sigAgreement($"sig_a", $"sig_b", k))
       .select($"doc_a", $"doc_b", $"est_jaccard")
+  }
+
+  /** Incremental MinHash-LSH dedup against a PERSISTED signature
+    * store — the daily-crawl-increment pattern: each new batch is
+    * deduped (a) within itself and (b) against every document ever
+    * kept, WITHOUT rescanning any prior batch's text. The store at
+    * `storeDir` is a parquet dir of (doc, sig) — signatures only,
+    * ~k longs per kept doc; band buckets are recomputed from the
+    * stored sigs by map-side HOF math (no text, no re-tokenize).
+    *
+    * Semantics: a new doc is dropped if its signature agreement with
+    * any STORED doc ≥ `simThreshold` (store wins), or with a KEPT
+    * smaller-id doc of the same batch (component-min survivor via
+    * CC, matching [[minhashLsh]] + connected-components semantics).
+    * Empty-shingle docs (shorter than n tokens) are kept but not
+    * stored — they cannot be near-dups under this shingling and
+    * would otherwise form one gigantic LSH bucket.
+    *
+    * Scale shape (100 TB corpus, daily increments): the batch is
+    * signed in one map pass; the only exchanges are the (band,
+    * bucket) joins — batch×batch and batch×store — both bucket-
+    * bounded, never all-pairs; the store side reads only the
+    * signature parquet (k·8 bytes per historical doc, NOT the
+    * corpus). Returns the kept rows of `newDocs` (all columns) and
+    * appends the kept signatures to the store.
+    */
+  def incrementalNearDup(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      storeDir: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L,
+      simThreshold: Double = 0.7
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+
+    val signedAll = newDocs
+      .select(col(idCol).as("doc"),
+        graft.functions.MinHashSig(col(textCol), n, k, seed).as("sig"))
+      .localCheckpoint(true)
+    val signed = signedAll.filter(col("sig")(0) < P)
+
+    // (a) intra-batch: verified near-dup pairs → CC → survivor =
+    // component min; everything else in a component drops.
+    val pairs = minhashLsh(newDocs, textCol, idCol, n, bands, rowsPerBand, seed)
+      .filter(col("est_jaccard") >= simThreshold)
+    val intraDropped = connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc"))
+    val intraKept = signed.join(intraDropped, Seq("doc"), "left_anti")
+
+    // (b) cross-store: batch buckets ⋈ store buckets, verify on full
+    // signatures. Missing/empty store = first batch, nothing drops.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val store =
+      if (fs.exists(storePath)) spark.read.parquet(storeDir)
+      else Seq.empty[(Long, Array[Long])].toDF("doc", "sig")
+    val batchB = bandBucketsOf(intraKept, bands, rowsPerBand)
+    val storeB = bandBucketsOf(
+      store.select(col("doc"), col("sig")), bands, rowsPerBand)
+    val crossDropped = batchB.as("a")
+      .join(storeB.as("b"), $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
+      .select($"a.doc".as("doc"), $"b.doc".as("store_doc"),
+        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+      .dropDuplicates("doc", "store_doc")
+      .filter(sigAgreement($"sig_a", $"sig_b", k) >= simThreshold)
+      .select(col("doc")).distinct()
+
+    val kept = intraKept.join(crossDropped, Seq("doc"), "left_anti")
+      .localCheckpoint(true) // sever from the store read below before appending
+    kept.write.mode("append").parquet(storeDir)
+
+    val keptIds = kept.select(col("doc"))
+      .union(signedAll.filter(col("sig")(0) === P).select(col("doc")))
+    newDocs.join(keptIds.withColumnRenamed("doc", idCol), Seq(idCol), "left_semi")
   }
 
   /** Number of SimHash bits: two independent 30-bit rolling hashes

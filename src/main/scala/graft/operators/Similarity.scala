@@ -595,4 +595,29 @@ object Similarity {
       concat(transform(col(vecCol), x => x.cast("double")), array(lit(0.0))))
     (augBase, augQ)
   }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dims with a
+    * deterministic ±1 sign matrix (Achlioptas), as ONE map-side HOF
+    * pass returning the projected vector as ×10⁶ fixed-point longs.
+    * Per-element terms are quantized BEFORE summation so the result
+    * is exact integer math — reproducible under any evaluation order
+    * and across engines. This is the scale path (zero shuffles,
+    * one pass); the exploded formulation in the `sim_rp_project`
+    * registry row is its oracle-able twin (spec-pinned equal).
+    */
+  def randomProjectFx(vec: Column, outDim: Int): Column =
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          round(x.cast("double") * lit(1000000.0), 0).cast("long") * rpSign(i, j)),
+        lit(0L), (acc, v) => acc + v))
+
+  /** Deterministic ±1 sign for (element i, output dim j) — the
+    * shared closed-form LCG mix, parity as the sign bit. Must stay
+    * identical to the SQL-side formula in `sim_rp_project`.
+    */
+  def rpSign(i: Column, j: Column): Column =
+    when(((i.cast("long") * lit(2654435761L) + j.cast("long") * lit(40503L)
+      + lit(1013904223L)) % lit(1000000007L)) % lit(2L) === lit(0L), lit(1L))
+      .otherwise(lit(-1L))
 }

@@ -83,6 +83,14 @@ class ExchangeBudgetSpec extends SparkSpec {
     "sim_mips_topk" -> ((1, 1)),
     "q_dp_counts" -> ((1, 0)),
     "pipe_corpus_card" -> ((1, 0)),
+    // q_pagerank checkpoints every SECOND iteration, so the final
+    // plan carries the last (odd) iteration's exchanges on top of
+    // the checkpointed rank table: rank join + contribution agg +
+    // dangling agg + final assembly = 8 shuffles of NODE-sized rows
+    // (never edge- or corpus-sized), nation + dangling broadcast.
+    "q_pagerank" -> ((8, 2)),
+    "sim_rp_project" -> ((1, 1)),
+    "q_change_detect" -> ((2, 0)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),
