@@ -26,6 +26,14 @@ object Sampling {
       (pmod(id, lit(1000000007L)) * lit(2654435761L) + lit(1013904223L)) % lit(1000000007L),
       lit(buckets))
 
+  /** Deterministic k-fold assignment: fold = mixed-id bucket in
+    * [0, k). Same closed-form mix as [[idBucket]], so any engine
+    * reproduces the folds; map-only (no shuffle) and stable across
+    * runs/partitionings — the cross-validation analogue of
+    * [[splitAssign]].
+    */
+  def kfold(id: Column, k: Int): Column = idBucket(id, k)
+
   /** Train/val/test assignment by id bucket percentage:
     * [0, trainPct) → train, [trainPct, trainPct+valPct) → val,
     * rest → test.

@@ -91,6 +91,18 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_pagerank" -> ((8, 2)),
     "sim_rp_project" -> ((1, 1)),
     "q_change_detect" -> ((2, 0)),
+    // Batch 7: triangle counting's 5 are edge-agg + degree-agg + the
+    // two orientation joins + the per-node rollup (wedge/closing
+    // joins reuse the checkpointed oriented-edge partitioning);
+    // blocked-ER's corpus agg is checkpointed so the three consumers
+    // pay it once; PMI's 2 are the unigram/bigram corpus aggs, the
+    // 4 broadcasts are the vocab-bounded unigram table (×2) + the
+    // two 1-row totals.
+    "q_triangle_count" -> ((5, 0)),
+    "q_gini" -> ((1, 1)),
+    "dd_blocked_er" -> ((2, 1)),
+    "sm_kfold" -> ((1, 0)),
+    "tx_pmi_bigrams" -> ((2, 4)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),

@@ -20,7 +20,10 @@ class PlanGuardSpec extends SparkSpec {
   private val allow: Map[String, (Int, String)] = Map(
     "sim_hybrid_rrf" -> ((2,
       "both windows rank candidate lists already heap-limited to " +
-        "<=50 rows (Pipeline3 lex/vec subtrees); constant-size at any corpus scale"))
+        "<=50 rows (Pipeline3 lex/vec subtrees); constant-size at any corpus scale")),
+    "tx_pmi_bigrams" -> ((1,
+      "rank window runs AFTER a TakeOrderedAndProject limit(20) — " +
+        "constant 20 input rows at any corpus scale"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {
