@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharPairs, CosineSim, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
+import graft.functions.{CharPairs, CosineSim, DeflateLen, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeflateLen(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_wkb_point"),
       new ExpressionInfo(classOf[WkbPointXY].getName, "graft_wkb_point"),

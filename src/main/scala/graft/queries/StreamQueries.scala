@@ -339,6 +339,153 @@ object StreamQueries {
     out
   }
 
+  /** I12: watermarked stream-stream LEFT OUTER join — the semantics
+    * I8's inner join cannot express: clicks with NO error within the
+    * hour must still emit (null-matched), which the engine can only
+    * do once the watermark proves no matching error can still
+    * arrive. Mechanics under test: two far-future SENTINEL files
+    * (user −1, filtered from the result) are delivered as their own
+    * micro-batches after the real backlog, so the event-time
+    * watermark — computed from data through batch N−1 and applied in
+    * batch N — advances past every real click's join window and
+    * flushes the unmatched left state. Without the second sentinel
+    * batch the unmatched rows would sit in state forever and the
+    * result would silently equal the INNER join on the tail. The
+    * oracle is the plain batch LEFT JOIN twin.
+    */
+  def stSsLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_ss_lo_")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsType = raw.schema("ts").dataType
+    val maxUs = raw.agg(max(graft.Tables.tsMicrosExpr(tsType, col("ts"))))
+      .head().getLong(0)
+    val dayUs = 86400000000L
+    def sentinel(us: Long, idBase: Long) =
+      Seq("click" -> idBase, "error" -> (idBase - 1)).map { case (et, id) =>
+        spark.range(1).select(
+          lit(id).as("event_id"),
+          graft.Tables.tsBoundLit(tsType, us).as("ts"),
+          lit(-1L).as("user_id"),
+          lit(et).as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props"))
+      }.reduce(_ unionAll _)
+    // Plain Files.copy stamps "now" as mtime, which would sort the
+    // real backlog AFTER the sentinels in the source's mtime-ordered
+    // delivery — the sentinels would advance the watermark first and
+    // every real click would arrive late and be dropped. Pin all
+    // three mtimes explicitly.
+    val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("a_events.parquet"))
+    Files.setLastModifiedTime(stage.resolve("a_events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(base))
+    stageSinglePart(sentinel(maxUs + 30 * dayUs, -1L),
+      Seq(stage.resolve("y_sentinel1.parquet") -> (base + 30000L)))
+    stageSinglePart(sentinel(maxUs + 60 * dayUs, -3L),
+      Seq(stage.resolve("z_sentinel2.parquet") -> (base + 60000L)))
+    val schema = raw.schema
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .transform(graft.Tables.normalizeTs(_))
+        .filter(col("event_type") === eventType)
+        .select(
+          col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val pairs = side("click", "c").join(
+      side("error", "e"),
+      expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 1 hour"),
+      "leftOuter")
+    val qName = "st_ss_leftouter_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = pairs.writeStream
+        .format("memory")
+        .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    val agg = spark.table(qName)
+      .filter(col("c_user") >= 0)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("e_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("e_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+    val rows = java.util.Arrays.asList(agg.collect(): _*)
+    val out = spark.createDataFrame(rows, agg.schema)
+    spark.catalog.dropTempView(qName)
+    deleteRecursively(stage)
+    out
+  }
+
+  /** Batch LEFT JOIN twin: every click row, matched or not. */
+  val stSsLeftOuterSql: String =
+    """SELECT c.user_id,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN e.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(sum(CASE WHEN e.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      |GROUP BY c.user_id""".stripMargin
+
+  /** I13: UPDATE-mode streaming aggregation — the third output-mode
+    * semantics beside append (I4's watermark-gated windows) and the
+    * foreachBatch path (I9): an unwindowed running per-type count
+    * whose state lives across micro-batches and re-emits each key's
+    * new total whenever it changes. The backlog is delivered as
+    * three interleaved micro-batches (the CDC stage's residue
+    * slices), so every key updates in every batch and the memory
+    * sink accumulates a SEQUENCE of totals per key; counts are
+    * monotone, so the final state is max-per-key, which must equal
+    * the plain batch aggregate.
+    */
+  def stUpdateAgg(spark: SparkSession, dir: String): DataFrame = {
+    val stage = cdcStage(spark, dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val counts = graft.Tables.normalizeTs(stream)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val qName = "st_update_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = counts.writeStream
+        .format("memory")
+        .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    val agg = spark.table(qName)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"))
+    val rows = java.util.Arrays.asList(agg.collect(): _*)
+    val out = spark.createDataFrame(rows, agg.schema)
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
+  /** The final update per key is the plain batch count. */
+  val stUpdateAggSql: String =
+    """SELECT event_type, count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Batch self-join twin of the streaming click→error funnel. */
   val stStreamStreamJoinSql: String =
     """SELECT c.user_id,

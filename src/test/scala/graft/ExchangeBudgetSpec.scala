@@ -103,6 +103,37 @@ class ExchangeBudgetSpec extends SparkSpec {
     "dd_blocked_er" -> ((2, 1)),
     "sm_kfold" -> ((1, 0)),
     "tx_pmi_bigrams" -> ((2, 4)),
+    // Batch 8: seasonal = two bounded aggs (type×7 / type,
+    // broadcast-joined); holt = daily rollup + per-type series agg;
+    // RAKE = token window + phrase agg + word/phrase rollups + the
+    // distinct-phrase word join (vocab-bounded after phrase agg);
+    // deflate ratio is map-only.
+    "q_seasonal_index" -> ((2, 1)),
+    "q_holt" -> ((2, 0)),
+    "tx_rake_keywords" -> ((5, 1)),
+    "tx_compress_ratio" -> ((0, 0)),
+    // Batch 9: window-distinct = dedup + day-table + fanout join +
+    // count-distinct agg; assoc = basket-array agg (checkpointed)
+    // + pair/type/total rollups (pair fanout is map-side — no
+    // basket self-join); reservoir is pure TakeOrdered (0
+    // exchanges); class-balance = class histogram + rank window +
+    // final rollup with the 1-row min broadcast.
+    "q_window_distinct" -> ((4, 1)),
+    "q_assoc_rules" -> ((4, 3)),
+    "sm_reservoir" -> ((0, 0)),
+    "sm_class_balance" -> ((3, 1)),
+    // Batch 10: codec roundtrip = one agg over the zstd stage;
+    // ab-lift = one conditional agg; lag-ratio = daily rollup +
+    // day-bounded window; multikey-ER = the two star-edge window
+    // passes collapse into the checkpointed CC rounds' exchanges;
+    // rare-tokens = type agg + doc rollup (GlobalRank's sort is
+    // RDD-side, its exchange shows as the one extra broadcast of
+    // the quartile table).
+    "src_codec_roundtrip" -> ((1, 0)),
+    "q_ab_lift" -> ((1, 0)),
+    "q_lag_ratio" -> ((2, 0)),
+    "dd_multikey_er" -> ((2, 1)),
+    "tx_rare_tokens" -> ((1, 1)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),

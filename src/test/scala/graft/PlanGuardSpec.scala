@@ -23,6 +23,9 @@ class PlanGuardSpec extends SparkSpec {
         "<=50 rows (Pipeline3 lex/vec subtrees); constant-size at any corpus scale")),
     "tx_pmi_bigrams" -> ((1,
       "rank window runs AFTER a TakeOrderedAndProject limit(20) — " +
+        "constant 20 input rows at any corpus scale")),
+    "tx_rake_keywords" -> ((1,
+      "rank window runs AFTER a TakeOrderedAndProject limit(20) — " +
         "constant 20 input rows at any corpus scale"))
   )
 

@@ -76,6 +76,10 @@ class FunctionsSpec extends SparkSpec {
         .getOrCreate()
       val h = s.sql("SELECT graft_rolling_hash('ab') AS h").head().getLong(0)
       assert(h == 97L * 31 + 98)
+      val dl = s.sql("SELECT graft_deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS d")
+        .head().getLong(0)
+      assert(dl ==
+        graft.functions.DeflateLen.deflatedLength(("a" * 24).getBytes("UTF-8")))
       val t = s.sql("SELECT graft_wkb_type(X'0101000000') AS t").head().getInt(0)
       assert(t == 1)
       val c = s.sql(
