@@ -134,6 +134,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_lag_ratio" -> ((2, 0)),
     "dd_multikey_er" -> ((2, 1)),
     "tx_rare_tokens" -> ((1, 1)),
+    // Batch 11: lineage = one rollup over the partitioned stage;
+    // drawdown = daily rollup + day-bounded window/agg;
+    // release-manifest = one bounded agg downstream of the
+    // session-cached M1 survivors.
+    "src_file_lineage" -> ((1, 0)),
+    "q_drawdown" -> ((2, 0)),
+    "pipe_release_manifest" -> ((1, 0)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),
