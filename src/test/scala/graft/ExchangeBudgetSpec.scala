@@ -141,6 +141,18 @@ class ExchangeBudgetSpec extends SparkSpec {
     "src_file_lineage" -> ((1, 0)),
     "q_drawdown" -> ((2, 0)),
     "pipe_release_manifest" -> ((1, 0)),
+    // Round-8 batch 12: line-dedup's exchanges are the segment-hash
+    // df agg + the two doc-keyed reassembly joins (AQE broadcasts
+    // the boilerplate set and the kept-idx table at test sf);
+    // markov = user window + vocab²-bounded pair agg + its tiny
+    // row-normalizing window; confusion = 16-row agg + its window;
+    // length-buckets = the N9 two-phase shape (one corpus
+    // (bucket,sub) exchange, offsets agg + tiny window, broadcast
+    // offsets join).
+    "dd_line_dedup" -> ((3, 2)),
+    "q_markov_transitions" -> ((3, 0)),
+    "tx_lang_confusion" -> ((2, 0)),
+    "sm_length_buckets" -> ((3, 1)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),
