@@ -153,6 +153,19 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_markov_transitions" -> ((3, 0)),
     "tx_lang_confusion" -> ((2, 0)),
     "sm_length_buckets" -> ((3, 1)),
+    // Round-8 batch 13: weighted median pays the value-compaction
+    // agg + the per-flag cumulative window on the COMPACTED table;
+    // skyline pays the per-date agg + the bounded-window frontier,
+    // then broadcasts the frontier back (no self-join exchange);
+    // regression is one moment-sketch agg; benford's 2nd/3rd
+    // shuffles move <=9 digit rows (total agg + re-agg) and the
+    // 1-row total broadcasts; bearing is the lag-window user
+    // exchange only.
+    "q_weighted_median" -> ((2, 0)),
+    "q_skyline" -> ((2, 1)),
+    "q_regression" -> ((1, 0)),
+    "q_benford" -> ((3, 1)),
+    "geo_bearing" -> ((1, 0)),
     "tx_gopher_rules" -> ((0, 0)),
     "sm_importance_weight" -> ((0, 0)),
     "dd_soft_dedup" -> ((1, 2)),

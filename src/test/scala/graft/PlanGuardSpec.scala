@@ -26,7 +26,10 @@ class PlanGuardSpec extends SparkSpec {
         "constant 20 input rows at any corpus scale")),
     "tx_rake_keywords" -> ((1,
       "rank window runs AFTER a TakeOrderedAndProject limit(20) — " +
-        "constant 20 input rows at any corpus scale"))
+        "constant 20 input rows at any corpus scale")),
+    "q_skyline" -> ((1,
+      "running-max window runs on the per-DATE compacted table — " +
+        "calendar-bounded (~2.4k rows/decade) at any corpus scale"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {
