@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharPairs, CosineSim, DeflateLen, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
+import graft.functions.{CharPairs, CosineSim, DeflateLen, JaroWinkler, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_word_bigrams"),
       new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),

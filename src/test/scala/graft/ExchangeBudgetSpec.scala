@@ -298,6 +298,20 @@ class ExchangeBudgetSpec extends SparkSpec {
     "sim_hybrid_rrf" -> ((1, 2)),
     "dd_cluster_rep" -> ((1, 1)),
     "q_psi_drift" -> ((3, 3)),
+    // Round-8 batch 14: jaro-winkler pairs broadcast one side of the
+    // block join at this sf (a real corpus sort-merges on the block
+    // key — still no cartesian); zipf/hapax pay the corpus (source,
+    // token) compaction + the bounded-table rollup; interval merge is
+    // the single user-key exchange (windows + rollup reuse it); mode
+    // pays the (user,type) compaction + the argmax window on the
+    // compacted table; chi2's 4 post-cell exchanges all move the
+    // split×source-bounded cells, plus the 1-row total broadcast.
+    "dd_jaro_winkler" -> ((0, 1)),
+    "tx_zipf_slope" -> ((2, 0)),
+    "tx_hapax_ratio" -> ((2, 0)),
+    "q_interval_merge" -> ((1, 0)),
+    "q_mode" -> ((2, 0)),
+    "sm_split_chi2" -> ((5, 1)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),

@@ -85,6 +85,9 @@ class FunctionsSpec extends SparkSpec {
       val c = s.sql(
         "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
       assert(c == 1.0)
+      val jwv = s.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS j")
+        .head().getDouble(0)
+      assert(math.abs(jwv - 0.9611111111111111) < 1e-12)
       val bg = s.sql("SELECT graft_word_bigrams('a b c') AS b").head().getSeq[String](0)
       assert(bg == Seq("a b", "b c"))
       val rt = s.sql("SELECT graft_wkb_point(graft_wkb_from_xy(2.5D, -3.5D)) AS p")

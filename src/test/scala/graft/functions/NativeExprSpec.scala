@@ -44,6 +44,34 @@ class NativeExprSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("JaroWinkler pins the classic vectors and the DuckDB edge conventions") {
+    // Expected values are DuckDB jaro_winkler_similarity outputs
+    // (the oracle engine), probed directly; they encode the textbook
+    // definition plus DuckDB's conventions: empty→0 (even both
+    // empty), boost only when jaro > 0.7, prefix cap 4, and
+    // INTEGER halving of the out-of-order count (fuzz-verified
+    // equal on 20k random pairs — float halving diverges on
+    // odd-count cases).
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("CRATE", "TRACE", 0.7333333333333334), // jaro>0.7 but prefix 0
+      ("abcdxxxxxx", "abcdyyyyyyzzzz", 0.5619047619047619), // prefix 4 but jaro<=0.7: NO boost
+      ("ab", "abcdefghijklmnop", 0.7666666666666667), // boost applies just above threshold
+      ("abcdefg", "gfedcba", 0.5079365079365079), // window-limited matches
+      ("same", "same", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "b", 0.0)
+    )
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(graft.functions.JaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+    cases.map(_._3).zip(got).zipWithIndex.foreach { case ((exp, g), i) =>
+      assert(math.abs(g - exp) < 1e-12, s"case $i: expected $exp got $g")
+    }
+  }
+
   test("WkbFromXY round-trips through WkbPointXY") {
     val pts = Seq((1.5, -2.25), (0.0, 0.0), (-179.9, 89.9)).toDF("x", "y")
     val rt = pts
