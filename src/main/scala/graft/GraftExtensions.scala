@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharPairs, CosineSim, DeflateLen, JaroWinkler, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WordBigrams}
+import graft.functions.{CharPairs, CosineSim, DeflateLen, JaroWinkler, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WinnowStats, WordBigrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -107,6 +107,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           n = intArg(children(1), "n"),
           k = intArg(children(2), "k"),
           seed = intArg(children(3), "seed").toLong)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_stats"),
+      new ExpressionInfo(classOf[WinnowStats].getName, "graft_winnow_stats"),
+      (children: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow_stats $name must be an integer literal, got $other")
+        }
+        WinnowStats(children(0),
+          k = intArg(children(1), "k"),
+          w = intArg(children(2), "w"))
       }))
   }
 }

@@ -833,4 +833,61 @@ object StreamQueries {
       |  count(*) AS n_events,
       |  round(sum(value), 4) + 0 AS session_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** I14 end-to-end: streaming top-k — the hourly windowed count
+    * per event type runs as a REAL streaming query (file source →
+    * complete mode → memory sink, the I4 path), then the top-3 rank
+    * per window runs as a batch window over the DRAINED sink, whose
+    * size is windows×types-bounded at any corpus scale. This is the
+    * production shape for streaming top-k dashboards: the stream
+    * maintains the (window, key) counts incrementally; ranking
+    * happens on the bounded serving read, never inside the stateful
+    * stage (a rank there would re-sort every key on every
+    * micro-batch and cannot be maintained incrementally in complete
+    * mode).
+    */
+  def stTopkWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_topk_")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
+    val events = graft.Tables.normalizeTs(raw)
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val qName = "st_topk_windowed_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = counts.writeStream
+        .format("memory")
+        .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    val drained = drainMemorySink(spark, qName)
+    deleteRecursively(stage)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    drained
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  val stTopkWindowedSql: String =
+    """WITH c AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, event_type, n, rank FROM (
+      |  SELECT window_start, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start
+      |                       ORDER BY n DESC, event_type) AS rank
+      |  FROM c) x
+      |WHERE rank <= 3""".stripMargin
 }

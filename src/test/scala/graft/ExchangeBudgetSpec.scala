@@ -312,6 +312,38 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_interval_merge" -> ((1, 0)),
     "q_mode" -> ((2, 0)),
     "sm_split_chi2" -> ((5, 1)),
+    // Round-8 batch 15: RFM's three quartile passes are RDD-zip
+    // materializations (exchanges invisible to the final plan, same
+    // as q_ntile); autocorr/streaks pay one corpus compaction + the
+    // calendar-bounded window re-key; OHLC is the single group agg;
+    // JSD's post-checkpoint exchanges all move source×20-bounded
+    // count tables.
+    "q_rfm" -> ((0, 0)),
+    "q_autocorr" -> ((2, 0)),
+    "q_streaks" -> ((2, 0)),
+    "q_ohlc" -> ((1, 0)),
+    "tx_jsd_drift" -> ((4, 3)),
+    // Round-8 batch 16: every post-checkpoint KS exchange moves a
+    // VALUE-bounded table (grid / per-type cum / type-sum; the one
+    // corpus-sized exchange is behind the checkpoint); Mann-Whitney
+    // pays the corpus value-compaction + the N9 two-phase re-keys;
+    // HHI is customer-agg + nation rollup; Kaplan-Meier moves only
+    // user-span and calendar-day tables after the span compaction;
+    // winnowing's single exchange is the per-doc window re-key.
+    "q_ks_test" -> ((11, 5)),
+    "q_mann_whitney" -> ((4, 1)),
+    "q_hhi" -> ((2, 1)),
+    "q_kaplan_meier" -> ((4, 2)),
+    // winnowing is ONE native expression on the scan — map-only;
+    // LPA's per-iteration exchanges hide behind the per-round label
+    // checkpoints (edge build + 3 vote rounds materialize there);
+    // novelty pays the (doc, gram-hash) distinct + the first-
+    // occurrence agg behind one checkpoint boundary; charclass is a
+    // single source-bounded agg.
+    "tx_winnowing" -> ((0, 0)),
+    "q_label_prop" -> ((0, 0)),
+    "tx_ngram_novelty" -> ((2, 1)),
+    "tx_charclass_profile" -> ((1, 0)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),

@@ -29,7 +29,13 @@ class PlanGuardSpec extends SparkSpec {
         "constant 20 input rows at any corpus scale")),
     "q_skyline" -> ((1,
       "running-max window runs on the per-DATE compacted table — " +
-        "calendar-bounded (~2.4k rows/decade) at any corpus scale"))
+        "calendar-bounded (~2.4k rows/decade) at any corpus scale")),
+    "q_mann_whitney" -> ((1,
+      "bucket-offset window runs on the per-$1000-BUCKET aggregate — " +
+        "price-range-bounded (≤ max_price/1000 ≈ 500 rows) at any corpus scale")),
+    "q_kaplan_meier" -> ((1,
+      "at-risk cumulative window runs on the interval-delta day table — " +
+        "calendar-bounded (≤ 2·days rows) at any corpus scale"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {

@@ -95,6 +95,12 @@ class FunctionsSpec extends SparkSpec {
       assert(rt.getDouble(0) == 2.5 && rt.getDouble(1) == -3.5)
       val mh = s.sql("SELECT graft_minhash('a b c d e', 3, 8, 42) AS m").head().getSeq[Long](0)
       assert(mh.length == 8 && mh.forall(_ < 2147483647L))
+      // winnowing stats: 6 tokens -> 4 shingles -> 1 full window
+      val ws = s.sql("SELECT graft_winnow_stats('a b c d e f', 3, 4) AS w")
+        .selectExpr("w.n_fp", "w.min_fp", "w.max_fp").head()
+      assert(ws.getLong(0) == 1L && ws.getLong(1) == ws.getLong(2))
+      assert(s.sql("SELECT graft_winnow_stats('a b c', 3, 4) AS w")
+        .head().isNullAt(0))
       // line/polygon codecs round-trip through SQL, header count reads
       val ln = s.sql(
         """SELECT graft_wkb_coords(graft_wkb_line(array(
