@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharPairs, CosineSim, DeflateLen, JaroWinkler, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, WinnowStats, WordBigrams}
+import graft.functions.{CharPairs, CosineSim, DeflateLen, JaroWinkler, MinHashSig, RollingHash, WkbCoords, WkbFromXY, WkbGeometryType, WkbLineFromCoords, WkbNumPoints, WkbPathLength, WkbPointXY, WkbRingStats, WkbPolygonFromCoords, ShingleHashes, WinnowStats, WordBigrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -120,6 +120,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowStats(children(0),
           k = intArg(children(1), "k"),
           w = intArg(children(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes k must be an integer literal, got $other")
+        }
+        ShingleHashes(children(0), k)
       }))
   }
 }

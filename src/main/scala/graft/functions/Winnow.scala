@@ -35,16 +35,13 @@ object Winnow {
 
   private val P = 1000000007L
 
-  /** Returns (n_fp, min_fp, max_fp) over the deduped selected
-    * shingle hashes, or null when the document has fewer than
-    * k + w − 1 tokens (no full window). Tokens split on single
-    * spaces, empties kept — identical to `split(text, ' ')`.
+  /** All k-shingle hashes of the space-split token sequence, one
+    * tight loop — the RollingHash fold over each space-joined
+    * shingle, no per-shingle string allocation.
     */
-  def stats(text: UTF8String, k: Int, w: Int): InternalRow = {
-    val s = text.toString
-    val toks = s.split(" ", -1)
+  def shingleHashArray(toks: Array[String], k: Int): Array[Long] = {
     val nG = toks.length - k + 1
-    if (nG < w) return null
+    if (nG <= 0) return Array.empty[Long]
     val hs = new Array[Long](nG)
     var i = 0
     while (i < nG) {
@@ -64,6 +61,25 @@ object Winnow {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  /** Array-typed entry point for [[ShingleHashes]]. */
+  def shingleHashes(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingleHashArray(text.toString.split(" ", -1), k))
+
+  /** Returns (n_fp, min_fp, max_fp) over the deduped selected
+    * shingle hashes, or null when the document has fewer than
+    * k + w − 1 tokens (no full window). Tokens split on single
+    * spaces, empties kept — identical to `split(text, ' ')`.
+    */
+  def stats(text: UTF8String, k: Int, w: Int): InternalRow = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    val nG = toks.length - k + 1
+    if (nG < w) return null
+    val hs = shingleHashArray(toks, k)
     var nFp = 0L
     var minFp = Long.MaxValue
     var maxFp = Long.MinValue
@@ -120,4 +136,34 @@ case class WinnowStats(child: Expression, k: Int, w: Int)
 object WinnowStats {
   def apply(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowStats(GraftBridge.expression(c), k, w))
+}
+
+/** `ShingleHashes(text, k)` — all k-token-shingle RollingHash values
+  * as `array<bigint>` in one codegen pass (empty array below k
+  * tokens). The native replacement for the interpreted
+  * `transform(sequence(...), i -> RollingHash(concat_ws(...)))`
+  * composition, which re-allocates a shingle string per position and
+  * evaluates its lambda interpreted (HOFs are CodegenFallback).
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"k must be positive: $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Winnow.shingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Winnow.shingleHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(c: Column, k: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k))
 }

@@ -90,17 +90,14 @@ object Pipeline20 {
     */
   def txNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // Native one-pass shingle hashing (graft.functions.ShingleHashes)
+    // — the transform(sequence, i -> RollingHash(concat_ws(...)))
+    // composition evaluates interpreted and allocates a shingle
+    // string per position (measured 11.6 s vs 0.9 s at sf0.1);
+    // <5-token docs yield an empty array, which explode drops.
     val grams = t.documents
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
-        when(size(col("t")) >= 5,
-          transform(sequence(lit(1), size(col("t")) - 4),
-            i => RollingHash(concat_ws(" ",
-              element_at(col("t"), i), element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2), element_at(col("t"), i + 3),
-              element_at(col("t"), i + 4)))))
-          .otherwise(typedLit(Seq.empty[Long])).as("hs"))
-      .select(col("doc_id"), explode(col("hs")).as("g"))
+        explode(graft.functions.ShingleHashes(col("text"), 5)).as("g"))
       .distinct()
       .localCheckpoint(true)
     val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))

@@ -341,9 +341,20 @@ class ExchangeBudgetSpec extends SparkSpec {
     // occurrence agg behind one checkpoint boundary; charclass is a
     // single source-bounded agg.
     "tx_winnowing" -> ((0, 0)),
-    "q_label_prop" -> ((0, 0)),
+    // LPA's visible 4 = the post-checkpoint final round (vote join +
+    // two aggs) + the seed-label distinct; earlier rounds sit behind
+    // the every-2nd-iteration checkpoint.
+    "q_label_prop" -> ((4, 0)),
     "tx_ngram_novelty" -> ((2, 1)),
     "tx_charclass_profile" -> ((1, 0)),
+    // Round-8 batch 18: rolling corr moves only the calendar×types
+    // grid after its checkpointed compaction; Welch reduces to one
+    // six-moment row; point-along pays the per-user window re-key;
+    // the malformed read is one scan + bounded agg.
+    "q_rolling_corr" -> ((4, 3)),
+    "q_welch_ttest" -> ((1, 1)),
+    "geo_point_along" -> ((1, 0)),
+    "src_malformed_jsonl" -> ((1, 0)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),

@@ -101,6 +101,11 @@ class FunctionsSpec extends SparkSpec {
       assert(ws.getLong(0) == 1L && ws.getLong(1) == ws.getLong(2))
       assert(s.sql("SELECT graft_winnow_stats('a b c', 3, 4) AS w")
         .head().isNullAt(0))
+      // shingle hashes: 4 tokens -> 2 trigram hashes, 'a b c' first
+      val sh = s.sql("SELECT graft_shingle_hashes('a b c d', 3) AS h")
+        .head().getSeq[Long](0)
+      val abc = s.sql("SELECT graft_rolling_hash('a b c') AS h").head().getLong(0)
+      assert(sh.length == 2 && sh.head == abc)
       // line/polygon codecs round-trip through SQL, header count reads
       val ln = s.sql(
         """SELECT graft_wkb_coords(graft_wkb_line(array(
