@@ -355,6 +355,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_welch_ttest" -> ((1, 1)),
     "geo_point_along" -> ((1, 0)),
     "src_malformed_jsonl" -> ((1, 0)),
+    // Round-8 batch 19: percent-rank re-sorts within the nation key
+    // once (rank asc/desc share the exchange); cusum is the corpus
+    // compaction + calendar-bounded windows; modality balance moves
+    // only the 3-row modality table after its map-side agg.
+    "q_percent_rank" -> ((1, 1)),
+    "q_cusum" -> ((2, 0)),
+    "mm_modality_balance" -> ((3, 1)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
