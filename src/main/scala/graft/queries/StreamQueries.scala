@@ -879,6 +879,64 @@ object StreamQueries {
       .filter(col("rank") <= 3)
   }
 
+  /** I15 end-to-end: checkpoint RESUME — the production property
+    * that a restarted streaming job continues from its committed
+    * offsets instead of reprocessing the backlog. Run 1 sees only
+    * file A (even event_ids) and terminates; file B lands; run 2
+    * starts a NEW query instance on the SAME checkpoint and must
+    * process only B. The sink is a plain APPEND parquet write —
+    * deliberately non-idempotent, so any reprocessing of A on
+    * restart doubles its rows and the oracle compare goes red; the
+    * exactly-once-effects story therefore rests on the offset log,
+    * not on sink-side dedup (I9 proves the complementary
+    * idempotent-sink contract).
+    */
+  def stCheckpointResume(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_resume_")
+    val sinkDir = Files.createTempDirectory("graft_stream_resume_sink_")
+    val sink = sinkDir.resolve("out").toString
+    val ckpt = scratchCheckpointDir()
+    val t = graft.Tables(spark, dir)
+    val slim = t.events.select(col("event_id"), col("event_type"), col("value"))
+    val base = System.currentTimeMillis() - 120000L
+    stageSinglePart(slim.filter(pmod(col("event_id"), lit(2)) === 0),
+      Seq((stage.resolve("a_events.parquet"), base)))
+    def runOnce(): Unit = withStreamingShufflePartitions(spark, 4) {
+      val raw = spark.readStream
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(stage.toString)
+      val q = raw.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(sink)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // backlog = A only; offsets for A commit to the checkpoint
+    stageSinglePart(slim.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq((stage.resolve("b_events.parquet"), base + 60000L)))
+    runOnce() // restart: must pick up ONLY B
+    val agg = spark.read.parquet(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    val rows = java.util.Arrays.asList(agg.collect(): _*)
+    val out = spark.createDataFrame(rows, agg.schema)
+    deleteRecursively(ckpt)
+    deleteRecursively(stage)
+    deleteRecursively(sinkDir)
+    out
+  }
+
+  /** Every event exactly once across the two runs ⇒ the plain batch
+    * aggregate (the A16/A17 twin).
+    */
+  val stCheckpointResumeSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(value), 4) + 0 AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val stTopkWindowedSql: String =
     """WITH c AS (
       |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -362,6 +362,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_percent_rank" -> ((1, 1)),
     "q_cusum" -> ((2, 0)),
     "mm_modality_balance" -> ((3, 1)),
+    // Round-8 batch 20: Lorenz pays the customer compaction + the
+    // GlobalRank materialization boundary + 10-row-table moves;
+    // threshold curve's exchanges all move the pair-bounded tagged
+    // table behind the session-cached E4 pairs checkpoint.
+    "q_lorenz" -> ((4, 1)),
+    "dd_threshold_curve" -> ((3, 0)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),

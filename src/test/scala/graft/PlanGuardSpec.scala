@@ -35,7 +35,11 @@ class PlanGuardSpec extends SparkSpec {
         "price-range-bounded (≤ max_price/1000 ≈ 500 rows) at any corpus scale")),
     "q_kaplan_meier" -> ((1,
       "at-risk cumulative window runs on the interval-delta day table — " +
-        "calendar-bounded (≤ 2·days rows) at any corpus scale"))
+        "calendar-bounded (≤ 2·days rows) at any corpus scale")),
+    "q_lorenz" -> ((1,
+      "cumulative-share window runs on the 10-row decile aggregate — " +
+        "constant-size at any corpus scale (customer tiling is the " +
+        "range-partitioned GlobalRank.ntileExact, not a window)"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {
