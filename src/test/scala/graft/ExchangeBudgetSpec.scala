@@ -368,6 +368,14 @@ class ExchangeBudgetSpec extends SparkSpec {
     // table behind the session-cached E4 pairs checkpoint.
     "q_lorenz" -> ((4, 1)),
     "dd_threshold_curve" -> ((3, 0)),
+    // Round-8 batch 21: the windowed funnel pays the user-anchor
+    // window + the two per-user conditional aggs; prefix rollup is
+    // customer compaction + the 4-level rollup; MMR's 16 all move
+    // query×8-bounded candidate/sim tables behind the two
+    // checkpoints (the greedy unroll re-keys tiny tables per step).
+    "q_funnel_windowed" -> ((3, 1)),
+    "q_prefix_rollup" -> ((2, 0)),
+    "sim_mmr" -> ((16, 0)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
