@@ -376,6 +376,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_funnel_windowed" -> ((3, 1)),
     "q_prefix_rollup" -> ((2, 0)),
     "sim_mmr" -> ((16, 0)),
+    // Round-8 batch 22: grid cluster's 4 move cell-/dense-bounded
+    // tables after the checkpointed histogram (CC rounds sit behind
+    // their per-round checkpoints); growth accounting = the
+    // (user,day) distinct + the lag re-key + the daily rollup.
+    "geo_grid_cluster" -> ((4, 0)),
+    "q_growth_accounting" -> ((3, 0)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
