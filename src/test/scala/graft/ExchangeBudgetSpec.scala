@@ -382,6 +382,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // (user,day) distinct + the lag re-key + the daily rollup.
     "geo_grid_cluster" -> ((4, 0)),
     "q_growth_accounting" -> ((3, 0)),
+    // Round-8 batch 23: attribution = the user-anchor window + the
+    // bounded per-type rollup; overlap = the (user,type) distinct +
+    // the type-vocab self-join + types^2-bounded finals (3 tiny
+    // broadcasts).
+    "q_attribution" -> ((2, 0)),
+    "q_audience_overlap" -> ((3, 3)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
