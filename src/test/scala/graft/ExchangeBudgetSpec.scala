@@ -388,6 +388,11 @@ class ExchangeBudgetSpec extends SparkSpec {
     // broadcasts).
     "q_attribution" -> ((2, 0)),
     "q_audience_overlap" -> ((3, 3)),
+    // Round-8 batch 24: concurrency = endpoint compaction + per-type
+    // window; time split = day histogram + boundary window + the
+    // 3-row report (boundary and totals broadcast back).
+    "q_peak_concurrency" -> ((2, 0)),
+    "sm_time_split" -> ((3, 2)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
