@@ -133,4 +133,59 @@ object RefQueries {
       |    WHEN event_type = 'purchase' THEN 'polygons'
       |    ELSE 'other' END AS geometry_family
       |FROM events WHERE event_type IN ('error', 'signup', 'purchase')""".stripMargin
+
+  /** J6: health — the second dual-theme sector query (queries.yml
+    * `health`: places filter `categories.primary =
+    * 'health_and_medical'`, building_filter `subtype = 'medical'`)
+    * — same multilayer shape as J3 with its own filter pair and
+    * sector metadata.
+    */
+  def refHealth(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val layers = OvertureReader.readMultilayer(t, Seq(
+      "place" -> ReadRequest("customer",
+        columns = Seq("c_custkey as id", "c_name as name"),
+        filter = Some("c_mktsegment = 'MACHINERY'")),
+      "building" -> ReadRequest("supplier",
+        columns = Seq("s_suppkey as id", "s_name as name"),
+        filter = Some("s_nationkey = '4'"))))
+      .withColumnRenamed("source_type", "feature_type")
+    Normalize.addMetadata(
+      Normalize.orderColumnsForPublish(layers),
+      "NPL", "Nepal", Some("Health Facilities"), Date)
+  }
+
+  val refHealthSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey AS id, c_name AS name, 'place' AS feature_type,
+      |    '2026-01-01T00:00:00' AS processed_date, 'NPL' AS country_iso3,
+      |    'Nepal' AS country_name, 'Health Facilities' AS data_sector
+      |  FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |  UNION ALL
+      |  SELECT s_suppkey AS id, s_name AS name, 'building' AS feature_type,
+      |    '2026-01-01T00:00:00' AS processed_date, 'NPL' AS country_iso3,
+      |    'Nepal' AS country_name, 'Health Facilities' AS data_sector
+      |  FROM supplier WHERE s_nationkey = 4) x""".stripMargin
+
+  /** J7: places — the unfiltered whole-theme select (queries.yml
+    * `places`: theme=places, type=place, NO filter — "comprehensive
+    * points of interest"), normalized and metadata-stamped like
+    * every published sector.
+    */
+  def refPlaces(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val raw = OvertureReader.read(t, ReadRequest("customer",
+      columns = Seq("c_custkey as id", "c_name as name",
+        "c_mktsegment as category")))
+    Normalize.addMetadata(
+      Normalize.orderColumnsForPublish(Normalize.clipStrings(raw)),
+      "BGD", "Bangladesh", Some("Points of Interest"), Date)
+  }
+
+  val refPlacesSql: String =
+    """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS category,
+      |  '2026-01-01T00:00:00' AS processed_date,
+      |  'BGD' AS country_iso3, 'Bangladesh' AS country_name,
+      |  'Points of Interest' AS data_sector
+      |FROM customer""".stripMargin
 }

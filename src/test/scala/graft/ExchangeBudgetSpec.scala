@@ -393,6 +393,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // 3-row report (boundary and totals broadcast back).
     "q_peak_concurrency" -> ((2, 0)),
     "sm_time_split" -> ((3, 2)),
+    // J6/J7: map-only named sector pipelines (filter+union+metadata).
+    "ref_health" -> ((0, 0)),
+    "ref_places" -> ((0, 0)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
