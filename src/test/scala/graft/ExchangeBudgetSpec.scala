@@ -396,6 +396,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // J6/J7: map-only named sector pipelines (filter+union+metadata).
     "ref_health" -> ((0, 0)),
     "ref_places" -> ((0, 0)),
+    // Round-8 batch 25: each FD candidate pays its two-phase exact
+    // countDistinct (distinct + lhs rollup + 1-row final = 3 ea);
+    // negative pairs = one id equi-join after the map-side candidate
+    // arithmetic (doc-count literal broadcast back).
+    "q_fd_check" -> ((15, 0)),
+    "sm_negative_pairs" -> ((1, 2)),
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
