@@ -176,6 +176,155 @@ object Graph {
       .agg(count(lit(1)).as("tri_cnt"))
   }
 
+  /** Minimum-hop BFS distances from a seed set over an undirected
+    * edge list, bounded to `maxHops` expansion rounds — the
+    * TRAVERSAL/distance capability beside CC (reachability), PageRank
+    * (importance), LPA (communities), and triangles (cohesion): "what
+    * is within k hops of these nodes" is the neighborhood-expansion
+    * query a link-graph curation pass uses to grow a trusted seed set
+    * (and the building block of k-hop feature extraction).
+    *
+    * Returns (node, dist) for every node reachable in ≤ maxHops hops,
+    * dist = exact minimum hop count (longs — no floats anywhere, so
+    * the result is bit-identical under any partitioning).
+    *
+    * Scale shape: per round, ONE hash join of the edge table to the
+    * frontier (node-sized), a distinct on the discovered neighbors,
+    * and a left-anti join against the visited set — all equi-joins on
+    * node keys, never edge×edge; the visited table is node-bounded
+    * and checkpointed per round so lineage stays O(1)-deep (the
+    * [[pageRank]] pattern). Work per round is O(edges incident to the
+    * frontier), the minimum any distributed BFS pays. The frontier is
+    * re-read from the CHECKPOINTED visited table (dist = round) so no
+    * round recomputes its predecessor's expansion.
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val und = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = visited
+        .filter(col("dist") === lit(h - 1.toLong))
+        .select(col("node").as("u"))
+      val next = und
+        .join(frontier, Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
+      visited = visited.union(next).localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** Bounded Bellman-Ford: minimum total edge cost from a seed set
+    * over an undirected weighted edge list, over paths of at most
+    * `maxHops` edges — the WEIGHTED companion of [[bfsHops]] (hop
+    * count answers "how close"; this answers "how cheap", the
+    * tie-strength-aware expansion a curation pass uses when edges
+    * carry affinity weights). Costs must be non-negative; with
+    * integer costs the result is exact longs, so it is bit-identical
+    * under any partitioning.
+    *
+    * Returns (node, cost) for every node reachable in ≤ maxHops
+    * edges, cost = minimum total cost over all such paths (the
+    * classic dist_r = min-cost-over-≤r-edge-paths Bellman-Ford
+    * invariant).
+    *
+    * Scale shape: per round, ONE hash join of the edge table to the
+    * current dist table (node-sized) and one min-combine groupBy —
+    * both node-keyed equi-operations with map-side partial min,
+    * never edge×edge; dist is checkpointed per round so lineage
+    * stays O(1)-deep. Work per round is O(edges incident to reached
+    * nodes) — the standard distributed Bellman-Ford round cost.
+    * Callers own edge dedup (each undirected edge once in `edges`).
+    */
+  def ssspBounded(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      costCol: String,
+      seeds: DataFrame,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val und = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(costCol).cast("long").as("w_cost"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"),
+        col(costCol).cast("long").as("w_cost")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("cost"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relax = und
+        .join(dist.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), (col("cost") + col("w_cost")).as("cost"))
+      dist = dist.union(relax)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** One k-core peel round: drop every node whose degree in the
+    * current undirected edge list is < k, and every edge touching
+    * one. Exposed so a fixed-round registry query and the
+    * [[kCore]] fixpoint share the same round body.
+    */
+  private[graft] def peelOnce(und: DataFrame, k: Int): DataFrame = {
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("u"))
+    und.join(deg, Seq("u"))
+      .join(deg.withColumnRenamed("u", "v"), Seq("v"))
+      .select(col("u"), col("v"))
+  }
+
+  /** k-core: the maximal subgraph in which every node has degree
+    * ≥ k, by iterated peeling to the fixpoint — the graph-curation
+    * densest-region filter (a link-graph trust pass keeps the
+    * 2-core to shed pendant chains; community mining starts from
+    * higher cores). Input: undirected edge list with EACH edge in
+    * BOTH directions (u,v) and (v,u) — the symmetric convention the
+    * peel's single-sided degree count relies on.
+    *
+    * Scale shape: each round is one node-keyed degree agg (map-side
+    * combined) + two semi-join-shaped edge filters — O(edges) per
+    * round, never edge×edge; the edge set shrinks monotonically and
+    * is checkpointed per round (O(1) lineage). Rounds are bounded by
+    * the degeneracy ordering depth (≤ node count, tiny in practice);
+    * the driver-side loop reads ONE count per round (the [[pageRank]]
+    * / CC convergence-probe pattern, not a data collect).
+    */
+  def kCore(und: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var cur = und.select(col("u"), col("v")).localCheckpoint(true)
+    var n = cur.count()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val next = peelOnce(cur, k).localCheckpoint(true)
+      val m = next.count()
+      stable = m == n
+      cur = next
+      n = m
+      round += 1
+    }
+    cur
+  }
+
   /** Synchronous label propagation (LPA community detection) for a
     * fixed number of iterations over an undirected edge list: every
     * node starts labeled with its own id; each iteration it adopts

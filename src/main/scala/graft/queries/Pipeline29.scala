@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 extension batch 29: k-hop BFS traversal and
+  * prefix-filtered exact set-similarity join.
+  */
+object Pipeline29 {
+
+  /** D83: k-hop BFS — minimum hop distance from the smallest-id node
+    * of the part co-purchase graph (the D70/D46 edge set: parts
+    * co-ordered ≥ 2 times), bounded to 3 hops via
+    * [[graft.operators.Graph.bfsHops]]. The graph-TRAVERSAL
+    * capability the D-layer was missing: CC answers "connected at
+    * all", this answers "how close", the seed-set-expansion query a
+    * link-graph curation pass runs to grow a trusted frontier.
+    *
+    * Scale shape: the co-purchase build is one order-keyed self-join
+    * + map-side-combined pair count (identical to D70); BFS rounds
+    * are node-keyed hash joins on the checkpointed frontier — never
+    * edge×edge, no global window; distances are exact longs, so the
+    * result is partitioning-invariant by construction.
+    */
+  def qKhopBfs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true)
+    val seed = edges.agg(least(min(col("u")), min(col("v"))).as("node"))
+    Graph.bfsHops(edges, "u", "v", seed, maxHops = 3)
+  }
+
+  val qKhopBfsSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (
+      |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |ef AS (SELECT u, v FROM e0 WHERE w >= 2),
+      |e AS (SELECT u, v FROM ef UNION SELECT v AS u, u AS v FROM ef),
+      |s AS (SELECT least(min(u), min(v)) AS node FROM ef),
+      |r(node, dist) AS (
+      |  SELECT node, 0 FROM s
+      |  UNION
+      |  SELECT e.v, r.dist + 1 FROM r JOIN e ON e.u = r.node
+      |  WHERE r.dist < 3)
+      |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** E27: prefix-filtered exact set-similarity join (the published
+    * AllPairs/PPJoin candidate-generation scheme) — exact 3-gram
+    * shingle Jaccard ≥ 0.6 over each document's full distinct-shingle
+    * profile (the E4 shingle convention, but with NO doc-freq cap and
+    * no approximation). Shingles are globally ordered by (df,
+    * shingle); each document indexes only its first
+    * `n − ⌈0.6·n⌉ + 1` profile shingles (the prefix), and the prefix
+    * theorem guarantees every pair with true Jaccard ≥ τ shares a
+    * prefix shingle — so the candidate stage reads ONLY the prefix
+    * postings (rarest shingles first), yet the result is exactly the
+    * naive full-inverted-index join the oracle states. The EXACT,
+    * guaranteed-complete counterpart of the approximate candidate
+    * generators (E2 MinHash bands, E3 SimHash, E8 hyperplanes), at a
+    * fraction of the index (~40% of postings at τ=0.6).
+    *
+    * Scale shape: profile build is one explode + distinct + one
+    * shingle-keyed doc-freq agg; the shingle rank is a per-document
+    * window (doc-bounded partitions, never global); candidates come
+    * from the prefix-postings self-join — hot shingles rank LAST in
+    * the (df, shingle) order so they fall outside almost every
+    * prefix, which is precisely how AllPairs bounds fan-out without
+    * sacrificing exactness; verification joins candidates back to
+    * the full profile — work proportional to candidates × profile
+    * width, never all pairs. The keep decision is the integer
+    * cross-multiplication 10·inter ≥ 6·(union) — no float threshold
+    * boundary anywhere.
+    */
+  def ddPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = t.documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(t) - 2), " +
+            "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))).as("s"))
+    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prof = sh.join(dfc, Seq("s"))
+      .select(col("doc_id"), col("s"), col("df"))
+      .localCheckpoint(true)
+    val sizes = prof.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val pref = prof
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n") - expr("(6 * n + 9) div 10") + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = pref.as("pa")
+      .join(pref.as("pb"),
+        col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val p2 = prof.select(col("doc_id"), col("s"))
+    val inter = cand
+      .join(p2.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(p2.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 6)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+  }
+
+  val ddPrefixFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) + 0 AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE 10 * inter >= 6 * (sa.n + sb.n - inter)""".stripMargin
+}

@@ -405,7 +405,25 @@ class ExchangeBudgetSpec extends SparkSpec {
     "src_geometry_split_wkb" -> ((2, 0)),
     "geo_line_length_wkb" -> ((1, 0)),
     "geo_centroid_wkb" -> ((1, 0)),
-    "tr_geometry_rules_wkb" -> ((1, 0)))
+    "tr_geometry_rules_wkb" -> ((1, 0)),
+    // Round-8 batch 29: BFS rounds run against localCheckpointed
+    // frontier/visited tables, so the captured plan is exchange-free
+    // (the per-round joins were already materialized); prefix filter
+    // pays the df agg + per-doc rank + prefix self-join + the
+    // candidate↔profile verify joins.
+    "q_khop_bfs" -> ((0, 0)),
+    "dd_prefix_filter" -> ((6, 7)),
+    // Batch 30: mutual kNN pays the cell-keyed self-join + source-id
+    // window + the reversed-key mutuality join; hard negatives are
+    // one broadcast of the 10-query side + the per-query window.
+    "sim_knn_mutual" -> ((4, 2)),
+    "sim_hard_negatives" -> ((1, 1)),
+    // Batch 31: SSSP rounds run against localCheckpointed dist tables
+    // (D83's exchange-free captured-plan shape); the medoid pays the
+    // explode-side checkpoint reads + per-vec/cell-dim/cell moment
+    // aggs + the dot agg, with the k·d moment tables broadcast.
+    "q_sssp_weighted" -> ((0, 0)),
+    "q_medoid" -> ((6, 3)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
