@@ -423,7 +423,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     // explode-side checkpoint reads + per-vec/cell-dim/cell moment
     // aggs + the dot agg, with the k·d moment tables broadcast.
     "q_sssp_weighted" -> ((0, 0)),
-    "q_medoid" -> ((6, 3)))
+    "q_medoid" -> ((6, 3)),
+    // Batch 32: k-core peels run against per-round localCheckpoints
+    // (only the final degree agg is live in the captured plan); the
+    // covariance pays the d²-cell pair agg + the d-cell sum agg,
+    // with both d-sized moment tables broadcast back.
+    "q_kcore" -> ((1, 0)),
+    "sim_cov_matrix" -> ((3, 2)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
