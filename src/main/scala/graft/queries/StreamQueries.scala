@@ -948,4 +948,80 @@ object StreamQueries {
       |                       ORDER BY n DESC, event_type) AS rank
       |  FROM c) x
       |WHERE rank <= 3""".stripMargin
+
+  /** I16 end-to-end: ARBITRARY-STATE streaming — per-user anomaly
+    * flags whose baseline (exact running moments over the ×10⁶
+    * fixed-point value) is carried across micro-batches by
+    * `flatMapGroupsWithState`
+    * ([[graft.streaming.EventStream.anomalyZscore]]) — the
+    * custom-state capability the session/window/dedup/join rows
+    * don't exercise, the streaming twin of D19's batch z-score.
+    * The backlog is split at 2024-01-25 and delivered OLD half then
+    * NEW half (one micro-batch each), so batch 2's flags are judged
+    * against state BUILT by batch 1: a state reset, a lost Σx², or
+    * an order-dependent fold would all hash-diverge from the
+    * oracle's full-history window twin. Integer math end-to-end
+    * makes that twin exact: DuckDB replays the identical
+    * (n·x−Σx)² > 9·(n·Σx²−(Σx)²) comparison over a
+    * rows-between-preceding window.
+    */
+  def stAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft_stream_anom_")
+    val raw0 = spark.read.parquet(s"$dir/events.parquet")
+    val splitUs = 1706140800000000L // 2024-01-25T00:00:00Z
+    val splitBound = graft.Tables.tsBoundLit(raw0.schema("ts").dataType, splitUs)
+    val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
+    stageSinglePart(raw0.filter(col("ts") < splitBound),
+      Seq(stage.resolve("a_old.parquet") -> base))
+    stageSinglePart(raw0.filter(col("ts") >= splitBound),
+      Seq(stage.resolve("z_new.parquet") -> (base + 30000L)))
+    val stream = spark.readStream.schema(raw0.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val ev = graft.Tables.normalizeTs(stream)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").as("fx"))
+      .as[graft.streaming.AnomEvent]
+    val flags = graft.streaming.EventStream.anomalyZscore(ev)
+    val qName = "st_anomaly_zscore_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = flags.toDF().writeStream
+        .format("memory")
+        .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    val out = drainMemorySink(spark, qName)
+    deleteRecursively(stage)
+    out
+  }
+
+  /** The stateful stream's flag set equals the batch full-history
+    * window replay (exact integers ⇒ hash-equal).
+    */
+  val stAnomalyZscoreSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS fx
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, fx,
+      |    count(*) OVER pre AS n,
+      |    sum(fx) OVER pre AS sx,
+      |    sum(CAST(fx AS HUGEINT) * fx) OVER pre AS sx2
+      |  FROM x
+      |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, n AS n_prior, fx
+      |FROM w
+      |WHERE n >= 5
+      |  AND CAST(n * fx - sx AS HUGEINT) * CAST(n * fx - sx AS HUGEINT)
+      |      > 9 * (n * sx2 - CAST(sx AS HUGEINT) * sx)""".stripMargin
 }

@@ -429,7 +429,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // covariance pays the d²-cell pair agg + the d-cell sum agg,
     // with both d-sized moment tables broadcast back.
     "q_kcore" -> ((1, 0)),
-    "sim_cov_matrix" -> ((3, 2)))
+    "sim_cov_matrix" -> ((3, 2)),
+    // Batch 33: the live plan is the p3 matrix-vector step (counts
+    // and p1/p2 are checkpointed) — the window+count pass already
+    // paid, leaving the type-keyed agg + final vector joins, with
+    // the p-vectors and totals broadcast.
+    "q_markov_absorption" -> ((3, 3)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
