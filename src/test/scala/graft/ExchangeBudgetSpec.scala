@@ -434,7 +434,18 @@ class ExchangeBudgetSpec extends SparkSpec {
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with
     // the p-vectors and totals broadcast.
-    "q_markov_absorption" -> ((3, 3)))
+    "q_markov_absorption" -> ((3, 3)),
+    // Batch 34: ANOVA is the single moment-row aggregate; seq-pairs
+    // pays the (user,type) compact, the per-user list, the pair agg
+    // and the totals path (all post-compact rows are vocabulary-
+    // bounded), with the 1-row totals broadcast; Theil–Sen's live
+    // plan is the bounded-grid pair join + median window over the
+    // checkpointed daily grid; the bootstrap pays the (type,
+    // replicate) moment agg + the 5-type band window.
+    "q_anova" -> ((1, 0)),
+    "q_seq_pairs" -> ((5, 1)),
+    "q_theil_sen" -> ((2, 2)),
+    "q_bootstrap_ci" -> ((2, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
