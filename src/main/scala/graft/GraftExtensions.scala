@@ -30,6 +30,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rules (see graft.plans): radius-predicate → pushable
+    // bbox envelope (soundness-gated; plans/GeoRadiusPushdown.scala).
+    ext.injectOptimizerRule(_ => graft.plans.GeoRadiusPushdown)
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),

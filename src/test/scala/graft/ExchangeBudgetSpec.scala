@@ -442,6 +442,15 @@ class ExchangeBudgetSpec extends SparkSpec {
     // plan is the bounded-grid pair join + median window over the
     // checkpointed daily grid; the bootstrap pays the (type,
     // replicate) moment agg + the 5-type band window.
+    // Batch 35: radius search is scan→filter→type agg (the bbox
+    // envelope is filter-side, no exchange); FIFO pays the two
+    // side windows + match/total aggs all on the part key (the
+    // part-sized totals broadcast back); decile lift's exchanges
+    // are the customer collapse + ntileExact's range sort + the
+    // 10-row decile aggs, with the 1-row totals broadcast.
+    "geo_radius_search" -> ((1, 0)),
+    "q_fifo_allocation" -> ((4, 3)),
+    "q_decile_lift" -> ((4, 1)),
     "q_anova" -> ((1, 0)),
     "q_seq_pairs" -> ((5, 1)),
     "q_theil_sen" -> ((2, 2)),

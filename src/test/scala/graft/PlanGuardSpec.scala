@@ -40,6 +40,10 @@ class PlanGuardSpec extends SparkSpec {
       "cumulative-share window runs on the 10-row decile aggregate — " +
         "constant-size at any corpus scale (customer tiling is the " +
         "range-partitioned GlobalRank.ntileExact, not a window)")),
+    "q_decile_lift" -> ((1,
+      "cumulative-lift window runs on the 10-row decile aggregate — " +
+        "constant-size at any corpus scale (customer tiling is the " +
+        "range-partitioned GlobalRank.ntileExact, not a window)")),
     "sm_time_split" -> ((1,
       "boundary-day cumulative window runs on the per-DAY histogram — " +
         "calendar-bounded at any corpus scale"))
