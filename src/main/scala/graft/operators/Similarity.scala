@@ -295,7 +295,41 @@ object Similarity {
           "seed vectors do not spread over this data")
       centroids = (1 to effK).map(i => cents(i.toLong))
     }
-    assigned.select(col("id"), col("vec"), col("cluster"), col("score"))
+    assigned.select(col("id"), col("vec"), col("cluster"), col("score"), col("scores"))
+  }
+
+  /** Simplified (centroid) silhouette per cluster — the clustering
+    * quality gauge for [[kmeans]]'s assignment: per vector,
+    * a = 1 − cos(own centroid), b = 1 − cos(second-best centroid)
+    * (b ≥ a by construction), s = (b − a)/b = (cos₁ − cos₂)/(1 − cos₂)
+    * ∈ [0, 1]; reported as each cluster's exact mean ×10⁶
+    * (per-vector s quantized to ppm BIGINT first so the mean is an
+    * integer division — no engine-ordered double summation).
+    *
+    * Scale shape: the full-centroid score ARRAY is already on every
+    * row from the Lloyd assignment (k-bounded), so s₁/s₂ are
+    * map-side `sort_array` picks — no explode, no per-vector window;
+    * the only exchange is the k-row cluster aggregate. Degenerate
+    * cases pin s = 0 (single cluster: no second centroid; coincident
+    * best/second at cos = 1: 0/0).
+    */
+  def silhouette(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    val a = kmeansAssign(df, idCol, vecCol, k, iters)
+    a.select(col("cluster"), col("score").as("s1"),
+        element_at(sort_array(col("scores"), asc = false), 2).as("s2"))
+      .withColumn("sfx", expr(
+        """CASE WHEN s2 IS NULL OR 1.0 - s2 = 0.0 THEN 0
+          | ELSE CAST(round((s1 - s2) / (1.0 - s2) * 1000000) AS BIGINT)
+          | END""".stripMargin))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(sfx) div count(1)").as("mean_sil_ppm"))
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means clusters as the

@@ -435,6 +435,11 @@ object LlmQueries {
     s"""WITH ${kmeansCtes(4)}
        |SELECT vec_id AS id, cluster, score + 0 AS score FROM a2 WHERE rk = 1""".stripMargin
 
+  /** The unrolled-k-means CTE chain for other oracles that build on
+    * the F5 assignment (F17 silhouette reads a2's rk=1/rk=2 rows).
+    */
+  private[queries] def kmeansCtesForOracle(k: Int): String = kmeansCtes(k)
+
   /** E11: SemDeDup-style semantic near-dup pairs — k-means blocking
     * (k=16) then exact cosine ≥ 0.35 within clusters only.
     */

@@ -453,6 +453,14 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_decile_lift" -> ((4, 1)),
     "q_anova" -> ((1, 0)),
     "q_seq_pairs" -> ((5, 1)),
+    // Batch 36: silhouette is map-side off the assignment's score
+    // array (k-means subtrees collect eagerly; the live plan pays
+    // only the k-row cluster agg). The removal sweep's live plan is
+    // the 4 unioned reach paths (p-vectors checkpointed): per
+    // channel a starts-side agg + totals, every exchanged row set
+    // type-vocabulary-bounded, p-vectors/totals broadcast.
+    "sim_silhouette" -> ((1, 0)),
+    "q_markov_removal" -> ((16, 20)),
     "q_theil_sen" -> ((2, 2)),
     "q_bootstrap_ci" -> ((2, 0)))
 
