@@ -461,6 +461,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     // type-vocabulary-bounded, p-vectors/totals broadcast.
     "sim_silhouette" -> ((1, 0)),
     "q_markov_removal" -> ((16, 20)),
+    // Batch 37: HITS half-steps are all checkpointed (the live plan
+    // is two TakeOrdered heaps over the final score tables); the
+    // KMV live plan is the pair-merge over checkpointed
+    // sources×k sketches — pair fan-out joins + the pair window,
+    // every row set sketch-bounded.
+    "q_hits" -> ((0, 0)),
+    "dd_kmv_overlap" -> ((4, 4)),
     "q_theil_sen" -> ((2, 2)),
     "q_bootstrap_ci" -> ((2, 0)))
 
