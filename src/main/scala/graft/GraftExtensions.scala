@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rules (see graft.plans): radius-predicate → pushable
     // bbox envelope (soundness-gated; plans/GeoRadiusPushdown.scala).
     ext.injectOptimizerRule(_ => graft.plans.GeoRadiusPushdown)
+    // Planner strategies: the native as-of join physical operator
+    // (plans/AsOfJoinNative.scala).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),

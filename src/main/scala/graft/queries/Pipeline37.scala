@@ -90,6 +90,40 @@ object Pipeline37 {
       |  SELECT 'hub' AS side, u AS node_id, sn AS score_ppm
       |  FROM h2 ORDER BY sn DESC, u LIMIT 10)""".stripMargin
 
+  /** D95: the D14 as-of join executed by the NATIVE whole-operator
+    * plan node ([[graft.plans.AsOfJoinNode]] → `AsOfJoinStrategy` →
+    * `AsOfJoinExec`): identical semantics and oracle to
+    * `q_asof_join`, different physical algorithm — a single
+    * streaming merge scan per co-partition (O(1) probe state, no
+    * union row inflation, no window state), the rung-(c) custom-
+    * operator path demonstrated end-to-end. Times travel as exact
+    * epoch micros so both sides share one orderable type.
+    */
+  def qAsofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordersByDay = t.orders
+      .groupBy(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("odate_us"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+    graft.plans.AsOfJoinNative
+      .lastBefore(
+        t.events.select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us")),
+        ordersByDay,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts_us", rightTime = "odate_us",
+        payloadCols = Seq("last_orderkey"))
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+  }
+
+  val qAsofJoinNativeSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, r.last_orderkey
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
+
   /** E27: KMV (k-minimum-values) sketched source-overlap matrix —
     * the sketch path for E19's exact bigram contamination matrix:
     * per source, keep the k = 256 smallest values of a cross-engine

@@ -468,6 +468,10 @@ class ExchangeBudgetSpec extends SparkSpec {
     // every row set sketch-bounded.
     "q_hits" -> ((0, 0)),
     "dd_kmv_overlap" -> ((4, 4)),
+    // Native as-of join: the same exchanges the composed form pays —
+    // right-side daily compaction + EnsureRequirements' two key
+    // exchanges feeding the merge scan.
+    "q_asof_join_native" -> ((3, 0)),
     "q_theil_sen" -> ((2, 2)),
     "q_bootstrap_ci" -> ((2, 0)))
 

@@ -81,4 +81,30 @@ class Pipeline37Spec extends SparkSpec {
         s"pair ($a,$b): est ${estPpm / 1e6} vs exact $exact")
     }
   }
+
+  test("q_asof_join_native runs through AsOfJoinExec and matches the composed operator") {
+    val native = Pipeline37.qAsofJoinNative(spark, sfDir)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n${plan.take(1500)}")
+    val composed = Analytic2.qAsofJoin(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(identity[(Long, Long, Long)])
+    assert(canon(native).toSeq == canon(composed).toSeq)
+  }
+
+  test("AsOfJoinNative edge semantics: ties inclusive, no match, null keys") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 10L), (4L, 30L, 99L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 7L), (10L, 90L, 6L), (20L, 11L, 5L), (40L, 1L, 9L))
+      .toDF("rk", "rt", "pay")
+    val out = graft.plans.AsOfJoinNative
+      .lastBefore(left, right, "k", "rk", "t", "rt", Seq("pay"))
+      .select($"id", $"pay").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // id 1: tie at t=100 included -> pay 7; id 2: only rt<=50 none -> null;
+    // id 3: rt=11 > 10 -> null; id 4: key 30 unseen -> null.
+    assert(out == Map(1L -> 7L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+  }
 }
