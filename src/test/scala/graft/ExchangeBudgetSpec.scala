@@ -472,6 +472,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // right-side daily compaction + EnsureRequirements' two key
     // exchanges feeding the merge scan.
     "q_asof_join_native" -> ((3, 0)),
+    // Batch 38: quantile normalize pays the type window + the
+    // 100-row bucket aggs (ntileExact's range sort collects
+    // eagerly), global table broadcast; hexbin is map-only bin math
+    // + one count exchange.
+    "q_quantile_normalize" -> ((2, 1)),
+    "geo_hexbin" -> ((1, 0)),
     "q_theil_sen" -> ((2, 2)),
     "q_bootstrap_ci" -> ((2, 0)))
 
