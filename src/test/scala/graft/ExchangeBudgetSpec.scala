@@ -478,6 +478,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     // + one count exchange.
     "q_quantile_normalize" -> ((2, 1)),
     "geo_hexbin" -> ((1, 0)),
+    // Batch 39: feature hashing is map-side hashing + one (doc,dim)
+    // exchange; link prediction pays adjacency/degree aggs, the
+    // hub-capped wedge join, the anti-join and degree joins — all
+    // keyed on part ids, candidates cap²-bounded per center — then
+    // a TakeOrdered top-20.
+    "tx_feature_hashing" -> ((1, 0)),
+    "q_link_prediction" -> ((10, 0)),
     "q_theil_sen" -> ((2, 2)),
     "q_bootstrap_ci" -> ((2, 0)))
 
