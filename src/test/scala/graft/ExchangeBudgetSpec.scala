@@ -486,7 +486,15 @@ class ExchangeBudgetSpec extends SparkSpec {
     "tx_feature_hashing" -> ((1, 0)),
     "q_link_prediction" -> ((10, 0)),
     "q_theil_sen" -> ((2, 2)),
-    "q_bootstrap_ci" -> ((2, 0)))
+    "q_bootstrap_ci" -> ((2, 0)),
+    // Batch 40: AUC/winsorize/impute all window over compacted
+    // distinct-value tables; winsorize pays compaction + window
+    // repartition + bounds agg + clipped re-agg with the bounds
+    // broadcast; impute adds the real/imputed rollup joins (AQE
+    // broadcasts both user-keyed sides at probe scale).
+    "q_roc_auc" -> ((2, 0)),
+    "q_winsorize" -> ((4, 1)),
+    "q_impute_median" -> ((4, 2)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
