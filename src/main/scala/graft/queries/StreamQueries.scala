@@ -140,6 +140,52 @@ object StreamQueries {
   /** Oracle: identical to the batch twin D5 (q_events_window). */
   val stWindowedAggSql: String = Analytic.qEventsWindowSql
 
+  /** I17 end-to-end: SLIDING window aggregation (2 h length, 1 h
+    * slide) through the file streaming source — each event lands in
+    * two overlapping windows, the view a tumbling bucket can't give
+    * (a burst on a bucket boundary splits across two tumbling
+    * buckets but stays intact in some sliding window). Complete
+    * mode + AvailableNow, the I1 drain shape.
+    */
+  def stSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_sliding_")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
+    val events = graft.Tables.normalizeTs(raw)
+    val out = EventStream.slidingAgg(events, "2 hours", "1 hour", "1 hour")
+    val qName = "st_sliding_window_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = out.writeStream
+        .format("memory")
+        .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    val result = drainMemorySink(spark, qName)
+    deleteRecursively(stage)
+    result
+  }
+
+  /** Oracle: each event contributes to the two hourly-aligned
+    * 2-hour windows that contain it (window start ∈ {bucket(ts),
+    * bucket(ts) − 1 h}) — the closed-form sliding-window expansion.
+    */
+  val stSlidingWindowSql: String =
+    """SELECT ws AS window_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 4) + 0 AS sum_value
+      |FROM (
+      |  SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+      |                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+      |    event_type, value
+      |  FROM events) x
+      |GROUP BY 1, 2""".stripMargin
+
   /** I2 end-to-end: gap-based sessionization via `session_window`
     * through the file streaming source. Session windows only support
     * append/update output, and append only emits sessions the

@@ -46,6 +46,21 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** I17: SLIDING event-time window aggregation — each event lands
+    * in `windowDur / slide` overlapping windows (Spark expands the
+    * assignment map-side before the stateful agg, so state size is
+    * windows × keys, not events). The smoothing view a tumbling
+    * window can't give: a burst on a bucket boundary splits across
+    * two tumbling buckets but is intact in some sliding window.
+    */
+  def slidingAgg(events: DataFrame, windowDur: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+
   /** I2: gap-based sessionization via `session_window` — merges
     * events closer than `gap` into one session per user; watermark
     * lets Spark emit and evict closed sessions.

@@ -494,7 +494,17 @@ class ExchangeBudgetSpec extends SparkSpec {
     // broadcasts both user-keyed sides at probe scale).
     "q_roc_auc" -> ((2, 0)),
     "q_winsorize" -> ((4, 1)),
-    "q_impute_median" -> ((4, 2)))
+    "q_impute_median" -> ((4, 2)),
+    // Batch 41: inverted index pays the tf groupBy + the vocab df
+    // agg + its TakeOrdered + the term posting window, selection
+    // broadcast back; KN's corpus exchange is checkpointed into the
+    // type table — the visible exchanges are the three on-type aggs
+    // with the top-20/total sides broadcast.
+    "tx_inverted_index" -> ((4, 1)),
+    "tx_kn_bigram" -> ((3, 3)),
+    // The scoring join adds the instance-side exchange; the model's
+    // three on-type aggs broadcast into it at probe scale.
+    "tx_kn_logprob" -> ((4, 4)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
