@@ -504,7 +504,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "tx_kn_bigram" -> ((3, 3)),
     // The scoring join adds the instance-side exchange; the model's
     // three on-type aggs broadcast into it at probe scale.
-    "tx_kn_logprob" -> ((4, 4)))
+    "tx_kn_logprob" -> ((4, 4)),
+    // Batch 42: A-ES sampling is map-side keys + ONE TopKAgg heap
+    // exchange; SPRT is the daily collapse + the day-bounded
+    // cumulative window.
+    "sm_weighted_sample" -> ((1, 0)),
+    "q_sprt" -> ((2, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)

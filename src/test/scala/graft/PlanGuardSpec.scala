@@ -46,6 +46,9 @@ class PlanGuardSpec extends SparkSpec {
         "range-partitioned GlobalRank.ntileExact, not a window)")),
     "sm_time_split" -> ((1,
       "boundary-day cumulative window runs on the per-DAY histogram — " +
+        "calendar-bounded at any corpus scale")),
+    "q_sprt" -> ((1,
+      "cumulative-LLR window runs on the per-DAY arm-B trial table — " +
         "calendar-bounded at any corpus scale"))
   )
 
