@@ -31,14 +31,8 @@ object Pipeline20 {
     * make every iteration bit-identical across engines.
     */
   def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
+    // Shared session-materialized edge set (GraphBase convention).
+    val edges = GraphBase.coPurchasePairs(spark, dir).select(col("u"), col("v"))
     Graph.labelPropagation(edges, "u", "v", iters = 3)
       .select(col("node"), col("lbl").as("label"))
   }

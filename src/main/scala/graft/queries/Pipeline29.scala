@@ -26,15 +26,9 @@ object Pipeline29 {
     * result is partitioning-invariant by construction.
     */
   def qKhopBfs(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
-      .localCheckpoint(true)
+    // Shared session-materialized edge set (GraphBase convention);
+    // already checkpointed there.
+    val edges = GraphBase.coPurchasePairs(spark, dir).select(col("u"), col("v"))
     val seed = edges.agg(least(min(col("u")), min(col("v"))).as("node"))
     Graph.bfsHops(edges, "u", "v", seed, maxHops = 3)
   }

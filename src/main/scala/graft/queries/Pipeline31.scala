@@ -25,16 +25,11 @@ object Pipeline31 {
     * integer costs end-to-end ⇒ partitioning-invariant exact longs.
     */
   def qSsspWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    // Shared session-materialized edge set (GraphBase convention);
+    // already checkpointed there.
+    val edges = GraphBase.coPurchasePairs(spark, dir)
       .select(col("u"), col("v"),
         expr("CAST(1000 AS BIGINT) div w").as("ecost"))
-      .localCheckpoint(true)
     val seed = edges.agg(least(min(col("u")), min(col("v"))).as("node"))
     Graph.ssspBounded(edges, "u", "v", "ecost", seed, maxHops = 3)
   }

@@ -11,14 +11,8 @@ import org.apache.spark.sql.functions._
 object Pipeline32 {
 
   private def coPurchaseUndirected(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val ef = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
+    // Shared session-materialized edge set (GraphBase convention).
+    val ef = GraphBase.coPurchasePairs(spark, dir).select(col("u"), col("v"))
     ef.union(ef.select(col("v").as("u"), col("u").as("v")))
   }
 

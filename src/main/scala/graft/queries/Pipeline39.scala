@@ -73,15 +73,9 @@ object Pipeline39 {
     * Exact integers end to end.
     */
   def qLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
-      .localCheckpoint(true)
+    // Shared session-materialized edge set (GraphBase convention);
+    // already checkpointed there.
+    val edges = GraphBase.coPurchasePairs(spark, dir).select(col("u"), col("v"))
     val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
