@@ -509,7 +509,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // exchange; SPRT is the daily collapse + the day-bounded
     // cumulative window.
     "sm_weighted_sample" -> ((1, 0)),
-    "q_sprt" -> ((2, 0)))
+    "q_sprt" -> ((2, 0)),
+    // Batch 43: HW folds per-type day arrays (daily collapse + the
+    // type agg); survivorship aggregates the member-sized join of
+    // the session-materialized CC labels (tiny side broadcast).
+    "q_holt_winters" -> ((2, 0)),
+    "dd_survivorship" -> ((3, 2)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
