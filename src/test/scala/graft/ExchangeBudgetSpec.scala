@@ -514,7 +514,10 @@ class ExchangeBudgetSpec extends SparkSpec {
     // type agg); survivorship aggregates the member-sized join of
     // the session-materialized CC labels (tiny side broadcast).
     "q_holt_winters" -> ((2, 0)),
-    "dd_survivorship" -> ((3, 2)))
+    "dd_survivorship" -> ((3, 2)),
+    // Batch 44: sites broadcast; the one exchange is the per-event
+    // top-3 window repartition.
+    "geo_knn" -> ((1, 1)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
