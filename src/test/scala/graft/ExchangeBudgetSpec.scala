@@ -517,7 +517,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "dd_survivorship" -> ((3, 2)),
     // Batch 44: sites broadcast; the one exchange is the per-event
     // top-3 window repartition.
-    "geo_knn" -> ((1, 1)))
+    "geo_knn" -> ((1, 1)),
+    // Batch 45: span decon joins the positional train stream to the
+    // broadcast eval shingles + one pair rollup; freshness is two
+    // max aggs with the 1-row global broadcast back.
+    "dd_decontaminate_spans" -> ((1, 1)),
+    "q_freshness" -> ((2, 1)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
