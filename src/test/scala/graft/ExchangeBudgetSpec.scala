@@ -522,7 +522,11 @@ class ExchangeBudgetSpec extends SparkSpec {
     // broadcast eval shingles + one pair rollup; freshness is two
     // max aggs with the 1-row global broadcast back.
     "dd_decontaminate_spans" -> ((1, 1)),
-    "q_freshness" -> ((2, 1)))
+    "q_freshness" -> ((2, 1)),
+    // Batch 46: the corpus pays only the checkpointed (type, day)
+    // cell compaction; the other exchanges are |types|-bounded aggs
+    // with 1-row broadcasts back.
+    "q_mix_decompose" -> ((5, 3)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
