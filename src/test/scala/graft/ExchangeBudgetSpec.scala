@@ -526,7 +526,11 @@ class ExchangeBudgetSpec extends SparkSpec {
     // Batch 46: the corpus pays only the checkpointed (type, day)
     // cell compaction; the other exchanges are |types|-bounded aggs
     // with 1-row broadcasts back.
-    "q_mix_decompose" -> ((5, 3)))
+    "q_mix_decompose" -> ((5, 3)),
+    // Batch 47: both collapse the corpus once to (type, day) and
+    // window/lag on the calendar-bounded table.
+    "q_seasonal_decompose" -> ((2, 0)),
+    "q_backtest_mae" -> ((2, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
