@@ -530,7 +530,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     // Batch 47: both collapse the corpus once to (type, day) and
     // window/lag on the calendar-bounded table.
     "q_seasonal_decompose" -> ((2, 0)),
-    "q_backtest_mae" -> ((2, 0)))
+    "q_backtest_mae" -> ((2, 0)),
+    // Batch 48: price index pays the checkpointed (brand,part,half)
+    // collapse + the pivot + the brand rollup (part dim broadcast);
+    // burstiness is the tf collapse + per-term moments + TakeOrdered
+    // with the 1-row N broadcast.
+    "q_price_index" -> ((4, 1)),
+    "tx_burstiness" -> ((3, 1)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
