@@ -536,7 +536,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // burstiness is the tf collapse + per-term moments + TakeOrdered
     // with the 1-row N broadcast.
     "q_price_index" -> ((4, 1)),
-    "tx_burstiness" -> ((3, 1)))
+    "tx_burstiness" -> ((3, 1)),
+    // Batch 49: Qini pays the per-user collapse + the decile-table
+    // window (ntileExact's sort collects eagerly); blocking eval's
+    // counts run eagerly too, the returned frame is one literal row.
+    "q_uplift_qini" -> ((2, 0)),
+    "dd_blocking_eval" -> ((0, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)

@@ -49,7 +49,11 @@ class PlanGuardSpec extends SparkSpec {
         "calendar-bounded at any corpus scale")),
     "q_sprt" -> ((1,
       "cumulative-LLR window runs on the per-DAY arm-B trial table — " +
-        "calendar-bounded at any corpus scale"))
+        "calendar-bounded at any corpus scale")),
+    "q_uplift_qini" -> ((1,
+      "cumulative-Qini window runs on the 10-row decile aggregate — " +
+        "constant-size at any corpus scale (user tiling is the " +
+        "range-partitioned GlobalRank.ntileExact, not a window)"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {
