@@ -541,7 +541,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // window (ntileExact's sort collects eagerly); blocking eval's
     // counts run eagerly too, the returned frame is one literal row.
     "q_uplift_qini" -> ((2, 0)),
-    "dd_blocking_eval" -> ((0, 0)))
+    "dd_blocking_eval" -> ((0, 0)),
+    // Batch 50: contingency pays the checkpointed cell collapse +
+    // two margin aggs (margins + total broadcast back); speed audit
+    // is one user-keyed window + a map-side-combined rollup.
+    "q_contingency" -> ((3, 3)),
+    "geo_speed_audit" -> ((1, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
