@@ -546,7 +546,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     // two margin aggs (margins + total broadcast back); speed audit
     // is one user-keyed window + a map-side-combined rollup.
     "q_contingency" -> ((3, 3)),
-    "geo_speed_audit" -> ((1, 0)))
+    "geo_speed_audit" -> ((1, 0)),
+    // Batch 51: dedup report aggregates the member join of the
+    // session-materialized labels + the per-source rollup (labels
+    // broadcast); cycle time pays the order join + the compacted
+    // lag window.
+    "dd_dedup_report" -> ((3, 1)),
+    "q_cycle_time" -> ((2, 1)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
