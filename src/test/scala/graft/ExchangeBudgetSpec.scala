@@ -552,7 +552,11 @@ class ExchangeBudgetSpec extends SparkSpec {
     // broadcast); cycle time pays the order join + the compacted
     // lag window.
     "dd_dedup_report" -> ((3, 1)),
-    "q_cycle_time" -> ((2, 1)))
+    "q_cycle_time" -> ((2, 1)),
+    // Batch 52: per-part collapse (ntileExact collects its range
+    // sort eagerly) + the checkpointed 100-row tile table's window
+    // and class rollup, totals broadcast twice.
+    "q_abc" -> ((3, 2)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)

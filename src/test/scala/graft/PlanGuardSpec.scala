@@ -53,7 +53,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_uplift_qini" -> ((1,
       "cumulative-Qini window runs on the 10-row decile aggregate — " +
         "constant-size at any corpus scale (user tiling is the " +
-        "range-partitioned GlobalRank.ntileExact, not a window)"))
+        "range-partitioned GlobalRank.ntileExact, not a window)")),
+    "q_abc" -> ((1,
+      "cumulative-revenue window runs on the checkpointed 100-row " +
+        "percentile aggregate — constant-size at any corpus scale " +
+        "(part tiling is GlobalRank.ntileExact, not a window)"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {
