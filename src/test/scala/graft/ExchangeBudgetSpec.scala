@@ -515,9 +515,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // the session-materialized CC labels (tiny side broadcast).
     "q_holt_winters" -> ((2, 0)),
     "dd_survivorship" -> ((3, 2)),
-    // Batch 44: sites broadcast; the one exchange is the per-event
-    // top-3 window repartition.
-    "geo_knn" -> ((1, 1)),
+    // Batch 44 (re-planned): the scalar top-3 insertion fold is
+    // map-only — zero exchanges.
+    "geo_knn" -> ((0, 0)),
     // Batch 45: span decon joins the positional train stream to the
     // broadcast eval shingles + one pair rollup; freshness is two
     // max aggs with the 1-row global broadcast back.
