@@ -556,7 +556,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     // Batch 52: per-part collapse (ntileExact collects its range
     // sort eagerly) + the checkpointed 100-row tile table's window
     // and class rollup, totals broadcast twice.
-    "q_abc" -> ((3, 2)))
+    "q_abc" -> ((3, 2)),
+    // Batch 53: NDR's collapse/rollup run behind checkpoints (the
+    // visible plan is the broadcast denominator join); power
+    // analysis is one map-side-combined moment agg.
+    "q_ndr" -> ((0, 1)),
+    "q_power_analysis" -> ((1, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
