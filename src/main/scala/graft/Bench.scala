@@ -56,8 +56,37 @@ object Bench {
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per-query regression gate (round-8 verdict #2): diff against the
+    // previous round's full map so a regression is visible IN the
+    // artifact, not via git archaeology. The prior map is the
+    // highest-stamped BENCH_FULL_r<N>.json beside the output; its
+    // format is this very writer's, so the literal-shape regex is
+    // format-stable. Each query gains prev_steady and ratio
+    // (steady/prev_steady, 4 dp; absent for new queries or failed
+    // runs).
+    val prevSteady: Map[String, Double] = try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+        .toAbsolutePath.getParent.toFile
+      val frx = "BENCH_FULL_r(\\d+)\\.json".r
+      val prior = Option(dir.list()).getOrElse(Array.empty[String])
+        .flatMap(n => frx.findFirstMatchIn(n).map(m => m.group(1).toInt -> n))
+        .sortBy(-_._1).headOption.map(_._2)
+      prior.map { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, f).toPath), "UTF-8")
+        val qrx = "\"([A-Za-z0-9_]+)\":\\{\"cold\":(-?[0-9.]+),\"steady\":(-?[0-9.]+)".r
+        qrx.findAllMatchIn(txt).map(m => m.group(1) -> m.group(3).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
     val qs = results.map { case (k, (c, s)) =>
-      s"\"" + k + "\":{\"cold\":" + fmt(c) + ",\"steady\":" + fmt(s) + "}"
+      val base = s"\"" + k + "\":{\"cold\":" + fmt(c) + ",\"steady\":" + fmt(s)
+      val diff = prevSteady.get(k) match {
+        case Some(p) if p > 0 && s > 0 =>
+          ",\"prev_steady\":" + fmt(p) + ",\"ratio\":" + fmt(s / p)
+        case _ => ""
+      }
+      base + diff + "}"
     }.mkString("{", ",", "}")
     // Failure sentinels (-1) must not SUBTRACT from the headlines.
     val totalCold = results.values.map(_._1).filter(_ > 0).sum

@@ -271,7 +271,8 @@ object Similarity {
     // rather than failing — day-one and thin-partition inputs are
     // normal at scale, not errors.
     if (centroids.isEmpty)
-      return base.withColumn("cluster", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+      return base.withColumn("cluster", lit(0L)).withColumn("score", lit(0.0))
+        .withColumn("scores", array().cast("array<double>")).limit(0)
     val effK = centroids.size
     def assigned = {
       val mat = typedlit(centroids)

@@ -118,6 +118,11 @@ case class AsOfJoinExec(
       val payloadProj = UnsafeProjection.create(payloadRefs)
       val joined = new JoinedRow
       val nullRow = new GenericInternalRow(nPayload)
+      // Like SortMergeJoinExec: the rows this operator hands upward
+      // must be UnsafeRow — executeCollect's byte-array RDD and any
+      // Exchange directly above cast to it. Project every emitted
+      // JoinedRow through the identity UnsafeProjection on `output`.
+      val resultProj = UnsafeProjection.create(output, output)
       val rBuf = rIt.buffered
       var held: InternalRow = null // last consumed right row (copied)
       new Iterator[InternalRow] {
@@ -127,13 +132,16 @@ case class AsOfJoinExec(
           val lk = l.get(lKeyIdx, keyType)
           val lt = l.get(lTimeIdx, timeType)
           // Advance the reference side up to (key, time]; discard
-          // null-key rows (they sort first and never match).
+          // null-key AND null-time rows (SQL as-of semantics:
+          // `l.t >= r.t` is never true for a null time, so such rows
+          // can never match — and nulls sort first, so they'd
+          // otherwise NPE the time comparator below).
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val r = rBuf.head
             val rk = r.get(rKeyIdx, keyType)
-            if (rk == null) { rBuf.next(); () }
-            else if (lk == null) advancing = false
+            if (rk == null || r.get(rTimeIdx, timeType) == null) { rBuf.next(); () }
+            else if (lk == null || lt == null) advancing = false
             else {
               val c = keyOrd.compare(rk, lk)
               if (c < 0 ||
@@ -142,11 +150,13 @@ case class AsOfJoinExec(
               } else advancing = false
             }
           }
-          val matched = held != null && lk != null && {
+          // A null left time never satisfies l.t >= r.t: emit the
+          // left row unmatched (null payload), mirroring null keys.
+          val matched = held != null && lk != null && lt != null && {
             val hk = held.get(rKeyIdx, keyType)
             hk != null && keyOrd.compare(hk, lk) == 0
           }
-          if (matched) joined(l, payloadProj(held)) else joined(l, nullRow)
+          resultProj(if (matched) joined(l, payloadProj(held)) else joined(l, nullRow))
         }
       }
     }

@@ -39,4 +39,23 @@ object GraphBase {
         .filter(col("w") >= 2)
         .localCheckpoint(true)
     })
+
+  private val purchaseCache = new graft.util.Memo[(SparkSession, String), DataFrame]
+
+  /** The D94 HITS bipartite edge set — distinct customer→part
+    * purchase edges (u = o_custkey, p = l_partkey) from the
+    * orders⋈lineitem join — shared under the same session-scoped
+    * materialization contract as [[coPurchasePairs]] (round-8
+    * verdict #4: the collapse is the only corpus-sized exchange in
+    * the HITS chain and must not be re-paid per run).
+    */
+  def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    purchaseCache.getOrElseUpdate((spark, dir), {
+      val t = Tables(spark, dir)
+      t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+    })
 }

@@ -169,7 +169,7 @@ object Pipeline10 {
       |FROM blocks LEFT JOIN m
       |  ON blocks.p_brand = m.p_brand AND blocks.noun = m.noun""".stripMargin
 
-  /** N10: deterministic k-fold (k=5) cross-validation assignment via
+  /** N13: deterministic k-fold (k=5) cross-validation assignment via
     * the [[Sampling.idBucket]] closed-form mix — map-only, stable
     * under any partitioning, reproducible by any engine with 64-bit
     * integer arithmetic. Output is the per-(fold, lang) profile a
@@ -190,7 +190,7 @@ object Pipeline10 {
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
 
-  /** G23: PMI collocation mining — the top-20 corpus bigrams by
+  /** G25: PMI collocation mining — the top-20 corpus bigrams by
     * pointwise mutual information with support ≥ 5, the classic
     * collocation-extraction pass (phrase vocabularies, tokenizer
     * merge seeding). PMI's log is monotone, so ranking by the exact

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.operators.Graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-8 extension batch 29: k-hop BFS traversal and
@@ -51,7 +50,7 @@ object Pipeline29 {
       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
       |FROM r GROUP BY 1""".stripMargin
 
-  /** E27: prefix-filtered exact set-similarity join (the published
+  /** E32: prefix-filtered exact set-similarity join (the published
     * AllPairs/PPJoin candidate-generation scheme) — exact 3-gram
     * shingle Jaccard ≥ 0.6 over each document's full distinct-shingle
     * profile (the E4 shingle convention, but with NO doc-freq cap and
@@ -66,20 +65,38 @@ object Pipeline29 {
     * generators (E2 MinHash bands, E3 SimHash, E8 hyperplanes), at a
     * fraction of the index (~40% of postings at τ=0.6).
     *
-    * Scale shape: profile build is one explode + distinct + one
-    * shingle-keyed doc-freq agg; the shingle rank is a per-document
-    * window (doc-bounded partitions, never global); candidates come
-    * from the prefix-postings self-join — hot shingles rank LAST in
-    * the (df, shingle) order so they fall outside almost every
-    * prefix, which is precisely how AllPairs bounds fan-out without
-    * sacrificing exactness; verification joins candidates back to
-    * the full profile — work proportional to candidates × profile
-    * width, never all pairs. The keep decision is the integer
-    * cross-multiplication 10·inter ≥ 6·(union) — no float threshold
-    * boundary anywhere.
+    * Scale shape: the corpus is shingled ONCE (checkpointed); doc
+    * frequency is one shingle-keyed agg joined back on the shingle;
+    * then ONE doc-keyed agg builds each document's full profile
+    * array AND its (df, shingle)-sorted prefix in the same pass —
+    * all per-document work on doc-bounded arrays, no window, no
+    * second profile shuffle. Candidates come from the prefix-
+    * postings self-join — hot shingles rank LAST in the (df,
+    * shingle) order so they fall outside almost every prefix, which
+    * is precisely how AllPairs bounds fan-out without sacrificing
+    * exactness — WITH two published sound prunes applied before the
+    * pair ever reaches verification: the AllPairs LENGTH filter in
+    * the join condition (J ≤ min/max, so 10·min(na,nb) <
+    * 6·max(na,nb) can never reach τ) and the PPJoin POSITIONAL
+    * filter in the candidate agg (every shared token missed by the
+    * prefix join sits past BOTH last-match positions — order
+    * consistency of the global (df, s) rank — so inter ≤ c +
+    * min(na−i, nb−j) with c = shared-prefix count, i/j = last match
+    * positions; J ≥ 3/5 ⟺ 8·inter ≥ 3·(na+nb), so pairs with
+    * 8·ub < 3·(na+nb) are dropped; measured 193k → 66k candidates
+    * at sf0.1). Verification fetches the two profile ARRAYS via
+    * shuffle-HASH joins (hinted: sorting array payloads is the SMJ
+    * cost, and a doc-count-sized build side must never be a forced
+    * broadcast at 100 TB) plus one `array_intersect` — work
+    * proportional to surviving candidates × profile width, never
+    * all pairs. Every threshold is an integer cross-multiplication;
+    * no float boundary anywhere.
     */
   def ddPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // Shingle ONCE: both the doc-freq pass and the profile join read
+    // this materialized set (pre-fix the corpus was tokenized twice —
+    // the dominant scan cost in BENCH_STAGES_r08).
     val sh = t.documents
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
       .filter(size(col("t")) >= 3)
@@ -87,30 +104,46 @@ object Pipeline29 {
         explode(array_distinct(expr(
           "transform(sequence(1, size(t) - 2), " +
             "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))).as("s"))
-    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val prof = sh.join(dfc, Seq("s"))
-      .select(col("doc_id"), col("s"), col("df"))
       .localCheckpoint(true)
-    val sizes = prof.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val pref = prof
-      .withColumn("pos", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("pos") <= col("n") - expr("(6 * n + 9) div 10") + 1)
-      .select(col("doc_id"), col("s"))
+    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // One doc-keyed agg yields profile array, size, and the AllPairs
+    // prefix (first n − ⌈0.6·n⌉ + 1 shingles in (df, s) order) —
+    // replaces the former sizes agg + per-doc rank window + join.
+    val profiles = sh.join(dfc, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("dfs"))
+      .select(col("doc_id"),
+        transform(col("dfs"), x => x.getField("s")).as("ss"),
+        size(col("dfs")).cast("long").as("n"))
+      .withColumn("pref",
+        slice(col("ss"), lit(1), expr("CAST(n - (6 * n + 9) div 10 + 1 AS INT)")))
+      .localCheckpoint(true)
+    val pref = profiles
+      .select(col("doc_id"), col("n"), posexplode(col("pref")).as(Seq("p0", "s")))
+      .withColumn("pos", col("p0").cast("long") + 1L).drop("p0")
+    // Candidate stage: prefix-postings self-join with the LENGTH
+    // filter inline, then the POSITIONAL filter on the pair agg
+    // (which replaces the former bare distinct — same shuffle, more
+    // pruning): c shared prefix tokens with last-match positions
+    // (i, j) bound the full overlap at c + min(na−i, nb−j).
     val cand = pref.as("pa")
       .join(pref.as("pb"),
-        col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
-      .distinct()
-    val p2 = prof.select(col("doc_id"), col("s"))
-    val inter = cand
-      .join(p2.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(p2.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id") &&
+          least(col("pa.n"), col("pb.n")) * 10 >=
+            greatest(col("pa.n"), col("pb.n")) * 6)
+      .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"),
+        max(col("pa.pos")).as("i"), max(col("pb.pos")).as("j"),
+        first(col("pa.n")).as("na0"), first(col("pb.n")).as("nb0"))
+      .filter((col("c") + least(col("na0") - col("i"), col("nb0") - col("j"))) * 8 >=
+        (col("na0") + col("nb0")) * 3)
+      .select(col("doc_a"), col("doc_b"))
+    cand
+      .join(profiles.hint("shuffle_hash").select(col("doc_id").as("doc_a"),
+        col("ss").as("sa"), col("n").as("na")), Seq("doc_a"))
+      .join(profiles.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
+        col("ss").as("sb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 6)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /

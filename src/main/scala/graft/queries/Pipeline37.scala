@@ -22,33 +22,31 @@ object Pipeline37 {
     * (score desc, id) closes the output deterministically.
     *
     * Scale shape: the graph collapses once to the DISTINCT edge
-    * list (the only corpus-sized exchange, map-side combined);
-    * each half-step is an edge⋈score keyed join + map-side-combined
-    * sum — no N² anywhere, normalization scalars broadcast back;
-    * the top-10s are TakeOrdered (heap per partition), never a
-    * global window.
+    * list (the only corpus-sized exchange, map-side combined),
+    * served session-shared through [[GraphBase.purchaseEdges]] so
+    * no rerun re-pays it; each half-step is an edge⋈score keyed
+    * join + map-side-combined sum materialized ONCE as the RAW
+    * per-node sums — the max-normalization is a driver scalar
+    * (node-count-bounded agg, exact long) applied as a lazy map, so
+    * there is no per-half-step crossJoin/broadcast build and no
+    * second materialization barrier; no N² anywhere; the top-10s
+    * are TakeOrdered (heap per partition), never a global window.
     */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val edges = t.orders
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint(true)
-    def normalized(scores: DataFrame, idCol: String): DataFrame = {
-      val m = scores.agg(max(col("s")).as("mx"))
-      scores.crossJoin(broadcast(m))
-        .select(col(idCol), expr("(s * 1000000) div mx").as("sn"))
-        .localCheckpoint(true)
-    }
+    val edges = GraphBase.purchaseEdges(spark, dir)
     // Half-step: authorities from hub scores (or hubs from authority
     // scores): join edges to the opposite side's normalized scores,
-    // sum per node, renormalize.
-    def halfStep(prev: DataFrame, joinOn: String, outId: String): DataFrame =
-      normalized(
-        edges.join(prev, Seq(joinOn))
-          .groupBy(col(outId)).agg(sum(col("sn")).as("s")),
-        outId)
+    // sum per node, renormalize. The checkpoint sits on the RAW sums;
+    // the ×10⁶ floor-division renormalization is a driver-scalar map
+    // its consumers (next half-step, final top-10) re-derive for the
+    // cost of one projection over the checkpointed aggregate.
+    def halfStep(prev: DataFrame, joinOn: String, outId: String): DataFrame = {
+      val raw = edges.join(prev, Seq(joinOn))
+        .groupBy(col(outId)).agg(sum(col("sn")).as("s"))
+        .localCheckpoint(true)
+      val mx = raw.agg(max(col("s"))).first().getLong(0)
+      raw.select(col(outId), expr(s"(s * 1000000) div ${mx}L").as("sn"))
+    }
     val h0 = edges.select(col("u")).distinct().withColumn("sn", lit(1000000L))
     val a1 = halfStep(h0, "u", "p")
     val h1 = halfStep(a1, "p", "u")

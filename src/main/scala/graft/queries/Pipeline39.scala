@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline39 {
 
-  /** G23: hashing-trick featurization (Weinberger et al.) — each
+  /** G40: hashing-trick featurization (Weinberger et al.) — each
     * document's token bag folded into a fixed 64-dim signed-count
     * vector via the cross-engine polynomial hash (E27's chain):
     * dim = h mod 64, sign = parity of the next hash bit, weight =

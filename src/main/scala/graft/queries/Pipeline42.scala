@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline42 {
 
-  /** N10: weighted sampling WITHOUT replacement (Efraimidis–
+  /** N21: weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): 20 docs per source with inclusion probability
     * proportional to length — sample longer documents more often
     * without ever materializing a cumulative-weight table. Each doc

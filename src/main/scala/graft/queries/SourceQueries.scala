@@ -413,7 +413,7 @@ object SourceQueries {
 
   val srcJsonlReadSql: String = srcCsvReadSql
 
-  /** A18: ORC source path — the remaining Spark-native columnar
+  /** A21: ORC source path — the remaining Spark-native columnar
     * format (a lake this engine must read alongside parquet/CSV/
     * JSONL). Binary round trip, so the oracle runs on the ORIGINAL
     * parquet; schema passed explicitly like A16/A17.

@@ -412,7 +412,7 @@ class ExchangeBudgetSpec extends SparkSpec {
     // pays the df agg + per-doc rank + prefix self-join + the
     // candidate↔profile verify joins.
     "q_khop_bfs" -> ((0, 0)),
-    "dd_prefix_filter" -> ((6, 7)),
+    "dd_prefix_filter" -> ((5, 1)),
     // Batch 30: mutual kNN pays the cell-keyed self-join + source-id
     // window + the reversed-key mutuality join; hard negatives are
     // one broadcast of the 10-query side + the per-query window.

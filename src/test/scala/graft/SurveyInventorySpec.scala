@@ -38,6 +38,29 @@ class SurveyInventorySpec extends AnyFunSuite {
       s"registered but absent from SURVEY §2 (code ahead of inventory): $missing")
   }
 
+  /** Row IDs in §2's first table column (`A18`, `G1b`, `C2w`, …). */
+  private lazy val surveyIds: List[String] = {
+    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toList
+    lines
+      .dropWhile(!_.startsWith("## §2"))
+      .drop(1)
+      .takeWhile(!_.startsWith("## §"))
+      .collect {
+        case l if l.startsWith("| ") && l.count(_ == '|') >= 3 =>
+          l.split("\\|")(1).trim
+      }
+      .filter(_.matches("[A-Z]\\d+[a-z]?"))
+  }
+
+  test("SURVEY §2 row IDs are unique (contract keys must not fork)") {
+    // Round 8 shipped five duplicated IDs (A18/E27/G23/M11/N10):
+    // two different operators each claiming the same contract key, so
+    // citations like "the E27 convention" became ambiguous. Enforce
+    // uniqueness so the inventory can't fork keys again.
+    val dups = surveyIds.groupBy(identity).filter(_._2.size > 1).keys.toList.sorted
+    assert(dups.isEmpty, s"duplicated SURVEY §2 row IDs: $dups")
+  }
+
   test("every query-shaped SURVEY §2 name is a registered query") {
     val reg = Registry.all.map(_.name).toSet
     val phantom = surveyNames

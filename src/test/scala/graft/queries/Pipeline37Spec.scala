@@ -107,4 +107,41 @@ class Pipeline37Spec extends SparkSpec {
     // id 3: rt=11 > 10 -> null; id 4: key 30 unseen -> null.
     assert(out == Map(1L -> 7L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
   }
+
+  test("AsOfJoinNative emits UnsafeRow: bare collect with no Project on top") {
+    // Round-8 advice: executeCollect's byte-array path casts produced
+    // rows to UnsafeRow, so collecting the node's RAW output (no
+    // projection above it) threw ClassCastException before the
+    // result-projection fix. This is exactly that call shape.
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val right = Seq((10L, 90L, 6L)).toDF("rk", "rt", "pay")
+    val rows = graft.plans.AsOfJoinNative
+      .lastBefore(left, right, "k", "rk", "t", "rt", Seq("pay"))
+      .collect()
+    assert(rows.length == 1 && rows(0).getLong(3) == 6L)
+  }
+
+  test("AsOfJoinNative null times: right null-time rows never match, left null-time rows emit unmatched") {
+    // SQL as-of semantics: l.t >= r.t is never true through a null on
+    // either side. Pre-fix these rows NPE'd the merge comparator.
+    import spark.implicits._
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(100L)),
+      (2L, null.asInstanceOf[java.lang.Long])
+    ).toDF("k", "t").selectExpr("monotonically_increasing_id() as id", "k", "t")
+      .selectExpr("k as id", "k", "t") // id = k for assertion simplicity
+    val right = Seq(
+      (1L, java.lang.Long.valueOf(90L), 6L),
+      (1L, null.asInstanceOf[java.lang.Long], 7L), // null time: discard
+      (2L, java.lang.Long.valueOf(10L), 8L)
+    ).toDF("rk", "rt", "pay")
+    val out = graft.plans.AsOfJoinNative
+      .lastBefore(left, right, "k", "rk", "t", "rt", Seq("pay"))
+      .select($"id", $"pay").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // k=1 t=100 matches rt=90 pay 6 (never the null-time pay-7 row);
+    // k=2 t=null is unmatched even though rt=10 pay-8 exists.
+    assert(out == Map(1L -> 6L, 2L -> -1L))
+  }
 }
