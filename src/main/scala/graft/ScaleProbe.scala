@@ -48,7 +48,38 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `runMain graft.ScaleProbe streamfloor <sfDir> [runs]` — time the
+    * bare StreamingQuery lifecycle (stateless single-batch
+    * passthrough, the registry streams' exact session tuning). The
+    * §8 streaming fixed-cost table's "irreducible floor" row.
+    */
+  private def streamFloorMain(sfDir: String, runs: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val times = (1 to runs).map { i =>
+      val t0 = System.nanoTime()
+      graft.queries.StreamQueries.stNoopFloor(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] stream_floor run $i: $t%.3f s")
+      t
+    }
+    println(f"[scaleprobe] stream_floor min=${times.min}%.3f s")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("streamfloor")) {
+      streamFloorMain(args(1), if (args.length > 2) args(2).toInt else 3)
+      return
+    }
     if (args.headOption.contains("query")) {
       queryMain(args(1), args(2), if (args.length > 3) args(3).toInt else 2)
       return

@@ -83,6 +83,87 @@ object StreamQueries {
     else Files.createTempDirectory("graft_ckpt_")
   }
 
+  /** Footer-only events schema, read once per source dir (round-9
+    * streaming fixed-cost pass: fifteen queries each paid this
+    * driver-side footer read per RUN; the schema of an immutable
+    * fixture is a constant).
+    */
+  private val eventsSchemaCache =
+    new graft.util.Memo[String, org.apache.spark.sql.types.StructType]
+  private def eventsSchema(
+      spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    eventsSchemaCache.getOrElseUpdate(dir,
+      spark.read.parquet(s"$dir/events.parquet").schema)
+
+  /** Register a staged fixture dir for JVM-exit cleanup (the staged
+    * copies are immutable inputs cached for the session; bench and
+    * verify JVMs must not accumulate copies in /tmp).
+    */
+  private def reapOnExit(stage: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(stage)))
+    stage
+  }
+
+  /** One staged copy of events.parquet, shared by every query whose
+    * source layout is just "a directory holding the backlog once"
+    * (windowed/sliding/top-k aggs, enrich join, stream-stream inner
+    * join). The stream side stays fully per-query — fresh checkpoint
+    * and sink every run — only the immutable INPUT staging is
+    * shared, the same contract as [[lateStage]]/[[cdcStage]].
+    */
+  private val plainStageCache = new graft.util.Memo[String, java.nio.file.Path]
+  private def plainStage(dir: String): java.nio.file.Path =
+    plainStageCache.getOrElseUpdate(dir, {
+      val stage = Files.createTempDirectory("graft_stream_events_")
+      Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+      reapOnExit(stage)
+    })
+
+  /** The doubled-delivery layout (the backlog staged twice, a_ then
+    * b_) shared by the at-least-once scenarios (dedup, foreachBatch
+    * upsert).
+    */
+  private val doubleStageCache = new graft.util.Memo[String, java.nio.file.Path]
+  private def doubleStage(dir: String): java.nio.file.Path =
+    doubleStageCache.getOrElseUpdate(dir, {
+      val stage = Files.createTempDirectory("graft_stream_double_")
+      Seq("a", "b").foreach { p =>
+        Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve(s"${p}_events.parquet"))
+      }
+      reapOnExit(stage)
+    })
+
+  /** DIAGNOSTIC (not a registry row): the bare StreamingQuery
+    * lifecycle — one stateless passthrough micro-batch over the
+    * shared staged backlog into a memory sink, same tuning as every
+    * registry stream (4 shuffle partitions, /dev/shm checkpoint,
+    * AvailableNow, no-data batch off). What this measures is the
+    * per-row IRREDUCIBLE floor the §8 streaming fixed-cost table
+    * quotes: plan analysis + query start/stop + one source listing +
+    * one offset/commit WAL round-trip + sink drain. Run via
+    * `ScaleProbe query` is impossible (unregistered); use
+    * `ScaleProbe streamfloor <sfDir> [runs]`.
+    */
+  private[graft] def stNoopFloor(spark: SparkSession, dir: String): DataFrame = {
+    val stage = plainStage(dir)
+    val raw = spark.readStream.schema(eventsSchema(spark, dir)).parquet(stage.toString)
+    val out = raw.select(col("event_id")).limit(1)
+    val qName = "st_noop_floor_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir()
+    withStreamingShufflePartitions(spark, 4) {
+      val query = out.writeStream
+        .format("memory")
+        .queryName(qName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    drainMemorySink(spark, qName)
+  }
+
   /** Materialize the memory sink's rows and DROP its temp view —
     * these queries run repeatedly (bench min-of-two, verify), so
     * sink tables must not accumulate in the session for the rest of
@@ -104,13 +185,11 @@ object StreamQueries {
     */
   def stWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
     // File streaming sources list a DIRECTORY; the testdata tables
-    // are single parquet files — stage a copy (driver-side, one tiny
-    // file op; at production scale the source would already be a
-    // directory of part files).
-    val stage = Files.createTempDirectory("graft_stream_events_")
-    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
+    // are single parquet files — stage a copy (session-shared
+    // immutable fixture; at production scale the source would
+    // already be a directory of part files).
+    val stage = plainStage(dir)
+    val raw = spark.readStream.schema(eventsSchema(spark, dir)).parquet(stage.toString)
     // Same ts normalization Tables.events applies on the batch side
     // (schema-dispatched: nano-long or TIMESTAMP_NTZ → timestamp).
     val events = graft.Tables.normalizeTs(raw)
@@ -132,9 +211,7 @@ object StreamQueries {
       query.awaitTermination()
     }
     deleteRecursively(ckpt)
-    val result = drainMemorySink(spark, qName)
-    deleteRecursively(stage)
-    result
+    drainMemorySink(spark, qName) // stage is session-cached, not deleted here
   }
 
   /** Oracle: identical to the batch twin D5 (q_events_window). */
@@ -148,10 +225,8 @@ object StreamQueries {
     * mode + AvailableNow, the I1 drain shape.
     */
   def stSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft_stream_sliding_")
-    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
+    val stage = plainStage(dir)
+    val raw = spark.readStream.schema(eventsSchema(spark, dir)).parquet(stage.toString)
     val events = graft.Tables.normalizeTs(raw)
     val out = EventStream.slidingAgg(events, "2 hours", "1 hour", "1 hour")
     val qName = "st_sliding_window_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -167,9 +242,7 @@ object StreamQueries {
       query.awaitTermination()
     }
     deleteRecursively(ckpt)
-    val result = drainMemorySink(spark, qName)
-    deleteRecursively(stage)
-    result
+    drainMemorySink(spark, qName) // stage is session-cached, not deleted here
   }
 
   /** Oracle: each event contributes to the two hourly-aligned
@@ -198,11 +271,17 @@ object StreamQueries {
     * a production stream drains — event time, not wall clock, closes
     * sessions.
     */
+  private val sessionStageCache = new graft.util.Memo[String, java.nio.file.Path]
+
   def stSessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    // Footer-only read: the schema, not the data.
+    val schema = eventsSchema(spark, dir)
+    // Staged once per source dir (immutable fixture: backlog copy +
+    // guard scan + sentinel write) — the stream below re-runs fully
+    // (fresh checkpoint + sink) on every invocation.
+    val stage = sessionStageCache.getOrElseUpdate(dir, reapOnExit {
     val stage = Files.createTempDirectory("graft_stream_sessions_")
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("a_events.parquet"))
-    // Footer-only read: the schema, not the data.
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val baseTime = Files.getLastModifiedTime(stage.resolve("a_events.parquet")).toMillis
     // Two sentinel files (user −1, fixed far-future ts — 2200-01-01,
     // beyond any event the generator emits, so no data scan needed to
@@ -261,6 +340,8 @@ object StreamQueries {
       spark.createDataFrame(java.util.Collections.singletonList(sentinelRow), schema),
       Seq(1, 2).map(i =>
         stage.resolve(s"z_sentinel_$i.parquet") -> (baseTime + i * 60000L)))
+    stage
+    })
 
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2")
@@ -280,14 +361,13 @@ object StreamQueries {
       query.awaitTermination()
     }
     deleteRecursively(ckpt)
-    val result = drainMemorySink(spark, qName)
+    // stage is session-cached, not deleted here
+    drainMemorySink(spark, qName)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         unix_micros(col("session_end")).as("session_end_us"),
         col("n_events"), col("session_value"))
-    deleteRecursively(stage)
-    result
   }
 
   /** I7 end-to-end: stream-static broadcast enrichment — the most
@@ -299,10 +379,8 @@ object StreamQueries {
     * the segment aggregate. Oracle = the batch twin D12 SQL.
     */
   def stEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft_stream_enrich_")
-    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    val stage = plainStage(dir)
+    val raw = spark.readStream.schema(eventsSchema(spark, dir)).parquet(stage.toString)
     val customer = spark.read.parquet(s"$dir/customer.parquet")
     val out = raw
       .join(broadcast(customer), col("user_id") === col("c_custkey"))
@@ -321,9 +399,7 @@ object StreamQueries {
       query.awaitTermination()
     }
     deleteRecursively(ckpt)
-    val result = drainMemorySink(spark, qName)
-    deleteRecursively(stage)
-    result
+    drainMemorySink(spark, qName) // stage is session-cached, not deleted here
   }
 
   /** Oracle: identical to the batch twin D12 (q_enrich_join). */
@@ -341,9 +417,8 @@ object StreamQueries {
     * oracle = the same self-join in batch SQL.
     */
   def stStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft_stream_ss_join_")
-    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stage = plainStage(dir)
+    val schema = eventsSchema(spark, dir)
     // Two independent file-source streams over the same backlog —
     // the production analogue is two topics (clicks, errors).
     def side(eventType: String, prefix: String) =
@@ -381,7 +456,7 @@ object StreamQueries {
     val rows = java.util.Arrays.asList(agg.collect(): _*)
     val out = spark.createDataFrame(rows, agg.schema)
     spark.catalog.dropTempView(qName)
-    deleteRecursively(stage)
+    // stage is session-cached, not deleted here
     out
   }
 
@@ -399,10 +474,17 @@ object StreamQueries {
     * result would silently equal the INNER join on the tail. The
     * oracle is the plain batch LEFT JOIN twin.
     */
+  private val ssLoStageCache = new graft.util.Memo[String, java.nio.file.Path]
+
   def stSsLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val schema = eventsSchema(spark, dir)
+    val tsType = schema("ts").dataType
+    // Staged once per source dir (immutable fixture: backlog copy +
+    // max-ts scan + two sentinel writes); the stream below re-runs
+    // fully (fresh checkpoint + sink) per invocation.
+    val stage = ssLoStageCache.getOrElseUpdate(dir, reapOnExit {
     val stage = Files.createTempDirectory("graft_stream_ss_lo_")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val tsType = raw.schema("ts").dataType
     val maxUs = raw.agg(max(graft.Tables.tsMicrosExpr(tsType, col("ts"))))
       .head().getLong(0)
     val dayUs = 86400000000L
@@ -429,7 +511,8 @@ object StreamQueries {
       Seq(stage.resolve("y_sentinel1.parquet") -> (base + 30000L)))
     stageSinglePart(sentinel(maxUs + 60 * dayUs, -3L),
       Seq(stage.resolve("z_sentinel2.parquet") -> (base + 60000L)))
-    val schema = raw.schema
+    stage
+    })
     def side(eventType: String, prefix: String) =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -469,7 +552,7 @@ object StreamQueries {
     val rows = java.util.Arrays.asList(agg.collect(): _*)
     val out = spark.createDataFrame(rows, agg.schema)
     spark.catalog.dropTempView(qName)
-    deleteRecursively(stage)
+    // stage is session-cached, not deleted here
     out
   }
 
@@ -498,8 +581,7 @@ object StreamQueries {
     */
   def stUpdateAgg(spark: SparkSession, dir: String): DataFrame = {
     val stage = cdcStage(spark, dir)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(eventsSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
     val counts = graft.Tables.normalizeTs(stream)
@@ -556,12 +638,9 @@ object StreamQueries {
     * single-copy table.
     */
   def stForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft_stream_fb_")
+    val stage = doubleStage(dir)
     val service = Files.createTempDirectory("graft_stream_fb_svc_")
-    Seq("a", "b").foreach { p =>
-      Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve(s"${p}_events.parquet"))
-    }
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -585,7 +664,7 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
     val rows = java.util.Arrays.asList(agg.collect(): _*)
     val out = spark.createDataFrame(rows, agg.schema)
-    deleteRecursively(stage)
+    // stage is session-cached, not deleted here
     deleteRecursively(service)
     out
   }
@@ -611,11 +690,8 @@ object StreamQueries {
     * batch aggregate over the single-copy table iff dedup worked.
     */
   def stDedupStream(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft_stream_dedup_")
-    Seq("a", "b").foreach { p =>
-      Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve(s"${p}_events.parquet"))
-    }
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stage = doubleStage(dir)
+    val schema = eventsSchema(spark, dir)
     val raw = spark.readStream.schema(schema).parquet(stage.toString)
     val events = graft.Tables.normalizeTs(raw)
     val deduped = events
@@ -640,7 +716,7 @@ object StreamQueries {
     val rows = java.util.Arrays.asList(agg.collect(): _*)
     val out = spark.createDataFrame(rows, agg.schema)
     spark.catalog.dropTempView(qName)
-    deleteRecursively(stage)
+    // stage is session-cached, not deleted here
     out
   }
 
@@ -722,8 +798,7 @@ object StreamQueries {
 
   def stLateDrop(spark: SparkSession, dir: String): DataFrame = {
     val stage = lateStage(spark, dir)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(eventsSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
     val events = graft.Tables.normalizeTs(stream)
@@ -803,8 +878,7 @@ object StreamQueries {
   def stCdcApply(spark: SparkSession, dir: String): DataFrame = {
     val stage = cdcStage(spark, dir)
     val deltas = Files.createTempDirectory("graft_stream_cdc_delta_")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(eventsSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
     val cdc = graft.Tables.normalizeTs(raw).select(
@@ -893,10 +967,8 @@ object StreamQueries {
     * mode).
     */
   def stTopkWindowed(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft_stream_topk_")
-    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
+    val stage = plainStage(dir)
+    val raw = spark.readStream.schema(eventsSchema(spark, dir)).parquet(stage.toString)
     val events = graft.Tables.normalizeTs(raw)
     val counts = events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -915,8 +987,7 @@ object StreamQueries {
       query.awaitTermination()
     }
     deleteRecursively(ckpt)
-    val drained = drainMemorySink(spark, qName)
-    deleteRecursively(stage)
+    val drained = drainMemorySink(spark, qName) // stage session-cached
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_start"))
       .orderBy(col("n").desc, col("event_type"))
@@ -937,16 +1008,33 @@ object StreamQueries {
     * not on sink-side dedup (I9 proves the complementary
     * idempotent-sink contract).
     */
+  private val resumePartsCache = new graft.util.Memo[String, java.nio.file.Path]
+
   def stCheckpointResume(spark: SparkSession, dir: String): DataFrame = {
+    // The two halves of the split backlog are immutable fixtures —
+    // build their part files ONCE per source dir (two filter-write
+    // jobs); each RUN still stages them into a fresh source dir in
+    // two steps (A, run, B, run) so the restart semantics under test
+    // are untouched, but re-runs pay two file copies, not two jobs.
+    val parts = resumePartsCache.getOrElseUpdate(dir, reapOnExit {
+      val hold = Files.createTempDirectory("graft_stream_resume_parts_")
+      val t = graft.Tables(spark, dir)
+      val slim = t.events.select(col("event_id"), col("event_type"), col("value"))
+      val now = System.currentTimeMillis()
+      stageSinglePart(slim.filter(pmod(col("event_id"), lit(2)) === 0),
+        Seq((hold.resolve("a_events.parquet"), now)))
+      stageSinglePart(slim.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq((hold.resolve("b_events.parquet"), now)))
+      hold
+    })
     val stage = Files.createTempDirectory("graft_stream_resume_")
     val sinkDir = Files.createTempDirectory("graft_stream_resume_sink_")
     val sink = sinkDir.resolve("out").toString
     val ckpt = scratchCheckpointDir()
-    val t = graft.Tables(spark, dir)
-    val slim = t.events.select(col("event_id"), col("event_type"), col("value"))
     val base = System.currentTimeMillis() - 120000L
-    stageSinglePart(slim.filter(pmod(col("event_id"), lit(2)) === 0),
-      Seq((stage.resolve("a_events.parquet"), base)))
+    Files.copy(parts.resolve("a_events.parquet"), stage.resolve("a_events.parquet"))
+    Files.setLastModifiedTime(stage.resolve("a_events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(base))
     def runOnce(): Unit = withStreamingShufflePartitions(spark, 4) {
       val raw = spark.readStream
         .schema("event_id BIGINT, event_type STRING, value DOUBLE")
@@ -961,8 +1049,9 @@ object StreamQueries {
       q.awaitTermination()
     }
     runOnce() // backlog = A only; offsets for A commit to the checkpoint
-    stageSinglePart(slim.filter(pmod(col("event_id"), lit(2)) === 1),
-      Seq((stage.resolve("b_events.parquet"), base + 60000L)))
+    Files.copy(parts.resolve("b_events.parquet"), stage.resolve("b_events.parquet"))
+    Files.setLastModifiedTime(stage.resolve("b_events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(base + 60000L))
     runOnce() // restart: must pick up ONLY B
     val agg = spark.read.parquet(sink)
       .groupBy(col("event_type"))
@@ -1011,18 +1100,25 @@ object StreamQueries {
     * (n·x−Σx)² > 9·(n·Σx²−(Σx)²) comparison over a
     * rows-between-preceding window.
     */
+  private val anomStageCache = new graft.util.Memo[String, java.nio.file.Path]
+
   def stAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stage = Files.createTempDirectory("graft_stream_anom_")
-    val raw0 = spark.read.parquet(s"$dir/events.parquet")
-    val splitUs = 1706140800000000L // 2024-01-25T00:00:00Z
-    val splitBound = graft.Tables.tsBoundLit(raw0.schema("ts").dataType, splitUs)
-    val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
-    stageSinglePart(raw0.filter(col("ts") < splitBound),
-      Seq(stage.resolve("a_old.parquet") -> base))
-    stageSinglePart(raw0.filter(col("ts") >= splitBound),
-      Seq(stage.resolve("z_new.parquet") -> (base + 30000L)))
-    val stream = spark.readStream.schema(raw0.schema)
+    // Staged once per source dir (two filter-write jobs building the
+    // old/new split — immutable fixture); fresh stream per run.
+    val stage = anomStageCache.getOrElseUpdate(dir, reapOnExit {
+      val stage = Files.createTempDirectory("graft_stream_anom_")
+      val raw0 = spark.read.parquet(s"$dir/events.parquet")
+      val splitUs = 1706140800000000L // 2024-01-25T00:00:00Z
+      val splitBound = graft.Tables.tsBoundLit(raw0.schema("ts").dataType, splitUs)
+      val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
+      stageSinglePart(raw0.filter(col("ts") < splitBound),
+        Seq(stage.resolve("a_old.parquet") -> base))
+      stageSinglePart(raw0.filter(col("ts") >= splitBound),
+        Seq(stage.resolve("z_new.parquet") -> (base + 30000L)))
+      stage
+    })
+    val stream = spark.readStream.schema(eventsSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
     val ev = graft.Tables.normalizeTs(stream)
@@ -1044,9 +1140,7 @@ object StreamQueries {
       query.awaitTermination()
     }
     deleteRecursively(ckpt)
-    val out = drainMemorySink(spark, qName)
-    deleteRecursively(stage)
-    out
+    drainMemorySink(spark, qName) // stage is session-cached
   }
 
   /** The stateful stream's flag set equals the batch full-history
