@@ -89,7 +89,12 @@ object Cli {
     */
   private[graft] def run(spark: SparkSession, args: Seq[String]): Unit = {
     val (pos, opt) = flags(args)
-    val date = opt.getOrElse("date", "1970-01-01T00:00:00")
+    // Layered settings (reference settings.py Config): explicit CLI
+    // flags > GRAFT_* environment > --settings file > defaults.
+    val settings = opt.get("settings")
+      .map(f => graft.config.Settings.loadFile(f, sys.env.toMap))
+      .getOrElse(graft.config.Settings.load(env = sys.env.toMap))
+    val date = opt.getOrElse("date", settings("publish.date"))
     pos match {
       case Seq("export", catalogPath, name, sfDir, outPath) =>
         val cfg = loadEntry(spark, catalogPath, name)
@@ -112,14 +117,21 @@ object Cli {
         val cfg = loadEntry(spark, catalogPath, name)
         val country = opt.getOrElse("country", "AFG")
         val df = runPipeline(spark, cfg, sfDir, country, date)
-        val mode = opt.getOrElse("mode", "auto").toLowerCase match {
+        val mode = opt.getOrElse("mode", settings("publish.mode")).toLowerCase match {
           case "auto"      => PublishMode.Auto
           case "initial"   => PublishMode.Initial
           case "overwrite" => PublishMode.Overwrite
           case "append"    => PublishMode.Append
           case other       => throw new IllegalArgumentException(s"unknown mode: $other")
         }
-        FeatureService.publish(df, servicePath, cfg.name, mode, cfg.upsertKey)
+        // Call-frame enrichment (errors.scala): the engine raised
+        // with {service, layer, mode, stage}; only the CLI knows the
+        // country and command.
+        try FeatureService.publish(df, servicePath, cfg.name, mode, cfg.upsertKey)
+        catch {
+          case e: graft.GraftError => throw graft.GraftError.enrich(e,
+            Map("country" -> country, "command" -> "publish"))
+        }
         println(s"published ${cfg.name} -> $servicePath (mode=$mode)")
         // Item metadata (reference publish.py:234-342): a JSON
         // template rendered with the publish context, then applied
@@ -246,10 +258,16 @@ object Cli {
         // `latest` resolves like the reference's catalog probe
         // (settings.py:45), served from local state: catalog.json pin
         // first, else the newest complete release already in the store.
-        val release = store.resolveRelease(releaseSpec)
+        val release = try store.resolveRelease(releaseSpec) catch {
+          case e: graft.GraftError => throw graft.GraftError.enrich(e,
+            Map("theme" -> theme, "command" -> "ensure-dump"))
+        }
         val had = store.exists(release, theme)
-        val path = store.ensure(release, theme, date, force = opt.contains("force")) {
+        val path = try store.ensure(release, theme, date, force = opt.contains("force")) {
           Tables(spark, sfDir).table(theme)
+        } catch {
+          case e: graft.GraftError => throw graft.GraftError.enrich(e,
+            Map("command" -> "ensure-dump"))
         }
         println(s"[dump] ${if (had && !opt.contains("force")) "exists" else "ensured"} " +
           s"$theme@$release -> $path (serve dir: ${store.releaseDir(release)})")

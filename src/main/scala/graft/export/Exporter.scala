@@ -24,7 +24,9 @@ object ExportFormat extends Enumeration {
       case "csv"              => Csv
       case "gpkg"             => Gpkg
       case "gdb" | "fgdb"     => Fgdb
-      case other              => throw new IllegalArgumentException(s"unknown export extension: $other")
+      case other              => throw new graft.ExportError(
+        s"unknown export extension: $other",
+        Map("format" -> other, "stage" -> "export"))
     }
   }
 }
@@ -43,7 +45,7 @@ object Exporter {
       target: String = "features",
       generatedAt: String = "1970-01-01T00:00:00",
       geometryWkb: Option[Column] = None
-  ): Unit = format match {
+  ): Unit = try { format match {
     case ExportFormat.GeoJson =>
       val geom = geometryJson.getOrElse(
         throw new IllegalArgumentException("GeoJSON export needs a geometry column"))
@@ -68,6 +70,18 @@ object Exporter {
       throw new UnsupportedOperationException(
         s"$format is a proprietary ESRI container with no public spec; " +
           "unsupported by design (documented in SURVEY.md §6)")
+  } } catch {
+    // Typed seam (reference errors.py ExportError): driver errors,
+    // missing geometry columns, and format routing all surface with
+    // {path, format, stage} context; the UnsupportedOperationException
+    // for FGDB intentionally stays untyped — it is a capability
+    // statement, not a failure of an attempted export.
+    case e: graft.GraftError                 => throw e
+    case e: UnsupportedOperationException    => throw e
+    case scala.util.control.NonFatal(e) =>
+      throw new graft.ExportError(
+        s"export failed: ${e.getMessage}",
+        Map("path" -> path, "format" -> format.toString, "stage" -> "export"), e)
   }
 
   /** Incremental partitioned export with DYNAMIC partition

@@ -79,7 +79,7 @@ object FeatureService {
       layer: String,
       mode: PublishMode.Value,
       upsertKey: String = "id"
-  ): Unit = {
+  ): Unit = try {
     val spark = df.sparkSession
     val path = layerPath(servicePath, layer)
     // Heal any half-finished swap from a previous crashed publish
@@ -131,6 +131,17 @@ object FeatureService {
           f.delete(backup, true)
         }
     }
+  } catch {
+    // One seam wraps every publish failure shape (layer-state,
+    // swap/rename, write) in the typed taxonomy with the context
+    // only this frame knows; inner exceptions ride as the cause
+    // (reference errors.py PublishError).
+    case e: graft.GraftError => throw e
+    case scala.util.control.NonFatal(e) =>
+      throw new graft.PublishError(
+        s"publish failed: ${e.getMessage}",
+        Map("service" -> servicePath, "layer" -> layer,
+          "mode" -> mode.toString, "stage" -> "publish"), e)
   }
 
   def readLayer(spark: SparkSession, servicePath: String, layer: String): DataFrame =
@@ -546,9 +557,15 @@ object FeatureService {
       }
       obs.get("rows").asInstanceOf[Long]
     } catch {
-      case scala.util.control.NonFatal(e) =>
+      case e: graft.GraftError =>
         moved.foreach(p => f.delete(p, false)) // rollback=True
         throw e
+      case scala.util.control.NonFatal(e) =>
+        moved.foreach(p => f.delete(p, false)) // rollback=True
+        throw new graft.PublishError(
+          s"hardened append failed: ${e.getMessage}",
+          Map("service" -> servicePath, "layer" -> layer,
+            "stage" -> "append-item"), e)
     } finally {
       f.delete(itemDir, true) // temp item removed on success AND failure
     }

@@ -94,10 +94,13 @@ final class DumpStore(spark: SparkSession, basePath: String) {
     // `"` or path separator would make a COMPLETED dump unreadable
     // to exists()/list() — reject it before any bytes land.
     Seq("release" -> release, "theme" -> theme, "ensured_at" -> ensuredAt).foreach {
-      case (what, v) => require(v.nonEmpty && v.forall(ch =>
-          ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-' || ch == ':'),
-        s"dump $what '$v' must be non-empty [A-Za-z0-9._:-] " +
-          "(it is embedded in metadata JSON and storage paths)")
+      case (what, v) =>
+        if (!(v.nonEmpty && v.forall(ch =>
+            ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-' || ch == ':')))
+          throw new graft.ConfigError(
+            s"dump $what '$v' must be non-empty [A-Za-z0-9._:-] " +
+              "(it is embedded in metadata JSON and storage paths)",
+            Map("release" -> release, "theme" -> theme, "stage" -> "ensure-dump"))
     }
     val data = dataPath(release, theme)
     if (exists(release, theme)) {
@@ -120,9 +123,14 @@ final class DumpStore(spark: SparkSession, basePath: String) {
       metaCache.put((release, theme), DumpEntry(release, theme, rows, ensuredAt))
       data
     } catch {
-      case scala.util.control.NonFatal(e) =>
+      case e: graft.GraftError =>
         delete(release, theme) // never leave a half-fetched dump behind
         throw e
+      case scala.util.control.NonFatal(e) =>
+        delete(release, theme) // never leave a half-fetched dump behind
+        throw new graft.OvertureError(
+          s"dump fetch failed: ${e.getMessage}",
+          Map("release" -> release, "theme" -> theme, "stage" -> "ensure-dump"), e)
     }
   }
 
@@ -158,8 +166,10 @@ final class DumpStore(spark: SparkSession, basePath: String) {
 
   /** Read an ensured theme (the dump-served read path). */
   def read(release: String, theme: String): DataFrame = {
-    require(exists(release, theme),
-      s"no complete dump for release=$release theme=$theme — run ensure first")
+    if (!exists(release, theme))
+      throw new graft.OvertureError(
+        "no complete dump — run ensure first",
+        Map("release" -> release, "theme" -> theme, "stage" -> "read-dump"))
     spark.read.parquet(dataPath(release, theme))
   }
 
@@ -189,8 +199,9 @@ final class DumpStore(spark: SparkSession, basePath: String) {
       // (or blanks) "latest" is an error, not a silent fallback —
       // settings.py:53-55 raises ValueError.
       if (latest.isEmpty)
-        throw new IllegalStateException(
-          s"catalog $catalogPath is present but has no 'latest' field")
+        throw new graft.ConfigError(
+          s"catalog $catalogPath is present but has no 'latest' field",
+          Map("stage" -> "resolve-release"))
       latest
     }
   }
@@ -208,8 +219,9 @@ final class DumpStore(spark: SparkSession, basePath: String) {
     */
   def resolveRelease(spec: String): String =
     if (spec != "latest") spec
-    else latestRelease().getOrElse(throw new NoSuchElementException(
-      s"cannot resolve 'latest': no catalog.json at $catalogPath and no complete dumps under $basePath"))
+    else latestRelease().getOrElse(throw new graft.ConfigError(
+      s"cannot resolve 'latest': no catalog.json at $catalogPath and no complete dumps under $basePath",
+      Map("release" -> spec, "stage" -> "resolve-release")))
 }
 
 object DumpStore {

@@ -50,7 +50,7 @@ class ExportSpec extends SparkSpec {
       geometryWkb = Some(graft.functions.Wkb.wkbFromXY(col("x"), col("y"))))
     val bytes = Files.readAllBytes(Paths.get(s"$dir/t.gpkg"))
     assert(new String(bytes.slice(68, 72), "ISO-8859-1") == "GPKG")
-    intercept[IllegalArgumentException] { // gpkg without geometry
+    intercept[graft.ExportError] { // gpkg without geometry
       Exporter.write(pointsDf, s"$dir/t2.gpkg", ExportFormat.Gpkg)
     }
     intercept[UnsupportedOperationException] {
@@ -74,7 +74,7 @@ class ExportSpec extends SparkSpec {
     val df = pointsDf
     FeatureService.publish(df, svc, "roads", PublishMode.Initial)
     assert(FeatureService.readLayer(spark, svc, "roads").count() == 20)
-    intercept[IllegalStateException] {
+    intercept[graft.PublishError] {
       FeatureService.publish(df, svc, "roads", PublishMode.Initial)
     }
     FeatureService.publish(df.limit(5), svc, "roads", PublishMode.Overwrite)

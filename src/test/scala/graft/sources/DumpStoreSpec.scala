@@ -93,7 +93,7 @@ class DumpStoreSpec extends SparkSpec {
     val base = tmp()
     val store = new DumpStore(spark, base)
     // Empty store: latest is unresolvable, and says so.
-    intercept[NoSuchElementException] { store.resolveRelease("latest") }
+    intercept[graft.ConfigError] { store.resolveRelease("latest") }
     // Non-latest specs pass through untouched (no store probe).
     assert(store.resolveRelease("2030-01-01.0") == "2030-01-01.0")
     store.ensure("2025-06-25.9", "region", At)(tables.table("region"))
@@ -111,7 +111,7 @@ class DumpStoreSpec extends SparkSpec {
     // never a silent fallback.
     Files.write(java.nio.file.Paths.get(base, "catalog.json"),
       """{"type": "Catalog"}""".getBytes("UTF-8"))
-    intercept[IllegalStateException] { store.resolveRelease("latest") }
+    intercept[graft.ConfigError] { store.resolveRelease("latest") }
   }
 
   test("cli ensure-dump latest resolves before ensuring") {
