@@ -430,7 +430,7 @@ class ExchangeBudgetSpec extends SparkSpec {
     // with both d-sized moment tables broadcast back.
     "q_kcore" -> ((1, 0)),
     "sim_cov_matrix" -> ((3, 2)),
-    "sim_whiten_identity" -> ((1, 0)),
+    "sim_whiten_identity" -> ((0, 0)),
     // Batch 33: the live plan is the p3 matrix-vector step (counts
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with
