@@ -21,25 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Whitening {
 
-  /** Driver-side mean vector and population covariance matrix of an
-    * Array[Float] column — the exact ×10⁶ fixed-point moments,
-    * bit-deterministic under any partitioning: per-partition Gram
-    * accumulation into LONG arrays (overflow-CHECKED via
-    * `Math.*Exact`; safe to ~9·10⁶ rows per partition at |fx| ≤ 10⁶,
-    * an order of magnitude above a 128 MB parquet split), then an
-    * exact BigInt `treeReduce` combine — long addition is
-    * order-independent, so the result is identical under any
-    * partitioning, same as the previous DECIMAL(38) aggregate but
-    * without materializing d(d+1)/2 rows PER RECORD through an
-    * exchange (the explode formulation cost 2.6 s steady at sf0.1;
-    * this is the MLlib RowMatrix Gramian shape, rung-(d)
-    * `mapPartitions` used deliberately: the state is d²-bounded, the
-    * combine is associative, and no built-in aggregate expresses a
-    * triangular outer-product accumulator without row inflation).
-    * Driver traffic is one (n, d, d(d+1)/2) tuple per partition
-    * merged tree-wise.
+  /** The exact ×10⁶ fixed-point Gram sums of an Array[Float] column —
+    * (n, Σfxᵢ per dim, Σfxᵢfxⱼ upper triangle) as BigInt, the shared
+    * kernel under [[meanAndCov]] and the F15 `sim_cov_matrix`
+    * registry row. Bit-deterministic under any partitioning:
+    * per-partition accumulation into LONG arrays (overflow-CHECKED
+    * via `Math.*Exact`; safe to ~9·10⁶ rows per partition at
+    * |fx| ≤ 10⁶, an order of magnitude above a 128 MB parquet
+    * split), then an exact BigInt `treeReduce` combine — long
+    * addition is order-independent, so the result is identical under
+    * any partitioning, same as a DECIMAL(38) aggregate but without
+    * materializing d(d+1)/2 rows PER RECORD through an exchange (the
+    * explode formulation cost 2.6 s steady at sf0.1; this is the
+    * MLlib RowMatrix Gramian shape, rung-(d) `mapPartitions` used
+    * deliberately: the state is d²-bounded, the combine is
+    * associative, and no built-in aggregate expresses a triangular
+    * outer-product accumulator without row inflation). Driver
+    * traffic is one (n, d, d(d+1)/2) tuple per partition merged
+    * tree-wise.
     */
-  def meanAndCov(df: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Array[Double]]) = {
+  def fixedPointGram(df: DataFrame, vecCol: String, dim: Int): (BigInt, Array[BigInt], Array[BigInt]) = {
     val tri = dim * (dim + 1) / 2
     val fxa = df.select(
       expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))")
@@ -68,13 +69,22 @@ object Whitening {
       }
       Iterator.single((n, sx, sxy))
     }
-    val (n0, sxB, sxyB) = parts
+    parts
       .map { case (n, sx, sxy) => (BigInt(n), sx.map(BigInt(_)), sxy.map(BigInt(_))) }
       .treeReduce { case ((n1, a1, b1), (n2, a2, b2)) =>
         (n1 + n2,
           Array.tabulate(dim)(i => a1(i) + a2(i)),
           Array.tabulate(tri)(c => b1(c) + b2(c)))
       }
+  }
+
+  /** Driver-side mean vector and population covariance matrix — the
+    * [[fixedPointGram]] sums converted to doubles. Collect size is
+    * d + d(d+1)/2 cells; exactness and partitioning-invariance are
+    * the kernel's.
+    */
+  def meanAndCov(df: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val (n0, sxB, sxyB) = fixedPointGram(df, vecCol, dim)
     val n = n0.toDouble
     val mean = Array.tabulate(dim)(i => sxB(i).toDouble / 1e6 / n)
     val cov = Array.fill(dim, dim)(0.0)

@@ -429,8 +429,10 @@ class ExchangeBudgetSpec extends SparkSpec {
     // covariance pays the d²-cell pair agg + the d-cell sum agg,
     // with both d-sized moment tables broadcast back.
     "q_kcore" -> ((1, 0)),
-    "sim_cov_matrix" -> ((3, 2)),
+    "sim_cov_matrix" -> ((0, 0)),
     "sim_whiten_identity" -> ((0, 0)),
+    "q_page_hinkley" -> ((2, 0)),
+    "q_isotonic" -> ((0, 0)),
     // Batch 33: the live plan is the p3 matrix-vector step (counts
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with
