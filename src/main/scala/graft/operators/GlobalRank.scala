@@ -27,6 +27,31 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalRank {
 
+  /** Exact global POSITIONS 1..n over the total order `sortCols`,
+    * appended as LongType column `out` — the same range-partitioned
+    * sort + per-partition-offset zip as [[ntileExact]] without the
+    * bucket arithmetic (used by D120 Spearman, whose rank vector IS
+    * the statistic). Pass a unique tiebreaker in `sortCols` for
+    * deterministic output.
+    */
+  def rankExact(df: DataFrame, sortCols: Seq[Column], out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols: _*).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .mapPartitionsWithIndex { (pi, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+        Iterator((pi, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val zipped = sorted.mapPartitionsWithIndex { (pi, it) =>
+      var i = offsets(pi)
+      it.map { row => i += 1; Row.fromSeq(row.toSeq :+ i) }
+    }
+    spark.createDataFrame(zipped, df.schema.add(out, LongType, nullable = false))
+  }
+
   /** Exact `ntile(k)` over the total order `sortCols`, appended as
     * LongType column `out`. Ties are broken by `sortCols` itself —
     * pass a unique tiebreaker column for deterministic output.

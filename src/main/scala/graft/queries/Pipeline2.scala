@@ -703,9 +703,12 @@ object Pipeline2 {
     * weights broadcast as literals, the scan stays map-only, no UDF
     * and no model server in the hot path.
     */
-  def txQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val text = col("text")
+  /** The G16 classifier score as a reusable column (4-dp rounded
+    * sigmoid; `>= 0.5` is the kept decision) — shared with D121
+    * Cohen's kappa, which compares this classifier against the G22
+    * rule filter.
+    */
+  private[queries] def qualityScoreCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nTok = size(split(text, " ")).cast("double")
     val len = length(text).cast("double")
     val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / len
@@ -713,8 +716,12 @@ object Pipeline2 {
     // Weights a trained classifier would supply; fixed here.
     val z = lit(-0.37) + lit(0.291) * log(lit(1.0) + nTok) +
       lit(-4.13) * punct + lit(-0.177) * meanWordLen
-    t.documents.select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+  }
+
+  def txQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(col("doc_id"), qualityScoreCol(col("text")).as("score"))
       .withColumn("kept", col("score") >= 0.5)
   }
 

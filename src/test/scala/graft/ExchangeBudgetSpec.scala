@@ -433,6 +433,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "sim_whiten_identity" -> ((0, 0)),
     "q_page_hinkley" -> ((2, 0)),
     "q_isotonic" -> ((0, 0)),
+    "q_resource_alloc" -> ((6, 0)),
+    "q_assortativity" -> ((5, 0)),
+    "q_graph_modularity" -> ((4, 3)),
+    "q_harmonic_centrality" -> ((2, 0)),
+    "q_spearman" -> ((3, 0)),
+    "q_cohens_kappa" -> ((1, 0)),
     // Batch 33: the live plan is the p3 matrix-vector step (counts
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with
