@@ -439,6 +439,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_harmonic_centrality" -> ((2, 0)),
     "q_spearman" -> ((3, 0)),
     "q_cohens_kappa" -> ((1, 0)),
+    "q_kendall_tau" -> ((9, 6)),
+    "q_theil_index" -> ((8, 5)),
     // Batch 33: the live plan is the p3 matrix-vector step (counts
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with
