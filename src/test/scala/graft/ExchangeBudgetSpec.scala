@@ -441,6 +441,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_cohens_kappa" -> ((1, 0)),
     "q_kendall_tau" -> ((9, 6)),
     "q_theil_index" -> ((8, 5)),
+    "q_mann_kendall" -> ((4, 3)),
+    "q_runs_test" -> ((1, 0)),
     // Batch 33: the live plan is the p3 matrix-vector step (counts
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with

@@ -54,6 +54,9 @@ class PlanGuardSpec extends SparkSpec {
       "cumulative-Qini window runs on the 10-row decile aggregate — " +
         "constant-size at any corpus scale (user tiling is the " +
         "range-partitioned GlobalRank.ntileExact, not a window)")),
+    "q_runs_test" -> ((2,
+      "median-rank and lag windows run on the per-DAY mean table — " +
+        "calendar-bounded (~31 rows) at any corpus scale")),
     "q_abc" -> ((1,
       "cumulative-revenue window runs on the checkpointed 100-row " +
         "percentile aggregate — constant-size at any corpus scale " +
