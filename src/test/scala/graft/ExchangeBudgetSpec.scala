@@ -443,6 +443,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_theil_index" -> ((8, 5)),
     "q_mann_kendall" -> ((4, 3)),
     "q_runs_test" -> ((1, 0)),
+    "tx_vocab_coverage" -> ((0, 0)),
+    "tx_good_turing" -> ((0, 0)),
+    "q_mcnemar" -> ((1, 0)),
     // Batch 33: the live plan is the p3 matrix-vector step (counts
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with
