@@ -446,6 +446,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "tx_vocab_coverage" -> ((0, 0)),
     "tx_good_turing" -> ((0, 0)),
     "q_mcnemar" -> ((1, 0)),
+    "tx_chao1" -> ((2, 0)),
+    "tx_heaps_curve" -> ((6, 2)),
     // Batch 33: the live plan is the p3 matrix-vector step (counts
     // and p1/p2 are checkpointed) — the window+count pass already
     // paid, leaving the type-keyed agg + final vector joins, with
