@@ -439,17 +439,42 @@ object PipelineQueries {
   /** E9-bloom: decontamination with the eval set as a Bloom filter
     * ([[graft.operators.Dedup.decontaminateBloom]]) — ~7× smaller
     * executor footprint than the exact hash broadcast, map-only
-    * scan, superset-with-bounded-FPR semantics. Rows-only registry
-    * entry (the filter's bit pattern is engine-specific); the spec
-    * asserts zero false negatives vs the exact E9 answer and a
-    * bounded flagged-set inflation.
+    * scan, superset-with-bounded-FPR semantics — stated as its
+    * one-sided-error invariant. The filter's bit pattern is
+    * engine-specific, so the registry row emits what a Bloom filter
+    * CONTRACTS: (a) the exact flagged count (cross-checked by the
+    * exact E9 SQL), (b) zero false negatives — every exact-flagged
+    * doc is bloom-flagged (anti-join cardinality 0), and (c) bounded
+    * inflation — bloom-flagged ≤ exact + 5·fpp·probes + 16 (5× the
+    * expected false-hit count at fpp = 1%; Chernoff puts exceeding
+    * that at < e⁻ᵐᵉᵃⁿ, plus an additive floor for tiny scales). The
+    * full flagged list remains available via the operator
+    * (PipelineOpsSpec asserts the same two properties row-wise).
     */
   def ddDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    Dedup.decontaminateBloom(
-      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
-      "text", "doc_id", 5)
+    val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val exact = Dedup.decontaminate(train, evalDocs, "text", "doc_id", 5)
+      .select(col("doc_id")).localCheckpoint(true)
+    val bloomed = Dedup.decontaminateBloom(train, evalDocs, "text", "doc_id", 5)
+      .select(col("doc_id")).localCheckpoint(true)
+    // total membership probes the train scan makes (distinct
+    // shingle hashes per doc) — the false-positive budget's n.
+    val probes = train
+      .select(explode(graft.functions.NgramXxHashes(col("text"), 5)).as("sh"))
+      .agg(count(lit(1)).as("n_probes"))
+    exact.agg(count(lit(1)).as("n_exact_flagged"))
+      .crossJoin(exact.join(bloomed, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed")))
+      .crossJoin(bloomed.agg(count(lit(1)).as("n_bloom")))
+      .crossJoin(probes)
+      .select(
+        col("n_exact_flagged"),
+        (col("n_missed") === 0L).cast("long").as("no_false_negatives"),
+        (col("n_bloom") * lit(100L) <=
+          col("n_exact_flagged") * lit(100L) + col("n_probes") * lit(5L) + lit(1600L))
+          .cast("long").as("inflation_ok"))
   }
 
   val ddDecontaminateSql: String =
@@ -466,6 +491,17 @@ object PipelineQueries {
       |FROM sh JOIN ev USING (s)
       |WHERE doc_id % 97 <> 0
       |GROUP BY doc_id""".stripMargin
+
+  /** The Bloom variant's fixed point: exact flagged cardinality from
+    * the exact E9 SQL; the two one-sided-error gates stated as the
+    * invariants they must land on.
+    */
+  val ddDecontaminateBloomSql: String =
+    s"""WITH exact AS ($ddDecontaminateSql)
+       |SELECT count(*) AS n_exact_flagged,
+       |  CAST(1 AS BIGINT) AS no_false_negatives,
+       |  CAST(1 AS BIGINT) AS inflation_ok
+       |FROM exact""".stripMargin
 
   /** N5: per-source document cap — top 50 docs per source by
     * quality score (ties by doc_id), the per-domain cap of a

