@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * metadata, plus the decode/feature-extraction plumbing a media
   * pipeline needs.
   *
-  * The decode step is STUBBED (this environment ships no image/
-  * audio codecs): [[FakeDecoder]] is a deterministic stand-in with
-  * the real signature. The Spark-side plumbing — binary schema,
-  * partition-batched processing via mapPartitions, feature schema —
-  * is real and tested; swapping in a JNI/FFI decoder changes one
-  * function.
+  * Image decode is REAL as of round 10: [[ImageIo]] encodes and
+  * decodes PNG/JPEG/BMP through the JDK's own `javax.imageio`
+  * (headless-safe, no external library) inside the partition-batched
+  * seam, and [[decodeImageStats]] is the production decode stage.
+  * [[FakeDecoder]] remains only as the deterministic stand-in for
+  * container formats the JDK cannot parse (video/audio): the
+  * frame-sampling plumbing is format-agnostic and keeps its closed
+  * -form twin. Swapping in an FFI codec still changes one function.
   */
 object Multimodal {
 
@@ -285,5 +287,160 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ----------------------------------------------------------------
+  // Real image codec (JDK ImageIO) — round 10: the decode stage is
+  // no longer simulated. PNG/JPEG/BMP encode + decode run through
+  // `javax.imageio` (pure JDK, headless-safe, no external library),
+  // inside the same mapPartitions batch seam the stub defined.
+  // ----------------------------------------------------------------
+
+  /** JDK-ImageIO codec. Encode exists so pipelines (and the oracle
+    * protocol) can stage REAL compressed payloads deterministically;
+    * decode is the production stage: parse the container, inflate /
+    * entropy-decode the pixel data, and reduce it to per-channel
+    * statistics without ever materializing rasters outside the
+    * executor batch.
+    */
+  object ImageIo {
+    // Never touch a display server or a disk cache from executors.
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Encode a `w`×`h` RGB image, pixel values from `sample(x, y,
+      * band)` (band 0 = R, 1 = G, 2 = B; values clamped to 0..255),
+      * to the given format ("png", "jpg", "bmp"). PNG and BMP are
+      * lossless: a decode returns the exact samples.
+      */
+    def encode(w: Int, h: Int, format: String)(sample: (Int, Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            raster.setSample(x, y, c, math.max(0, math.min(255, sample(x, y, c))))
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+      bos.toByteArray
+    }
+
+    /** Decoded-image statistics: (width, height, bands, per-band
+      * pixel-value sums). Returns None for payloads no installed
+      * reader recognizes (corrupt/unknown magic) — a media corpus
+      * fact of life the pipeline skips, never throws on.
+      */
+    def decodeStats(payload: Array[Byte]): Option[(Int, Int, Int, Array[Long])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val bands = raster.getNumBands
+        val sums = new Array[Long](bands)
+        val row = new Array[Int](w)
+        var b = 0
+        while (b < bands) {
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, b, row)
+            var x = 0
+            while (x < w) { s += row(x); x += 1 }
+            y += 1
+          }
+          sums(b) = s
+          b += 1
+        }
+        Some((w, h, bands, sums))
+      }
+    }
+
+    /** Bilinear resize (the feature-extraction pre-step): pure-JDK
+      * Graphics2D with BILINEAR interpolation, returning the resized
+      * image's per-band pixel sums alongside its dims.
+      */
+    def resizeStats(payload: Array[Byte], outW: Int, outH: Int): Option[(Int, Int, Array[Long])] = {
+      val src =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, outW, outH, null)
+        g.dispose()
+        val raster = dst.getRaster
+        val sums = new Array[Long](3)
+        var b = 0
+        while (b < 3) {
+          var s = 0L
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) { s += raster.getSample(x, y, b); x += 1 }
+            y += 1
+          }
+          sums(b) = s
+          b += 1
+        }
+        Some((outW, outH, sums))
+      }
+    }
+  }
+
+  /** Decoded-image feature row (real codec): dims, band count, and
+    * exact per-band pixel sums (R, G, B) as longs — bit-exact across
+    * partitionings, so a lossless payload is fully oracle-able.
+    */
+  val ImageStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_channels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** REAL partition-batched image decode: `javax.imageio` parses
+    * each binary payload (PNG inflate + unfilter, JPEG entropy
+    * decode, BMP) and reduces it to [[ImageStatsSchema]] rows.
+    * Unreadable payloads are skipped (decode-or-drop, the media
+    * ingest convention). Same plumbing contract the stub defined:
+    * one reader context per partition batch, payload bytes never
+    * shuffle, output is model-sized stats.
+    */
+  def decodeImageStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df
+      .select(col(idCol).cast("long").as("_id"), col(payloadCol))
+      .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
+    val rows = input.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        ImageIo.decodeStats(r.getAs[Array[Byte]](1)).map { case (w, h, bands, sums) =>
+          Row(r.getLong(0), w.toLong, h.toLong, bands.toLong,
+            if (bands > 0) sums(0) else 0L,
+            if (bands > 1) sums(1) else 0L,
+            if (bands > 2) sums(2) else 0L)
+        }
+      }
+    }
+    spark.createDataFrame(rows, ImageStatsSchema)
   }
 }

@@ -75,6 +75,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // map-side before ONE exchange; the skew report pays one
     // count-shuffle per candidate key (3) + their single-row finals.
     "mm_phash_neardup" -> ((3, 0)),
+    // r10: real ImageIO encode+decode — map-only, payloads never shuffle
+    "mm_decode_real" -> ((0, 0)),
+    "mm_decode_jpeg" -> ((0, 0)),
     "tx_bpe_pair_stats" -> ((1, 0)),
     "q_skew_report" -> ((6, 0)),
     // Round-8 batch 5: MIPS broadcasts the 10 queries and pays the

@@ -69,4 +69,59 @@ class MultimodalSpec extends SparkSpec {
       ("a", 5L, 3L, 0L),
       ("b", 9L, 0L, 0L)))
   }
+
+  // --- ImageIo: the REAL codec (round 10) ---
+
+  test("ImageIo PNG roundtrip is bit-exact with RGB band order") {
+    // 2x1: pixel (0,0) = (10, 20, 30), pixel (1,0) = (200, 0, 255)
+    val vals = Array(Array(10, 20, 30), Array(200, 0, 255))
+    val png = Multimodal.ImageIo.encode(2, 1, "png")((x, _, c) => vals(x)(c))
+    // real PNG container: magic 0x89 'P' 'N' 'G'
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte && png(2) == 'N'.toByte)
+    val Some((w, h, bands, sums)) = Multimodal.ImageIo.decodeStats(png)
+    assert(w == 2 && h == 1 && bands == 3)
+    // band 0 must be RED (not the BGR storage order)
+    assert(sums.toSeq == Seq(210L, 20L, 285L))
+  }
+
+  test("ImageIo decodeStats skips unreadable payloads, decodes BMP and JPEG") {
+    assert(Multimodal.ImageIo.decodeStats("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageIo.decodeStats(Array[Byte]()).isEmpty)
+    val bmp = Multimodal.ImageIo.encode(3, 2, "bmp")((x, y, c) => 10 * c + x + y)
+    assert(Multimodal.ImageIo.decodeStats(bmp).exists { case (w, h, b, s) =>
+      w == 3 && h == 2 && b == 3 &&
+        s.toSeq == Seq(0 + 1 + 2 + 1 + 2 + 3, 6 * 10 + 9, 6 * 20 + 9).map(_.toLong)
+    })
+    val jpg = Multimodal.ImageIo.encode(16, 16, "jpg")((_, _, c) => 64 * c + 32)
+    val Some((w, h, _, sums)) = Multimodal.ImageIo.decodeStats(jpg)
+    assert(w == 16 && h == 16)
+    // lossy but bounded: constant image means survive within 2 levels
+    for (c <- 0 until 3)
+      assert(math.abs(sums(c) / 256.0 - (64 * c + 32)) <= 2.0, s"band $c: ${sums(c) / 256.0}")
+  }
+
+  test("ImageIo resizeStats: constant image stays constant, dims honored") {
+    val png = Multimodal.ImageIo.encode(12, 8, "png")((_, _, c) => 50 + c)
+    val Some((w, h, sums)) = Multimodal.ImageIo.resizeStats(png, 6, 4)
+    assert(w == 6 && h == 4)
+    // bilinear of a constant is the constant, exactly
+    assert(sums.toSeq == Seq(50L * 24, 51L * 24, 52L * 24))
+    assert(Multimodal.ImageIo.resizeStats("garbage".getBytes, 4, 4).isEmpty)
+  }
+
+  test("decodeImageStats: distributed real decode, drop-not-throw on corrupt rows") {
+    val good = Multimodal.ImageIo.encode(4, 3, "png")((x, y, c) => c + x + y)
+    val df = Seq(
+      (1L, good),
+      (2L, "corrupt payload".getBytes),
+      (3L, Multimodal.ImageIo.encode(2, 2, "png")((_, _, _) => 7))
+    ).toDF("media_id", "payload").repartition(3)
+    val out = Multimodal.decodeImageStats(df, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(out.length == 2) // corrupt row dropped, not thrown
+    // sum over 4x3 of (c + x + y): sum(x+y) = 3*(0+1+2+3) + 4*(0+1+2) = 18+12 = 30
+    assert(out(0) == ((1L, 4L, 3L, 3L, 30L, 42L, 54L)))
+    assert(out(1) == ((3L, 2L, 2L, 3L, 28L, 28L, 28L)))
+  }
 }
