@@ -79,7 +79,7 @@ object Cli {
   }
 
   private def loadEntry(spark: SparkSession, catalogPath: String, name: String): QueryConfig = {
-    val catalog = QueryConfig.catalogFromJson(spark, catalogPath)
+    val catalog = QueryConfig.catalog(spark, catalogPath)
     catalog.getOrElse(name, throw new IllegalArgumentException(
       s"no query '$name' in $catalogPath (have: ${catalog.keys.toSeq.sorted.mkString(", ")})"))
   }
@@ -227,7 +227,7 @@ object Cli {
         SparkEntry.queries.keys.toSeq.sorted.foreach(println)
 
       case Seq("list-queries", catalogPath) =>
-        QueryConfig.catalogFromJson(spark, catalogPath).values.toSeq
+        QueryConfig.catalog(spark, catalogPath).values.toSeq
           .sortBy(_.name)
           .foreach(q => println(s"${q.name}\ttheme=${q.theme}\ttype=${q.typeName}" +
             q.filter.fold("")(f => s"\tfilter=$f")))
