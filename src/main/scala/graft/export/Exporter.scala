@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   * explicitly rather than pretending (SURVEY §6 documented gap).
   */
 object ExportFormat extends Enumeration {
-  val GeoJson, GeoJsonSeq, Parquet, Csv, Json, Gpkg, Fgdb = Value
+  val GeoJson, GeoJsonSeq, Parquet, Csv, Json, Gpkg, Fgdb, GeoParquetFmt = Value
 
   /** Infer from a file extension (reference export.py:45-55). */
   def fromPath(path: String): ExportFormat.Value = {
@@ -21,6 +21,7 @@ object ExportFormat extends Enumeration {
       case "geojsonseq"       => GeoJsonSeq
       case "jsonl"            => Json
       case "parquet"          => Parquet
+      case "geoparquet"       => GeoParquetFmt
       case "csv"              => Csv
       case "gpkg"             => Gpkg
       case "gdb" | "fgdb"     => Fgdb
@@ -66,6 +67,14 @@ object Exporter {
         throw new IllegalArgumentException(
           "GPKG export needs a WKB geometry column (geometryWkb)"))
       Gpkg.write(df.withColumn("geom", wkb), path, target)
+    case ExportFormat.GeoParquetFmt =>
+      // Distributed geo export (public GeoParquet v1.1.0 spec) —
+      // the scale path the single-file GPKG/GeoJSON writers defer
+      // huge exports to.
+      val wkb = geometryWkb.getOrElse(
+        throw new IllegalArgumentException(
+          "GeoParquet export needs a WKB geometry column (geometryWkb)"))
+      GeoParquet.write(df.withColumn("geometry", wkb), "geometry", path)
     case ExportFormat.Fgdb =>
       throw new UnsupportedOperationException(
         s"$format is a proprietary ESRI container with no public spec; " +
