@@ -405,6 +405,114 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec seam — `javax.sound.sampled` (pure JDK, no
+    * external library): RIFF/WAVE container write and parse for
+    * 16-bit signed PCM. The audio sibling of [[ImageIo]]: encode
+    * produces a real .wav byte stream (`file` would say "RIFF …
+    * WAVE audio"), decode is the JDK's own container parser + frame
+    * reader, so a mis-parsed header or byte order lands off the
+    * oracle's fixed point.
+    */
+  object AudioWav {
+
+    /** Encode `n` mono 16-bit PCM samples at `sampleRate` Hz from
+      * `sample(i)` (clamped to the signed-16 range) into a real WAV
+      * container. Lossless: a decode returns the exact samples.
+      */
+    def encode(n: Int, sampleRate: Float)(sample: Int => Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = math.max(-32768, math.min(32767, sample(i)))
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decoded-audio statistics: (sampleRate, channels, nFrames,
+      * sum, sumSq, peakAbs) over all channels' 16-bit samples —
+      * exact longs (sumSq ≤ n·2³⁰, overflow-safe to ~8·10⁹ frames
+      * per payload). None for payloads no installed reader
+      * recognizes or non-PCM16 encodings (decode-or-drop).
+      */
+    def decodeStats(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (ais == null) None
+      else {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bytes = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          var i = 0
+          var sum = 0L
+          var sumSq = 0L
+          var peak = 0L
+          while (i + 1 < bytes.length) {
+            val v =
+              if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toLong
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toLong
+            sum += v
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 2
+          }
+          val frames = (bytes.length / 2) / fmt.getChannels
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, frames.toLong, sum, sumSq, peak))
+        }
+      }
+    }
+  }
+
+  /** Decoded-audio feature row (real codec): container header fields
+    * plus exact integer sample reductions — fully oracle-able for a
+    * lossless PCM payload.
+    */
+  val AudioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_channels", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("sum_s", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false)))
+
+  /** REAL partition-batched audio decode over WAV payloads — the
+    * audio leg of the K2 seam, same plumbing contract as
+    * [[decodeImageStats]]: payload bytes never shuffle, unreadable
+    * payloads are skipped, output is model-sized stats.
+    */
+  def decodeAudioStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df
+      .select(col(idCol).cast("long").as("_id"), col(payloadCol))
+      .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
+    val rows = input.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioWav.decodeStats(r.getAs[Array[Byte]](1)).map {
+          case (rate, ch, frames, sum, sumSq, peak) =>
+            Row(r.getLong(0), rate.toLong, ch.toLong, frames, sum, sumSq, peak)
+        }
+      }
+    }
+    spark.createDataFrame(rows, AudioStatsSchema)
+  }
+
   /** Decoded-image feature row (real codec): dims, band count, and
     * exact per-band pixel sums (R, G, B) as longs — bit-exact across
     * partitionings, so a lossless payload is fully oracle-able.

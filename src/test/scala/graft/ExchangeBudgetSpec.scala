@@ -587,7 +587,48 @@ class ExchangeBudgetSpec extends SparkSpec {
     // visible plan is the broadcast denominator join); power
     // analysis is one map-side-combined moment agg.
     "q_ndr" -> ((0, 1)),
-    "q_power_analysis" -> ((1, 0)))
+    "q_power_analysis" -> ((1, 0)),
+    // Round-10 batch 65: Kruskal/Friedman checkpoint their bounded
+    // rank tables (cent-table / calendar×k frame) so the live plans
+    // pay only the k-row folds; Wilcoxon's live plan is the user
+    // pair agg + the |d| group agg (rankExact's sort runs eagerly);
+    // BH runs entirely on the k-row p family after one moment agg.
+    "q_kruskal_wallis" -> ((2, 2)),
+    "q_wilcoxon_signed_rank" -> ((2, 0)),
+    "q_friedman" -> ((2, 2)),
+    "q_bh_fdr" -> ((1, 1)),
+    // Batch 66: every exchange past the one cell/moment/flag agg
+    // moves vocabulary-bounded cell tables (≤ |langs|×|sources| or
+    // 6 flag×status cells) or 1-row totals — margin/entropy branches
+    // re-fold the checkpointed cells, hence the count, not the bytes.
+    "q_cramers_v" -> ((5, 3)),
+    "q_mutual_info" -> ((10, 7)),
+    "q_partial_corr" -> ((1, 0)),
+    "q_capture_recapture" -> ((2, 0)),
+    // Batch 67: eigen centrality pays the D44 edge build plus per
+    // power iteration exactly the src rank join + dst contribution
+    // agg + the node left join (normalizer broadcast back, lineage
+    // truncated every 2nd iteration); powerlaw is degree agg +
+    // histogram agg + the 1-row MLE broadcast.
+    "q_eigen_centrality" -> ((22, 4)),
+    "q_degree_powerlaw" -> ((2, 1)),
+    // Batch 68: WAV encode+decode is map-only (payloads never
+    // shuffle); cross entropy pays the train vocab agg + the eval
+    // source collapse with the (N,V) denominator broadcast.
+    "mm_audio_wav" -> ((0, 0)),
+    "tx_cross_entropy" -> ((2, 2)),
+    // Batch 69: odds ratio / TOST / Poisson rate are one user-flag
+    // or moment agg + a 1-row fold; Bollinger pays the daily
+    // collapse + the type-partitioned window repartition.
+    "q_odds_ratio" -> ((2, 0)),
+    "q_tost" -> ((2, 0)),
+    "q_poisson_rate" -> ((1, 0)),
+    "q_bollinger" -> ((2, 0)),
+    // Batch 70: LLR pays the checkpointed bigram count's two
+    // vocabulary-bounded margin aggs + the TakeOrdered; grouped
+    // kfold is the checkpointed map-only tag + two 5-row-keyed aggs.
+    "tx_colloc_llr" -> ((3, 3)),
+    "sm_group_kfold" -> ((3, 1)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)

@@ -60,7 +60,15 @@ class PlanGuardSpec extends SparkSpec {
     "q_abc" -> ((1,
       "cumulative-revenue window runs on the checkpointed 100-row " +
         "percentile aggregate — constant-size at any corpus scale " +
-        "(part tiling is GlobalRank.ntileExact, not a window)"))
+        "(part tiling is GlobalRank.ntileExact, not a window)")),
+    "q_kruskal_wallis" -> ((1,
+      "cumulative-rank window runs on the per-CENT compacted value " +
+        "table — value-range-bounded (≤ ~56k rows) at any corpus scale " +
+        "(the D67 Mann–Whitney boundedness argument)")),
+    "q_bh_fdr" -> ((1,
+      "p-rank window runs on the k-row per-type p-value family — " +
+        "type-vocabulary-bounded at any corpus scale (the raw events " +
+        "pass is one moment aggregate, never windowed)"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {
