@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   * explicitly rather than pretending (SURVEY §6 documented gap).
   */
 object ExportFormat extends Enumeration {
-  val GeoJson, GeoJsonSeq, Parquet, Csv, Json, Gpkg, Fgdb, GeoParquetFmt = Value
+  val GeoJson, GeoJsonSeq, Parquet, Csv, Json, Gpkg, Fgdb, GeoParquetFmt, Shp, Fgb = Value
 
   /** Infer from a file extension (reference export.py:45-55). */
   def fromPath(path: String): ExportFormat.Value = {
@@ -25,6 +25,8 @@ object ExportFormat extends Enumeration {
       case "csv"              => Csv
       case "gpkg"             => Gpkg
       case "gdb" | "fgdb"     => Fgdb
+      case "shp"              => Shp
+      case "fgb"              => Fgb
       case other              => throw new graft.ExportError(
         s"unknown export extension: $other",
         Map("format" -> other, "stage" -> "export"))
@@ -75,6 +77,23 @@ object Exporter {
         throw new IllegalArgumentException(
           "GeoParquet export needs a WKB geometry column (geometryWkb)"))
       GeoParquet.write(df.withColumn("geometry", wkb), "geometry", path)
+    case ExportFormat.Shp =>
+      // Pure-JVM ESRI Shapefile (public 1998 spec) — the reference's
+      // 'shp' direct-export route (source.py:626). Single-file
+      // format ⇒ driver-streamed (the GPKG convention); the path's
+      // .shp extension is stripped to the sidecar-set basename.
+      val wkb = geometryWkb.getOrElse(
+        throw new IllegalArgumentException(
+          "Shapefile export needs a WKB geometry column (geometryWkb)"))
+      Shapefile.write(df.withColumn("geom", wkb), "geom",
+        path.stripSuffix(".shp"))
+    case ExportFormat.Fgb =>
+      // FlatGeobuf (public spec, real flatbuffers runtime) — the
+      // reference's 'fgb' direct-export route (source.py:631).
+      val wkb = geometryWkb.getOrElse(
+        throw new IllegalArgumentException(
+          "FlatGeobuf export needs a WKB geometry column (geometryWkb)"))
+      FlatGeobuf.write(df.withColumn("geom", wkb), "geom", path)
     case ExportFormat.Fgdb =>
       throw new UnsupportedOperationException(
         s"$format is a proprietary ESRI container with no public spec; " +
@@ -199,6 +218,8 @@ object Exporter {
       case ExportFormat.Json       => "jsonl"
       case ExportFormat.Gpkg       => "gpkg"
       case ExportFormat.Fgdb       => "gdb"
+      case ExportFormat.Shp        => "shp"
+      case ExportFormat.Fgb        => "fgb"
     }
     val suffix = if (raw) "_raw" else ""
     s"${iso3.toLowerCase}_$query$suffix.$ext"

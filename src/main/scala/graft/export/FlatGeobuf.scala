@@ -1,0 +1,262 @@
+package graft.`export`
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import com.google.flatbuffers.FlatBufferBuilder
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** FlatGeobuf writer — the reference's `fgb` direct-export format
+  * (reference: src/o2agol/pipeline/source.py:631 maps 'fgb' →
+  * 'FlatGeobuf'), written from the PUBLIC spec
+  * (github.com/flatgeobuf/flatgeobuf, v3 binary layout) with the
+  * real flatbuffers runtime (`com.google.flatbuffers`, on the Spark
+  * classpath via Arrow). No generated schema classes: tables are
+  * emitted through the builder's low-level slot API with the spec's
+  * field ids — Header (name=0, envelope=1, geometry_type=2, …,
+  * features_count=8, index_node_size=9), Feature (geometry=0,
+  * properties=1), Geometry (ends=0, xy=1, type=6), Column (name=0,
+  * type=1).
+  *
+  * Layout written: 8-byte magic `fgb\x03fgb\x01`, size-prefixed
+  * Header flatbuffer (features_count + envelope from a bounded
+  * pre-pass; index_node_size = 0 — the spatial index is optional by
+  * spec and a streaming writer that must not buffer the feature set
+  * skips it), then one size-prefixed Feature flatbuffer per row with
+  * the spec's properties encoding (LE u16 column index + fixed-width
+  * value / u32-length-prefixed UTF-8).
+  *
+  * Scale note: single-file format with a global header ⇒ driver-
+  * streamed `toLocalIterator` (the H6/H18 convention); the
+  * distributed big-export path remains GeoParquet (H17).
+  */
+object FlatGeobuf {
+
+  final case class WriteResult(
+      path: String, rows: Long,
+      bbox: (Double, Double, Double, Double), geometryType: Int)
+
+  val Magic: Array[Byte] =
+    Array(0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x01).map(_.toByte)
+
+  // spec geometry-type ids (= WKB base ids for the types we emit)
+  private val GtPoint = 1
+  private val GtLineString = 2
+  private val GtPolygon = 3
+
+  // spec ColumnType ids
+  private[export] def columnType(dt: DataType): Byte = dt match {
+    case BooleanType => 2
+    case IntegerType | ShortType | ByteType => 5
+    case LongType => 7
+    case FloatType => 9
+    case DoubleType => 10
+    case StringType => 11
+    case other =>
+      throw new graft.ExportError(
+        s"flatgeobuf: unsupported attribute type ${other.simpleString}",
+        Map("format" -> "fgb", "stage" -> "export"))
+  }
+
+  private final case class Geom(kind: Int, rings: Array[Array[Double]])
+
+  private def readWkb(bytes: Array[Byte]): Geom = {
+    val buf = ByteBuffer.wrap(bytes)
+    buf.order(if (buf.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val kind = buf.getInt & 0xffff
+    def readPts(n: Int): Array[Double] = {
+      val a = new Array[Double](2 * n)
+      var i = 0
+      while (i < 2 * n) { a(i) = buf.getDouble; i += 1 }
+      a
+    }
+    kind match {
+      case 1 => Geom(1, Array(readPts(1)))
+      case 2 => Geom(2, Array(readPts(buf.getInt)))
+      case 3 => Geom(3, Array.fill(buf.getInt)(readPts(buf.getInt)))
+      case other =>
+        throw new graft.ExportError(
+          s"flatgeobuf writer supports WKB Point/LineString/Polygon, got type $other",
+          Map("format" -> "fgb", "stage" -> "export"))
+    }
+  }
+
+  /** Geometry table: ends (slot 0, [uint], ring end indices — only
+    * for multi-ring polygons), xy (slot 1, [double]), type (slot 6,
+    * ubyte).
+    */
+  private def buildGeometry(b: FlatBufferBuilder, g: Geom): Int = {
+    val xyAll = if (g.rings.length == 1) g.rings(0) else g.rings.flatten
+    val nPts = xyAll.length / 2
+    // vectors before table; scalar elements added in reverse
+    val xyOff = {
+      b.startVector(8, xyAll.length, 8)
+      var i = xyAll.length - 1
+      while (i >= 0) { b.addDouble(xyAll(i)); i -= 1 }
+      b.endVector()
+    }
+    val endsOff =
+      if (g.kind == GtPolygon && g.rings.length > 1) {
+        val ends = new Array[Int](g.rings.length)
+        var acc = 0
+        g.rings.indices.foreach { i => acc += g.rings(i).length / 2; ends(i) = acc }
+        b.startVector(4, ends.length, 4)
+        var i = ends.length - 1
+        while (i >= 0) { b.addInt(ends(i)); i -= 1 }
+        b.endVector()
+      } else 0
+    require(nPts > 0, "empty geometry")
+    b.startTable(8)
+    if (endsOff != 0) b.addOffset(0, endsOff, 0)
+    b.addOffset(1, xyOff, 0)
+    b.addByte(6, g.kind.toByte, 0)
+    b.endTable()
+  }
+
+  /** Column table: name (slot 0), type (slot 1, ubyte, default 0 =
+    * Byte — always written explicitly).
+    */
+  private def buildColumn(b: FlatBufferBuilder, name: String, t: Byte): Int = {
+    require(t != 0, "ColumnType 0 (Byte) is never emitted by this writer")
+    val nameOff = b.createString(name)
+    b.startTable(10)
+    b.addOffset(0, nameOff, 0)
+    b.addByte(1, t, 0)
+    b.endTable()
+  }
+
+  /** Spec properties encoding: LE u16 column index, then the value
+    * (fixed width for scalars, u32-len-prefixed UTF-8 for strings);
+    * null columns simply absent.
+    */
+  private def encodeProps(
+      row: org.apache.spark.sql.Row,
+      attrs: Array[(StructField, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new java.io.DataOutputStream(out)
+    def u16(v: Int): Unit = { w.write(v & 0xff); w.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = {
+      w.write(v & 0xff); w.write((v >> 8) & 0xff)
+      w.write((v >> 16) & 0xff); w.write((v >> 24) & 0xff)
+    }
+    def le64(v: Long): Unit = { (0 until 8).foreach(i => w.write(((v >> (8 * i)) & 0xff).toInt)) }
+    attrs.zipWithIndex.foreach { case ((f, ri), ci) =>
+      if (!row.isNullAt(ri)) {
+        f.dataType match {
+          case BooleanType => u16(ci); w.write(if (row.getBoolean(ri)) 1 else 0)
+          case IntegerType => u16(ci); u32(row.getInt(ri))
+          case ShortType => u16(ci); u32(row.getShort(ri).toInt)
+          case ByteType => u16(ci); u32(row.getByte(ri).toInt)
+          case LongType => u16(ci); le64(row.getLong(ri))
+          case FloatType => u16(ci); u32(java.lang.Float.floatToIntBits(row.getFloat(ri)))
+          case DoubleType => u16(ci); le64(java.lang.Double.doubleToLongBits(row.getDouble(ri)))
+          case StringType =>
+            val bs = row.getString(ri).getBytes("UTF-8")
+            u16(ci); u32(bs.length); w.write(bs)
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Write `df` (binary WKB column `wkbCol`, uniform geometry type)
+    * as a FlatGeobuf file at `path`.
+    */
+  def write(df: DataFrame, wkbCol: String, path: String): WriteResult = {
+    val schema = df.schema
+    val gIdx = schema.fieldIndex(wkbCol)
+    if (schema(gIdx).dataType != BinaryType)
+      throw new graft.ExportError(
+        s"geometry column '$wkbCol' must be WKB binary, is ${schema(gIdx).dataType.simpleString}",
+        Map("format" -> "fgb", "stage" -> "export"))
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != gIdx)
+    attrs.foreach { case (f, _) => columnType(f.dataType) } // validate up front
+
+    // Bounded pre-pass (the H17 convention): count, envelope, and
+    // the uniform geometry type for the header.
+    import org.apache.spark.sql.functions._
+    val stats = df
+      .select(graft.functions.Wkb.wkbGeometryType(col(wkbCol)).as("gt"),
+        explode_outer(graft.functions.Wkb.wkbCoords(col(wkbCol))).as("p"))
+      .agg(collect_set(col("gt")).as("types"),
+        min(col("p.x")).as("xmin"), min(col("p.y")).as("ymin"),
+        max(col("p.x")).as("xmax"), max(col("p.y")).as("ymax"))
+      .head()
+    val typeIds = stats.getAs[scala.collection.Seq[Int]](0)
+    val gType = typeIds.toList match {
+      case Nil => 0
+      case t :: Nil => t
+      case many =>
+        throw new graft.ExportError(
+          s"flatgeobuf: mixed geometry types $many (spec header declares ONE)",
+          Map("format" -> "fgb", "stage" -> "export"))
+    }
+    val rowCount = df.count()
+    val bbox =
+      if (stats.isNullAt(1)) (0.0, 0.0, 0.0, 0.0)
+      else (stats.getDouble(1), stats.getDouble(2), stats.getDouble(3), stats.getDouble(4))
+
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+    try {
+      out.write(Magic)
+
+      // ---- header flatbuffer (size-prefixed)
+      val hb = new FlatBufferBuilder(1024)
+      val nameOff = hb.createString(
+        new java.io.File(path).getName.stripSuffix(".fgb"))
+      val envOff = {
+        val env = Array(bbox._1, bbox._2, bbox._3, bbox._4)
+        hb.startVector(8, 4, 8)
+        var i = 3
+        while (i >= 0) { hb.addDouble(env(i)); i -= 1 }
+        hb.endVector()
+      }
+      val colOffs = attrs.map { case (f, _) =>
+        buildColumn(hb, f.name, columnType(f.dataType))
+      }
+      val colsVec = {
+        hb.startVector(4, colOffs.length, 4)
+        var i = colOffs.length - 1
+        while (i >= 0) { hb.addOffset(colOffs(i)); i -= 1 }
+        hb.endVector()
+      }
+      hb.startTable(14)
+      hb.addOffset(0, nameOff, 0)
+      hb.addOffset(1, envOff, 0)
+      hb.addByte(2, gType.toByte, 0)
+      hb.addOffset(7, colsVec, 0)
+      hb.addLong(8, rowCount, 0)
+      hb.addShort(9, 0.toShort, 16) // index_node_size 0 = no index
+      val headerRoot = hb.endTable()
+      hb.finishSizePrefixed(headerRoot)
+      writeBuf(out, hb.dataBuffer())
+
+      // ---- features, one size-prefixed flatbuffer each
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val fb = new FlatBufferBuilder(512)
+        val props = encodeProps(row, attrs)
+        val propsOff = if (props.isEmpty) 0 else fb.createByteVector(props)
+        val geomOff = buildGeometry(fb, readWkb(row.getAs[Array[Byte]](gIdx)))
+        fb.startTable(3)
+        fb.addOffset(0, geomOff, 0)
+        if (propsOff != 0) fb.addOffset(1, propsOff, 0)
+        val root = fb.endTable()
+        fb.finishSizePrefixed(root)
+        writeBuf(out, fb.dataBuffer())
+      }
+    } finally out.close()
+
+    WriteResult(path, rowCount, bbox, gType)
+  }
+
+  private def writeBuf(out: java.io.OutputStream, buf: ByteBuffer): Unit = {
+    val arr = new Array[Byte](buf.remaining())
+    buf.duplicate().get(arr)
+    out.write(arr)
+  }
+}
