@@ -785,6 +785,14 @@ object StreamQueries {
       val base = Files.getLastModifiedTime(Paths.get(s"$dir/events.parquet")).toMillis
       stageSinglePart(raw.filter(col("ts") >= splitBound),
         Seq(stage.resolve("a_fresh.parquet") -> base))
+      // The mid commit is LOAD-BEARING, not cadence decoration: a
+      // round-10 experiment removed it and the row went red at all
+      // three scales (late rows reached window state and re-emitted
+      // closed windows) — batch N's late-event filter uses the
+      // watermark from batch N-1's START, so the fresh batch's
+      // watermark gates stragglers only TWO commits later. Keep the
+      // 3-batch choreography; the streaming floor table is the
+      // documented cost.
       stageSinglePart(raw.orderBy(col("ts").desc).limit(1),
         Seq(stage.resolve("m_mid.parquet") -> (base + 30000L)))
       stageSinglePart(raw.filter(col("ts") < splitBound),
