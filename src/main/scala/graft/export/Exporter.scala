@@ -216,10 +216,11 @@ object Exporter {
       case ExportFormat.Parquet    => "parquet"
       case ExportFormat.Csv        => "csv"
       case ExportFormat.Json       => "jsonl"
-      case ExportFormat.Gpkg       => "gpkg"
-      case ExportFormat.Fgdb       => "gdb"
-      case ExportFormat.Shp        => "shp"
-      case ExportFormat.Fgb        => "fgb"
+      case ExportFormat.Gpkg          => "gpkg"
+      case ExportFormat.Fgdb          => "gdb"
+      case ExportFormat.Shp           => "shp"
+      case ExportFormat.Fgb           => "fgb"
+      case ExportFormat.GeoParquetFmt => "geoparquet"
     }
     val suffix = if (raw) "_raw" else ""
     s"${iso3.toLowerCase}_$query$suffix.$ext"

@@ -628,7 +628,18 @@ class ExchangeBudgetSpec extends SparkSpec {
     // vocabulary-bounded margin aggs + the TakeOrdered; grouped
     // kfold is the checkpointed map-only tag + two 5-row-keyed aggs.
     "tx_colloc_llr" -> ((3, 3)),
-    "sm_group_kfold" -> ((3, 1)))
+    "sm_group_kfold" -> ((3, 1)),
+    // Batch 71: PACF pays the daily collapse + the type-partitioned
+    // lag window with the type-mean broadcast; Hurst's window/agg
+    // chain runs on the checkpointed ~31-row daily index (live plan
+    // is the 3-row R/S folds); TextRank is the D44 PageRank shape
+    // on the vocabulary-bounded word graph (2 exchanges per
+    // iteration + the edge build, checkpoints every 2nd iteration);
+    // resize decode is map-only (payloads never shuffle).
+    "q_pacf" -> ((2, 1)),
+    "q_hurst" -> ((1, 1)),
+    "tx_textrank" -> ((15, 12)),
+    "mm_resize_real" -> ((0, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
