@@ -479,6 +479,131 @@ object Multimodal {
     }
   }
 
+  /** REAL video container seam — AVI/MJPEG from the public RIFF/AVI
+    * layout (Microsoft's published 'RIFF AVI' structure: `RIFF('AVI '
+    * LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' 00dc…)
+    * idx1)`): the video leg of the K2 seam. Encode produces a real
+    * .avi byte stream (standard players/ffmpeg read it); frame
+    * lookup PARSES the container — walks the chunk tree to `movi`
+    * and reads the `idx1` index — and each sampled frame is a real
+    * JPEG decoded by [[ImageIo]]. The pipeline stage a video corpus
+    * needs (seek by index, decode only sampled frames) with no
+    * simulated step.
+    */
+  object AviMjpeg {
+
+    private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def le32(v: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v); b.array()
+    }
+
+    /** Encode MJPEG frames (each a complete JPEG byte stream of the
+      * same w×h) into a real AVI container at `fps`.
+      */
+    def encode(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+      require(frames.nonEmpty, "at least one frame")
+      val out = new java.io.ByteArrayOutputStream()
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length % 2
+        val b = new Array[Byte](8 + body.length + pad)
+        System.arraycopy(fcc(id), 0, b, 0, 4)
+        System.arraycopy(le32(body.length), 0, b, 4, 4)
+        System.arraycopy(body, 0, b, 8, body.length)
+        b
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", fcc(kind) ++ body)
+
+      val maxBytes = frames.map(_.length).max
+      // avih: 14 DWORDs (MainAVIHeader)
+      val avih = chunk("avih", Array.concat(
+        le32(1000000 / fps), le32(maxBytes * fps), le32(0), le32(0x10),
+        le32(frames.length), le32(0), le32(1), le32(maxBytes),
+        le32(w), le32(h), le32(0), le32(0), le32(0), le32(0)))
+      // strh: fccType 'vids', handler 'MJPG', scale/rate = 1/fps
+      val strh = chunk("strh", Array.concat(
+        fcc("vids"), fcc("MJPG"), le32(0), le32(0), le32(0),
+        le32(1), le32(fps), le32(0), le32(frames.length),
+        le32(maxBytes), le32(-1), le32(0), le32(0), le32(0)))
+      // strf: BITMAPINFOHEADER
+      val strf = chunk("strf", Array.concat(
+        le32(40), le32(w), le32(h), Array[Byte](1, 0, 24, 0),
+        fcc("MJPG"), le32(w * h * 3), le32(0), le32(0), le32(0), le32(0)))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val moviChunks = frames.map(f => chunk("00dc", f))
+      val movi = list("movi", moviChunks.flatten.toArray)
+      // idx1: one entry per frame — offset counted from the start of
+      // the 'movi' list's type fourcc (the widely-used convention).
+      val idxEntries = {
+        var off = 4
+        frames.zip(moviChunks).map { case (f, c) =>
+          val e = Array.concat(fcc("00dc"), le32(0x10), le32(off), le32(f.length))
+          off += c.length
+          e
+        }
+      }
+      val idx1 = chunk("idx1", idxEntries.flatten.toArray)
+      val riffBody = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+      out.write(fcc("RIFF")); out.write(le32(riffBody.length)); out.write(riffBody)
+      out.toByteArray
+    }
+
+    /** Parse the container and return each frame's (absoluteOffset,
+      * size) by walking the RIFF tree to the `movi` list and reading
+      * the `idx1` index — a real container parse (bad magic or a
+      * missing index → None, the decode-or-drop convention).
+      */
+    def frameIndex(payload: Array[Byte]): Option[Seq[(Long, Int)]] = {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def four(p: Int): String =
+        new String(payload, p, 4, "US-ASCII")
+      if (payload.length < 12 || four(0) != "RIFF" || four(8) != "AVI ") return None
+      var p = 12
+      var moviPos = -1
+      var idxPos = -1
+      var idxLen = 0
+      while (p + 8 <= payload.length) {
+        val id = four(p)
+        val len = bb.getInt(p + 4)
+        if (id == "LIST" && p + 12 <= payload.length && four(p + 8) == "movi") moviPos = p + 8
+        if (id == "idx1") { idxPos = p + 8; idxLen = len }
+        p += 8 + len + (len % 2)
+      }
+      if (moviPos < 0 || idxPos < 0) return None
+      val n = idxLen / 16
+      val frames = (0 until n).flatMap { i =>
+        val e = idxPos + 16 * i
+        if (four(e) == "00dc") {
+          val off = bb.getInt(e + 8)
+          val size = bb.getInt(e + 12)
+          // idx1 offsets count from the movi list's type fourcc;
+          // +8 skips the frame chunk's own header.
+          Some((moviPos.toLong + off + 8L, size))
+        } else None
+      }
+      Some(frames)
+    }
+
+    /** Sample every `step`-th frame and REALLY decode it: container
+      * parse for the byte range, [[ImageIo.decodeStats]] (JPEG
+      * entropy decode) for the raster stats. Returns
+      * (frameIdx, byteOffset, width, height, sums) per sampled frame.
+      */
+    def sampleDecode(payload: Array[Byte], step: Int): Seq[(Int, Long, Int, Int, Array[Long])] = {
+      frameIndex(payload).toSeq.flatMap { frames =>
+        frames.zipWithIndex.collect {
+          case ((off, size), i) if i % step == 0 =>
+            val bytes = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + size)
+            ImageIo.decodeStats(bytes).map { case (w, h, _, sums) =>
+              (i, off, w, h, sums)
+            }
+        }.flatten
+      }
+    }
+  }
+
   /** Decoded-audio feature row (real codec): container header fields
     * plus exact integer sample reductions — fully oracle-able for a
     * lossless PCM payload.

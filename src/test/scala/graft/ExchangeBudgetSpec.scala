@@ -639,7 +639,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_pacf" -> ((2, 1)),
     "q_hurst" -> ((1, 1)),
     "tx_textrank" -> ((15, 12)),
-    "mm_resize_real" -> ((0, 0)))
+    "mm_resize_real" -> ((0, 0)),
+    // Batch 72: AVI parse + sampled JPEG decode are map-only.
+    "mm_video_frames" -> ((0, 0)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)
