@@ -641,7 +641,11 @@ class ExchangeBudgetSpec extends SparkSpec {
     "tx_textrank" -> ((15, 12)),
     "mm_resize_real" -> ((0, 0)),
     // Batch 72: AVI parse + sampled JPEG decode are map-only.
-    "mm_video_frames" -> ((0, 0)))
+    "mm_video_frames" -> ((0, 0)),
+    // Batch 73: both collapse to the calendar-bounded daily table
+    // (one exchange) and fold with the 1-row moment/OLS broadcast.
+    "q_newey_west" -> ((2, 1)),
+    "q_engle_granger" -> ((2, 1)))
 
   test("every batch registry query has a pinned exchange budget") {
     val batch = Registry.all.filterNot(_.name.startsWith("st_")).map(_.name)

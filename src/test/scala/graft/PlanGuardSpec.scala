@@ -68,7 +68,13 @@ class PlanGuardSpec extends SparkSpec {
     "q_bh_fdr" -> ((1,
       "p-rank window runs on the k-row per-type p-value family — " +
         "type-vocabulary-bounded at any corpus scale (the raw events " +
-        "pass is one moment aggregate, never windowed)"))
+        "pass is one moment aggregate, never windowed)")),
+    "q_newey_west" -> ((3,
+      "three lag windows run on the checkpointed per-DAY global " +
+        "series — calendar-bounded (~31 rows) at any corpus scale")),
+    "q_engle_granger" -> ((1,
+      "residual lag window runs on the checkpointed day-paired " +
+        "series — calendar-bounded at any corpus scale"))
   )
 
   test("guard trips on an intentionally unpartitioned window fixture") {
