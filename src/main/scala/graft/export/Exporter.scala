@@ -85,8 +85,11 @@ object Exporter {
       val wkb = geometryWkb.getOrElse(
         throw new IllegalArgumentException(
           "Shapefile export needs a WKB geometry column (geometryWkb)"))
+      // Strip the extension case-insensitively — fromPath routes
+      // LAYER.SHP here too, and the sidecar set must not be
+      // named LAYER.SHP.shp/.shx/.dbf.
       Shapefile.write(df.withColumn("geom", wkb), "geom",
-        path.stripSuffix(".shp"))
+        if (path.toLowerCase.endsWith(".shp")) path.dropRight(4) else path)
     case ExportFormat.Fgb =>
       // FlatGeobuf (public spec, real flatbuffers runtime) — the
       // reference's 'fgb' direct-export route (source.py:631).

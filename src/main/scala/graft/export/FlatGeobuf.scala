@@ -176,14 +176,23 @@ object FlatGeobuf {
     attrs.foreach { case (f, _) => columnType(f.dataType) } // validate up front
 
     // Bounded pre-pass (the H17 convention): count, envelope, and
-    // the uniform geometry type for the header.
+    // the uniform geometry type for the header — ONE aggregate over
+    // ONE evaluation of df (per-feature array HOFs instead of a
+    // coord explode, so the same pass counts features), so a
+    // non-deterministic input can't fork the header's
+    // features_count/envelope from each other. The feature stream
+    // below is still a second evaluation: the header is a pre-pass
+    // snapshot (determinism assumption documented on `write`).
     import org.apache.spark.sql.functions._
     val stats = df
       .select(graft.functions.Wkb.wkbGeometryType(col(wkbCol)).as("gt"),
-        explode_outer(graft.functions.Wkb.wkbCoords(col(wkbCol))).as("p"))
+        graft.functions.Wkb.wkbCoords(col(wkbCol)).as("ps"))
       .agg(collect_set(col("gt")).as("types"),
-        min(col("p.x")).as("xmin"), min(col("p.y")).as("ymin"),
-        max(col("p.x")).as("xmax"), max(col("p.y")).as("ymax"))
+        min(array_min(transform(col("ps"), p => p("x")))).as("xmin"),
+        min(array_min(transform(col("ps"), p => p("y")))).as("ymin"),
+        max(array_max(transform(col("ps"), p => p("x")))).as("xmax"),
+        max(array_max(transform(col("ps"), p => p("y")))).as("ymax"),
+        count(lit(1)).as("n"))
       .head()
     val typeIds = stats.getAs[scala.collection.Seq[Int]](0)
     val gType = typeIds.toList match {
@@ -194,7 +203,7 @@ object FlatGeobuf {
           s"flatgeobuf: mixed geometry types $many (spec header declares ONE)",
           Map("format" -> "fgb", "stage" -> "export"))
     }
-    val rowCount = df.count()
+    val rowCount = stats.getLong(5)
     val bbox =
       if (stats.isNullAt(1)) (0.0, 0.0, 0.0, 0.0)
       else (stats.getDouble(1), stats.getDouble(2), stats.getDouble(3), stats.getDouble(4))

@@ -119,7 +119,12 @@ object Shapefile {
       case null => ""
       case d: Double => { val t = f"$d%.6f"; if (t.length > fd.len) "*" * fd.len else t }
       case f1: Float => { val t = f"${f1.toDouble}%.6f"; if (t.length > fd.len) "*" * fd.len else t }
-      case other => other.toString
+      // Integers overflow the same way doubles do: a value wider than
+      // the field gets the dBASE asterisk-fill overflow marker, never
+      // a silent truncation of the most-significant digits.
+      case other =>
+        val t = other.toString
+        if (fd.typ == 'N' && t.length > fd.len) "*" * fd.len else t
     }
     val out = Array.fill[Byte](fd.len)(' ')
     if (fd.typ == 'N') { // right-justified
@@ -145,6 +150,15 @@ object Shapefile {
         Map("format" -> "shp", "stage" -> "export"))
     val attrs = schema.fields.zipWithIndex.filter(_._2 != gIdx)
     val fields = attrs.map { case (f, _) => dbfField(f) }
+    // dBASE caps field names at 10 chars; two columns sharing a
+    // 10-char prefix would silently collide in the .dbf and make one
+    // attribute unreadable. Fail loudly instead.
+    val dup = fields.groupBy(_.name).collectFirst { case (n, fs) if fs.length > 1 => n }
+    dup.foreach { n =>
+      throw new graft.ExportError(
+        s"shapefile: attribute names collide at the DBF 10-char limit: '$n'",
+        Map("format" -> "shp", "stage" -> "export"))
+    }
 
     var shapeType = -1
     var rows = 0L

@@ -161,4 +161,41 @@ class ShapefileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mixed shape types"))
   }
+
+  test("Exporter strips an upper-case .SHP extension before naming sidecars") {
+    val d = Files.createTempDirectory("shp-case")
+    d.toFile.deleteOnExit()
+    val df = Seq((1L, 2.0, 3.0)).toDF("id", "x", "y")
+    Exporter.write(df, s"$d/LAYER.SHP", ExportFormat.Shp,
+      geometryWkb = Some(Wkb.wkbFromXY($"x", $"y")))
+    assert(Files.exists(Paths.get(s"$d/LAYER.shp")))
+    assert(Files.exists(Paths.get(s"$d/LAYER.dbf")))
+    assert(!Files.exists(Paths.get(s"$d/LAYER.SHP.shp")))
+  }
+
+  test("DBF integer overflow gets asterisk fill, not silent MSD truncation") {
+    val base = tmpBase("shp-int-overflow")
+    // |v| >= 1e18: 19 significant digits exceed the N-field width 18.
+    val df = Seq((-1234567890123456789L, 2.0, 3.0), (42L, 4.0, 5.0))
+      .toDF("big", "x", "y")
+      .select($"big", Wkb.wkbFromXY($"x", $"y").as("geom"), $"x", $"y")
+    Shapefile.write(df.select($"big", $"geom"), "geom", base)
+    val dbf = bytes(s"$base.dbf")
+    val headerSize = le(dbf, 8, 2).getShort
+    val rec0 = new String(dbf, headerSize + 1, 18, "US-ASCII")
+    val rec1 = new String(dbf, headerSize + 1 + 19, 18, "US-ASCII")
+    assert(rec0 == "*" * 18, s"overflowed long must render as asterisks, got '$rec0'")
+    assert(rec1.trim == "42")
+  }
+
+  test("DBF field names colliding at the 10-char limit fail typed") {
+    val df = Seq((1L, 1L, 2.0, 3.0))
+      .toDF("measurement_a", "measurement_b", "x", "y")
+      .select($"measurement_a", $"measurement_b",
+        Wkb.wkbFromXY($"x", $"y").as("geom"))
+    val e = intercept[graft.ExportError] {
+      Shapefile.write(df, "geom", tmpBase("shp-name-collide"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }
