@@ -8,14 +8,13 @@ import org.apache.spark.sql.types._
   * metadata, plus the decode/feature-extraction plumbing a media
   * pipeline needs.
   *
-  * Image decode is REAL as of round 10: [[ImageIo]] encodes and
-  * decodes PNG/JPEG/BMP through the JDK's own `javax.imageio`
-  * (headless-safe, no external library) inside the partition-batched
-  * seam, and [[decodeImageStats]] is the production decode stage.
-  * [[FakeDecoder]] remains only as the deterministic stand-in for
-  * container formats the JDK cannot parse (video/audio): the
-  * frame-sampling plumbing is format-agnostic and keeps its closed
-  * -form twin. Swapping in an FFI codec still changes one function.
+  * Every stage is REAL as of round 11 — nothing is simulated:
+  * [[ImageIo]] encodes/decodes PNG/JPEG/BMP through the JDK's own
+  * `javax.imageio` (headless-safe, no external library) inside the
+  * partition-batched seam, [[AudioWav]] parses RIFF/WAVE PCM16 via
+  * `javax.sound.sampled`, [[AviMjpeg]] walks the public RIFF/AVI
+  * container for frame sampling, and [[DctPHash]] is the classic
+  * DCT perceptual hash over the real decode.
   */
 object Multimodal {
 
@@ -32,87 +31,6 @@ object Multimodal {
         conv(hex(substring(col(payloadCol), 1, 1)), 16, 10).cast("long"))
       .withColumn("checksum", substring(md5(col(payloadCol)), 1, 8))
 
-  /** Decoded-media feature row produced by the (stubbed) decoder. */
-  val FeatureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("mean_intensity", DoubleType, nullable = false)))
-
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * A production build replaces the body with the actual decode
-    * (e.g. libjpeg/ffmpeg via FFI); the signature and batch shape
-    * are the contract.
-    */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
-      val n = payload.length
-      val w = 16 + (n % 64)
-      val h = 16 + ((n / 64) % 64)
-      val frames = 1 + (n % 4)
-      val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
-      (w, h, frames, mean)
-    }
-  }
-
-  /** One sampled frame reference. */
-  val FrameSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("frame_idx", LongType, nullable = false),
-    StructField("byte_offset", LongType, nullable = false)))
-
-  /** Frame sampling: every `step`-th frame of each media payload,
-    * one output row per sampled frame with its byte offset — the
-    * video-pipeline shape where the decoder ITERATES frames and the
-    * stage flat-maps them out (mapPartitions, so a real codec opens
-    * one context per batch). Frame count comes from the stubbed
-    * decode; offsets assume fixed-size frames (real codecs read the
-    * container index instead — same plumbing).
-    */
-  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, step: Int): DataFrame = {
-    require(step >= 1, "step must be >= 1")
-    val spark = df.sparkSession
-    val input = df
-      .select(col(idCol).cast("long").as("_id"), col(payloadCol))
-      .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
-    val rows = input.rdd.mapPartitions { it =>
-      it.flatMap { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val frames = FakeDecoder.decode(payload)._3
-        val frameBytes = math.max(1, payload.length / frames)
-        (0 until frames by step).iterator.map(i =>
-          Row(id, i.toLong, i.toLong * frameBytes))
-      }
-    }
-    spark.createDataFrame(rows, FrameSchema)
-  }
-
-  /** Partition-batched decode: mapPartitions so a real decoder can
-    * amortize per-batch setup (codec contexts, device handles) —
-    * the Spark analogue of `mapInPandas` batch processing. Input
-    * needs (`idCol`: long, `payloadCol`: binary).
-    */
-  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    // Null/missing ids and payloads are a fact of life in media
-    // corpora: skip them rather than NPE the job on one bad row.
-    val input = df
-      .select(col(idCol).cast("long").as("_id"), col(payloadCol))
-      .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
-    val rows = input.rdd.mapPartitions { it =>
-      // One decoder context per partition (the expensive-setup seam).
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val (w, h, f, m) = FakeDecoder.decode(payload)
-        Row(id, w, h, f, m)
-      }
-    }
-    spark.createDataFrame(rows, FeatureSchema)
-  }
-
   /** Frame sampling plan for video-ish payloads: every `stride`-th
     * frame index up to `n_frames` — the explode pattern that turns
     * one media row into per-frame work items without shuffling.
@@ -124,11 +42,11 @@ object Multimodal {
 
   /** Media near-dup pairs by decoded-feature blocking — the
     * perceptual-hash pipeline shape (block on coarse features, verify
-    * candidates exactly) over the stubbed decoder's features: block
-    * key = (width, height, n_frames), verify = mean-intensity delta
+    * candidates exactly) over decoded features: block key =
+    * (width, height, n_frames), verify = mean-intensity delta
     * ≤ `meanEps` on 4-dp-rounded means (rounded BEFORE comparing so
-    * the boundary is engine-deterministic). A real build swaps the
-    * block key for pHash bands; the join shape is identical.
+    * the boundary is engine-deterministic). [[phashNearDup]] swaps
+    * the block key for pHash bands; the join shape is identical.
     *
     * `features` is materialized once (localCheckpoint) before the
     * self-join — decode is the expensive stage and must not run
@@ -202,44 +120,111 @@ object Multimodal {
       .toDF("source", "doc_id", "shard", "offset")
   }
 
-  /** 64-bit perceptual hash of a payload — the block-mean pHash
-    * recipe over the stubbed decode: 64 byte stripes (position mod
-    * 64), bit i set iff stripe i's mean exceeds the payload mean.
-    * Comparisons run on EXACT integer cross-products
-    * (stripeSum·n > totalSum·stripeCount), never on divided
-    * doubles, so the DuckDB twin is bit-identical by construction.
-    * Empty stripes (payload shorter than 64 bytes) contribute 0
-    * bits. A real build hashes decoded pixel blocks — same shape.
+  /** REAL 64-bit DCT perceptual hash — the classic pHash recipe
+    * (public algorithm: pHash.org / the widely-reimplemented
+    * imagehash variant) over the real [[ImageIo]] decode:
+    *
+    *   1. decode the compressed payload (`javax.imageio`),
+    *   2. grayscale + bilinear resize to 32×32 (scale/format
+    *      normalization — this is what makes the hash robust to
+    *      resize and recompression),
+    *   3. 2-D DCT-II (separable, precomputed cosine basis),
+    *   4. keep the top-left 8×8 low-frequency coefficients,
+    *   5. bit k set iff coefficient k exceeds the 64-coefficient
+    *      median (median thresholding ≈ 32 set bits — maximally
+    *      informative and brightness/contrast invariant).
+    *
+    * Near-duplicate images (resized/recompressed variants) land
+    * within a few bits of Hamming distance; unrelated images are
+    * ~32 bits apart. None for payloads no installed reader decodes.
     */
-  object FakePHash {
-    def phash(payload: Array[Byte]): Long = {
-      val n = payload.length.toLong
-      if (n == 0L) return 0L
-      val stripeSum = new Array[Long](64)
-      val stripeCnt = new Array[Long](64)
-      var total = 0L
-      var i = 0
-      while (i < payload.length) {
-        val v = (payload(i) & 0xff).toLong
-        stripeSum(i % 64) += v
-        stripeCnt(i % 64) += 1
-        total += v
-        i += 1
+  object DctPHash {
+    private val N = 32
+    // cos((2x+1)·u·π / (2N)) for the separable DCT-II passes.
+    private val Cos: Array[Array[Double]] =
+      Array.tabulate(N, N)((u, x) => math.cos(((2 * x + 1) * u * math.Pi) / (2.0 * N)))
+
+    /** Grayscale 32×32 bilinear reduction of a decoded image. */
+    private def gray32(src: java.awt.image.BufferedImage): Array[Double] = {
+      val dst = new java.awt.image.BufferedImage(
+        N, N, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, N, N, null)
+      g.dispose()
+      val raster = dst.getRaster
+      val p = new Array[Double](N * N)
+      var y = 0
+      while (y < N) {
+        var x = 0
+        while (x < N) { p(y * N + x) = raster.getSample(x, y, 0).toDouble; x += 1 }
+        y += 1
       }
-      var h = 0L
-      var b = 0
-      while (b < 64) {
-        if (stripeCnt(b) > 0 && stripeSum(b) * n > total * stripeCnt(b))
-          h |= (1L << b)
-        b += 1
+      p
+    }
+
+    /** Top-left 8×8 block of the 32×32 2-D DCT-II (row pass, then
+      * column pass; only the 8 low-frequency outputs of the second
+      * pass are materialized). Scale factors are irrelevant to a
+      * sign-vs-median threshold and are omitted.
+      */
+    private def dctLow(p: Array[Double]): Array[Double] = {
+      // rows: t(y, u) = Σ_x p(y, x)·cos[u][x], u < 8
+      val t = new Array[Double](N * 8)
+      var y = 0
+      while (y < N) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < N) { s += p(y * N + x) * Cos(u)(x); x += 1 }
+          t(y * 8 + u) = s
+          u += 1
+        }
+        y += 1
       }
-      h
+      // columns: d(v, u) = Σ_y t(y, u)·cos[v][y], v < 8
+      val d = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var yy = 0
+          while (yy < N) { s += t(yy * 8 + u) * Cos(v)(yy); yy += 1 }
+          d(v * 8 + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      d
+    }
+
+    def phash(payload: Array[Byte]): Option[Long] = {
+      val src =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (src == null) None
+      else {
+        val d = dctLow(gray32(src))
+        val sorted = d.clone()
+        java.util.Arrays.sort(sorted)
+        val med = (sorted(31) + sorted(32)) / 2.0
+        var h = 0L
+        var k = 0
+        while (k < 64) {
+          if (d(k) > med) h |= (1L << k)
+          k += 1
+        }
+        Some(h)
+      }
     }
   }
 
-  /** Per-media pHash rows (media_id, phash) — partition-batched like
-    * [[decodeFeatures]] (one codec context per batch in a real
-    * build).
+  /** Per-media REAL pHash rows (media_id, phash) — partition-batched
+    * like [[decodeImageStats]]: one decode context per batch,
+    * payload bytes never shuffle, unreadable payloads drop.
     */
   def phashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -247,8 +232,8 @@ object Multimodal {
       .select(col(idCol).cast("long").as("_id"), col(payloadCol))
       .filter(col("_id").isNotNull && col(payloadCol).isNotNull)
     val rows = input.rdd.mapPartitions { it =>
-      it.map { r =>
-        Row(r.getLong(0), FakePHash.phash(r.getAs[Array[Byte]](1)))
+      it.flatMap { r =>
+        DctPHash.phash(r.getAs[Array[Byte]](1)).map(h => Row(r.getLong(0), h))
       }
     }
     spark.createDataFrame(rows, StructType(Seq(
@@ -311,9 +296,12 @@ object Multimodal {
     /** Encode a `w`×`h` RGB image, pixel values from `sample(x, y,
       * band)` (band 0 = R, 1 = G, 2 = B; values clamped to 0..255),
       * to the given format ("png", "jpg", "bmp"). PNG and BMP are
-      * lossless: a decode returns the exact samples.
+      * lossless: a decode returns the exact samples. For JPEG,
+      * `quality` in (0, 1] selects the compression level (scaled
+      * quantization tables); quality < 0 keeps the writer default.
       */
-    def encode(w: Int, h: Int, format: String)(sample: (Int, Int, Int) => Int): Array[Byte] = {
+    def encode(w: Int, h: Int, format: String, quality: Double = -1.0)(
+        sample: (Int, Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val raster = img.getRaster
@@ -331,7 +319,23 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+      if (quality >= 0.0) {
+        val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+        require(writers.hasNext, s"no ImageIO writer for $format")
+        val writer = writers.next()
+        val param = writer.getDefaultWriteParam
+        if (param.canWriteCompressed) {
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(quality.toFloat)
+        }
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        } finally { ios.close(); writer.dispose() }
+      } else {
+        require(javax.imageio.ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+      }
       bos.toByteArray
     }
 
@@ -567,6 +571,10 @@ object Multimodal {
       while (p + 8 <= payload.length) {
         val id = four(p)
         val len = bb.getInt(p + 4)
+        // A corrupt/adversarial chunk length must not loop forever
+        // (len = -8 leaves p unchanged) or walk p past the payload:
+        // decode-or-drop, never throw or hang.
+        if (len < 0 || p.toLong + 8L + len > payload.length) return None
         if (id == "LIST" && p + 12 <= payload.length && four(p + 8) == "movi") moviPos = p + 8
         if (id == "idx1") { idxPos = p + 8; idxLen = len }
         p += 8 + len + (len % 2)
@@ -594,7 +602,9 @@ object Multimodal {
     def sampleDecode(payload: Array[Byte], step: Int): Seq[(Int, Long, Int, Int, Array[Long])] = {
       frameIndex(payload).toSeq.flatMap { frames =>
         frames.zipWithIndex.collect {
-          case ((off, size), i) if i % step == 0 =>
+          case ((off, size), i)
+              if i % step == 0 && off >= 0 && size >= 0 &&
+                off + size <= payload.length =>
             val bytes = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + size)
             ImageIo.decodeStats(bytes).map { case (w, h, _, sums) =>
               (i, off, w, h, sums)

@@ -930,49 +930,114 @@ object LlmQueries {
       |  left(md5(text), 8) AS checksum
       |FROM documents""".stripMargin
 
-  /** K3: the decode stage end-to-end — mapPartitions batch decode
-    * over binary payloads. The stub decoder is closed-form, so the
-    * oracle replicates it exactly (texts are ASCII: byte values =
-    * codepoints).
+  /** K3 `mm_decode_stats` (re-pointed, round 11 — the FakeDecoder
+    * fixture is gone): REAL decode-or-drop accounting. The staged
+    * corpus mixes real PNG payloads (the K9 ramp) with corrupt
+    * payloads (raw text bytes — no installed reader decodes them)
+    * at doc_id % 7 == 3; the stage decodes what it can and ACCOUNTS
+    * for what it dropped — the media-ingest contract a 100 TB corpus
+    * needs (corrupt rows are a fact of life; silently losing them
+    * unaccounted is how corpora rot).
     */
   def mmDecodeStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val feats = Multimodal.decodeFeatures(
-      t.documents.select(col("doc_id"), col("text").cast("binary").as("payload")),
-      "doc_id", "payload")
-    feats.select(
-      col("media_id").as("doc_id"),
-      col("width").cast("long").as("width"),
-      col("height").cast("long").as("height"),
-      col("n_frames").cast("long").as("n_frames"),
-      round(col("mean_intensity"), 4).as("mean_intensity"))
+    val docs = t.documents.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val staged = {
+      val spark2 = spark
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false)))
+      val rows = docs.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (id % 7 == 3) ("corrupt:" + r.getString(1)).getBytes("UTF-8")
+            else {
+              val w = (8 + id % 9).toInt
+              val h = (8 + (id / 9) % 7).toInt
+              val base = (id % 64).toInt
+              Multimodal.ImageIo.encode(w, h, "png")((x, y, c) => base + 64 * c + x + y)
+            }
+          org.apache.spark.sql.Row(id, payload)
+        }
+      }
+      spark2.createDataFrame(rows, schema)
+    }
+    // Decode-or-drop WITH in-line accounting: one mapPartitions pass
+    // emits the decoded flag next to the dims (no join back to the
+    // id table — at 100 TB that join would shuffle the whole corpus
+    // twice for a per-row boolean).
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("decoded",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("width",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("height",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = staged.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Multimodal.ImageIo.decodeStats(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, _, _)) =>
+            org.apache.spark.sql.Row(id, 1L, w.toLong, h.toLong)
+          case None =>
+            org.apache.spark.sql.Row(id, 0L, 0L, 0L)
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   val mmDecodeStatsSql: String =
     """SELECT doc_id,
-      |  16 + (n % 64) AS width,
-      |  16 + ((n // 64) % 64) AS height,
-      |  1 + (n % 4) AS n_frames,
-      |  round(list_sum(list_transform(regexp_split_to_array(text, ''),
-      |    c -> CAST(unicode(c) AS DOUBLE))) / n, 4) + 0 AS mean_intensity
-      |FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents) x""".stripMargin
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS decoded,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 8 + doc_id % 9 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 8 + (doc_id // 9) % 7 END AS BIGINT) AS height
+      |FROM documents""".stripMargin
 
-  /** K4: frame sampling — every 2nd frame of each payload, one row
-    * per sampled frame (flat-mapped out of the per-batch decoder).
+  /** K4 `mm_frame_sample` (re-pointed, round 11 — the FakeDecoder
+    * fixture is gone): REAL container index walk WITHOUT decoding —
+    * the "seek by index" half of the video economics (K13 decodes
+    * what it samples; this row proves the sampling itself). Every
+    * 2nd frame of each staged AVI is located by parsing the RIFF
+    * chunk tree + idx1 index, and the two bytes AT the computed
+    * offset must be the JPEG SOI marker (0xFFD8 = 65496) — a wrong
+    * offset lands anywhere else in the container.
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    Multimodal.sampleFrames(
-      t.documents.select(col("doc_id"), col("text").cast("binary").as("payload")),
-      "doc_id", "payload", step = 2)
+    val staged = Pipeline70.stagedAvis(t)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("frame_idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("soi_marker",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = staged.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        Multimodal.AviMjpeg.frameIndex(payload).toSeq.flatMap { frames =>
+          frames.zipWithIndex.collect {
+            case ((off, size), i) if i % 2 == 0 && size >= 2 &&
+                off + size <= payload.length =>
+              val soi = ((payload(off.toInt) & 0xff) << 8) | (payload(off.toInt + 1) & 0xff)
+              org.apache.spark.sql.Row(id, i.toLong, soi.toLong)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   val mmFrameSampleSql: String =
-    """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
-      |  CAST(i AS BIGINT) * greatest(1, n // frames) AS byte_offset
-      |FROM (
-      |  SELECT doc_id, n, 1 + (n % 4) AS frames FROM (
-      |    SELECT doc_id, octet_length(encode(text)) AS n FROM documents) y) x,
-      |  (SELECT unnest(range(0, 4, 2)) AS i) s
-      |WHERE i < frames""".stripMargin
+    """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(65496 AS BIGINT) AS soi_marker
+      |FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 4, 2)) AS f
+      |      FROM documents)""".stripMargin
 }

@@ -11,47 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline7 {
 
-  /** K7: pHash near-dup — the banded perceptual-hash pipeline K5
-    * promised ("a real build swaps the block key for pHash bands"):
-    * 64-bit block-mean hash per payload (exact integer
-    * cross-product comparisons, so the SQL twin is bit-identical),
-    * then band-blocked candidate generation and exact Hamming
-    * verification (operators/Multimodal.phashNearDup). Never
-    * all-pairs: pigeonhole over 4×16-bit bands guarantees recall at
-    * hamming ≤ 3 while the join fan-out stays bucket-bounded.
-    */
-  def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val hashes = Multimodal.phashes(docs, "doc_id", "payload")
-      .localCheckpoint(true) // hash once; the self-join reads both sides
-    Multimodal.phashNearDup(hashes, maxHamming = 3, nBands = 4)
-  }
-
-  val mmPhashNeardupSql: String =
-    """WITH b0 AS (
-      |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
-      |  FROM documents WHERE length(text) > 0),
-      |b AS (
-      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-      |    CAST(unicode(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS v
-      |  FROM b0),
-      |tot AS (SELECT doc_id, sum(v) AS total, count(*) AS n FROM b GROUP BY doc_id),
-      |st AS (SELECT doc_id, (pos - 1) % 64 AS stripe, sum(v) AS ssum,
-      |         count(*) AS scnt
-      |       FROM b GROUP BY doc_id, stripe),
-      |hb AS (SELECT s.doc_id,
-      |         coalesce(bit_or(CASE WHEN s.ssum * t.n <= t.total * s.scnt THEN CAST(0 AS BIGINT)
-      |           WHEN s.stripe = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-      |           ELSE (CAST(1 AS BIGINT) << CAST(s.stripe AS INT)) END),
-      |           CAST(0 AS BIGINT)) AS phash
-      |       FROM st s JOIN tot t USING (doc_id) GROUP BY s.doc_id),
-      |h AS (SELECT d.doc_id, coalesce(hb.phash, CAST(0 AS BIGINT)) AS phash
-      |      FROM documents d LEFT JOIN hb USING (doc_id))
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-      |FROM h a JOIN h b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin
+  // K7 `mm_phash_neardup` moved to Pipeline72 (round 11): the hash
+  // is now the REAL DCT perceptual hash over real compressed
+  // payloads, oracled against staged near-dup ground truth.
 
   /** G24: BPE pair statistics — the adjacent-pair frequency count at
     * the heart of a (character-level) BPE trainer's merge step, kept

@@ -591,31 +591,40 @@ object PipelineQueries {
       |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
       |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin
 
-  /** K5: media near-dup via decoded-feature blocking (the pHash
-    * pipeline shape): block on (width, height, n_frames), verify
-    * mean-intensity delta ≤ 0.5 on 4-dp means.
+  /** K5: media near-dup via decoded-feature blocking (the coarse
+    * sibling of the K7 pHash path): block on (width, height,
+    * channels), verify mean-intensity delta ≤ 0.5 on 4-dp means.
+    * Re-pointed (round 11) at the REAL `javax.imageio` decode of
+    * staged PNG ramps (the K9 pattern) — the mean intensity is an
+    * exact rational of the decoded per-channel sums, so a one-byte
+    * codec mis-parse moves a block off its twin.
     */
   def mmFeatureNeardup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val feats = graft.operators.Multimodal.decodeFeatures(
-      t.documents.select(col("doc_id"), col("text").cast("binary").as("payload")),
-      "doc_id", "payload")
+    val feats = graft.operators.Multimodal.decodeImageStats(
+      Pipeline62.stagedImages(t, "png"), "doc_id", "payload")
+      .select(col("media_id"),
+        col("width").cast("int").as("width"),
+        col("height").cast("int").as("height"),
+        col("n_channels").cast("int").as("n_frames"),
+        ((col("sum_r") + col("sum_g") + col("sum_b")).cast("double") /
+          (lit(3.0) * col("width") * col("height"))).as("mean_intensity"))
     graft.operators.Multimodal.featureNearDup(feats, 0.5)
   }
 
   val mmFeatureNeardupSql: String =
     """WITH f AS (
-      |  SELECT doc_id,
-      |    16 + (n % 64) AS width, 16 + ((n // 64) % 64) AS height,
-      |    1 + (n % 4) AS n_frames,
-      |    round(list_sum(list_transform(regexp_split_to_array(text, ''),
-      |      c -> CAST(unicode(c) AS DOUBLE))) / n, 4) + 0 AS mi
-      |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents) x)
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 7 AS h,
+      |    doc_id % 64 AS base
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, w, h,
+      |    base + 64 + (w - 1) / 2.0 + (h - 1) / 2.0 AS mi
+      |  FROM f)
       |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
       |  round(abs(a.mi - b.mi), 4) + 0 AS intensity_delta
-      |FROM f a JOIN f b
-      |  ON a.width = b.width AND a.height = b.height
-      | AND a.n_frames = b.n_frames AND a.doc_id < b.doc_id
+      |FROM g a JOIN g b
+      |  ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
       |WHERE abs(a.mi - b.mi) <= 0.5""".stripMargin
 
   val geoZorderSql: String =

@@ -74,7 +74,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     // pair counts collapse to the alphabet²-bounded vocabulary
     // map-side before ONE exchange; the skew report pays one
     // count-shuffle per candidate key (3) + their single-row finals.
-    "mm_phash_neardup" -> ((3, 0)),
+    "mm_phash_neardup" -> ((2, 0)),
+    "mm_phash_eval" -> ((6, 1)),
     // r10: real ImageIO encode+decode — map-only, payloads never shuffle
     "mm_decode_real" -> ((0, 0)),
     "mm_decode_jpeg" -> ((0, 0)),

@@ -24,27 +24,12 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq(255L, 137L))
   }
 
-  test("decodeFeatures is deterministic and batch-shaped") {
-    val df = tables.documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .limit(50)
-    val a = Multimodal.decodeFeatures(df, "doc_id", "payload").collect()
-    val b = Multimodal.decodeFeatures(df, "doc_id", "payload").collect()
-    assert(a.length == 50)
-    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
-    a.foreach { r =>
-      assert(r.getInt(1) >= 16 && r.getInt(2) >= 16 && r.getInt(3) >= 1)
-      assert(r.getDouble(4) > 0.0)
-    }
-  }
-
-  test("sampleFrames explodes strided frame indices") {
-    val feats = Multimodal.decodeFeatures(
-      tables.documents.select(col("doc_id"), col("text").cast("binary").as("payload")).limit(10),
-      "doc_id", "payload")
-    val frames = Multimodal.sampleFrames(feats, stride = 2).collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.getInt(1) % 2 == 0))
+  test("sampleFrames explodes strided frame indices from real decoded features") {
+    val feats = Seq((1L, 5), (2L, 1), (3L, 4))
+      .toDF("media_id", "n_frames")
+    val frames = Multimodal.sampleFrames(feats, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0), (3L, 0), (3L, 2)))
   }
 
   test("shardManifest: greedy budget packing, oversize and zero/null byte edges") {
@@ -123,5 +108,23 @@ class MultimodalSpec extends SparkSpec {
     // sum over 4x3 of (c + x + y): sum(x+y) = 3*(0+1+2+3) + 4*(0+1+2) = 18+12 = 30
     assert(out(0) == ((1L, 4L, 3L, 3L, 30L, 42L, 54L)))
     assert(out(1) == ((3L, 2L, 2L, 3L, 28L, 28L, 28L)))
+  }
+
+  test("AviMjpeg.frameIndex: corrupt chunk lengths drop, never hang or throw") {
+    val jpg = Multimodal.ImageIo.encode(8, 8, "jpg")((x, y, c) => c + x + y)
+    val avi = Multimodal.AviMjpeg.encode(Seq(jpg, jpg), 8, 8, fps = 10)
+    assert(Multimodal.AviMjpeg.frameIndex(avi).exists(_.length == 2))
+
+    // len = -8 would leave the chunk-walk position unchanged (infinite
+    // loop) without the guard; a huge len would walk p past the payload.
+    def corrupt(len: Int): Array[Byte] = {
+      val b = avi.clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(16, len) // first chunk inside 'AVI ' body (the hdrl LIST)
+      b
+    }
+    assert(Multimodal.AviMjpeg.frameIndex(corrupt(-8)).isEmpty)
+    assert(Multimodal.AviMjpeg.frameIndex(corrupt(Int.MaxValue - 2)).isEmpty)
+    assert(Multimodal.AviMjpeg.frameIndex("RIFFxxxxAVI corrupt".getBytes).isEmpty)
   }
 }

@@ -291,15 +291,12 @@ class PipelineOpsSpec extends SparkSpec {
   // --- Multimodal.featureNearDup ---
 
   test("featureNearDup pairs same-block media within the intensity epsilon") {
-    // Same byte length -> same (width,height,n_frames) block under the
-    // stub decoder; intensity = mean byte value.
-    val media = Seq(
-      (1L, "aaaa".getBytes), // mean 97
-      (2L, "aaab".getBytes), // mean 97.25 -> pairs with 1
-      (3L, "zzzz".getBytes), // mean 122 -> same block, outside eps
-      (4L, "aa".getBytes)    // different length -> different block
-    ).toDF("media_id", "payload")
-    val feats = Multimodal.decodeFeatures(media, "media_id", "payload")
+    val feats = Seq(
+      (1L, 4, 4, 1, 97.0),   // block (4,4,1)
+      (2L, 4, 4, 1, 97.25),  // same block, delta 0.25 -> pairs with 1
+      (3L, 4, 4, 1, 122.0),  // same block, outside eps
+      (4L, 2, 2, 1, 97.0)    // different block
+    ).toDF("media_id", "width", "height", "n_frames", "mean_intensity")
     val pairs = Multimodal.featureNearDup(feats, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))

@@ -6,48 +6,8 @@ import org.apache.spark.sql.functions._
 
 class Pipeline7Spec extends SparkSpec {
 
-  // ---- mm_phash_neardup / Multimodal.FakePHash ----
-
-  test("FakePHash: hand-computed hashes") {
-    // Uniform payload: every stripe mean equals the global mean,
-    // strict > sets nothing.
-    assert(Multimodal.FakePHash.phash(Array.fill(128)(7.toByte)) == 0L)
-    assert(Multimodal.FakePHash.phash(Array.empty[Byte]) == 0L)
-    // One hot byte in stripe 0 of a 64-byte payload: only stripe 0
-    // beats the mean.
-    val oneHot = new Array[Byte](64)
-    oneHot(0) = 0xFF.toByte
-    assert(Multimodal.FakePHash.phash(oneHot) == 1L)
-    // Hot byte in stripe 5 instead -> bit 5.
-    val hot5 = new Array[Byte](64)
-    hot5(5) = 0xFF.toByte
-    assert(Multimodal.FakePHash.phash(hot5) == (1L << 5))
-  }
-
-  test("mm_phash_neardup: banding finds exactly the brute-force pairs (recall proof)") {
-    val docs = tables.documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val hashes = Multimodal.phashes(docs, "doc_id", "payload").localCheckpoint(true)
-    val banded = Pipeline7.mmPhashNeardup(spark, sfDir)
-      .collect().map(_.toSeq).sortBy(_.mkString("|"))
-    val brute = hashes.as("a").join(hashes.as("b"),
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .collect().map(_.toSeq).sortBy(_.mkString("|"))
-    assert(banded.toSeq == brute.toSeq)
-    assert(banded.nonEmpty, "no near-dup pairs at all — the query tests nothing")
-  }
-
-  test("phashNearDup rejects a hamming bound the pigeonhole cannot guarantee") {
-    val docs = tables.documents.limit(5)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val hashes = Multimodal.phashes(docs, "doc_id", "payload")
-    intercept[IllegalArgumentException] {
-      Multimodal.phashNearDup(hashes, maxHamming = 4, nBands = 4)
-    }
-  }
+  // mm_phash_neardup moved to Pipeline72 (+ Pipeline72Spec): the
+  // hash is the REAL DCT perceptual hash as of round 11.
 
   // ---- tx_bpe_pair_stats ----
 
