@@ -164,8 +164,22 @@ object FlatGeobuf {
 
   /** Write `df` (binary WKB column `wkbCol`, uniform geometry type)
     * as a FlatGeobuf file at `path`.
+    *
+    * `indexNodeSize` > 0 additionally writes the spec's OPTIONAL
+    * packed Hilbert R-tree between header and features (node size
+    * per the spec default 16): features are Hilbert-sorted by a
+    * DISTRIBUTED Spark sort on the curve key (only the key and the
+    * row shuffle — the driver never holds more than one feature
+    * plus 40 bytes of node state per row, the same order as the
+    * .shx table), streamed to a data section, and the bounded node
+    * array is emitted from the recorded (bbox, offset) items. A
+    * reader can then seek features by bbox without scanning
+    * ([[graft.sources.FlatGeobufReader]]).
     */
-  def write(df: DataFrame, wkbCol: String, path: String): WriteResult = {
+  def write(df: DataFrame, wkbCol: String, path: String): WriteResult =
+    write(df, wkbCol, path, 0)
+
+  def write(df: DataFrame, wkbCol: String, path: String, indexNodeSize: Int): WriteResult = {
     val schema = df.schema
     val gIdx = schema.fieldIndex(wkbCol)
     if (schema(gIdx).dataType != BinaryType)
@@ -232,21 +246,20 @@ object FlatGeobuf {
         while (i >= 0) { hb.addOffset(colOffs(i)); i -= 1 }
         hb.endVector()
       }
+      // index only makes sense with features to index
+      val nodeSize = if (rowCount > 0) indexNodeSize else 0
       hb.startTable(14)
       hb.addOffset(0, nameOff, 0)
       hb.addOffset(1, envOff, 0)
       hb.addByte(2, gType.toByte, 0)
       hb.addOffset(7, colsVec, 0)
       hb.addLong(8, rowCount, 0)
-      hb.addShort(9, 0.toShort, 16) // index_node_size 0 = no index
+      hb.addShort(9, nodeSize.toShort, 16) // 0 = no index; spec default 16
       val headerRoot = hb.endTable()
       hb.finishSizePrefixed(headerRoot)
       writeBuf(out, hb.dataBuffer())
 
-      // ---- features, one size-prefixed flatbuffer each
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
+      def featureBytes(row: org.apache.spark.sql.Row): Array[Byte] = {
         val fb = new FlatBufferBuilder(512)
         val props = encodeProps(row, attrs)
         val propsOff = if (props.isEmpty) 0 else fb.createByteVector(props)
@@ -256,7 +269,59 @@ object FlatGeobuf {
         if (propsOff != 0) fb.addOffset(1, propsOff, 0)
         val root = fb.endTable()
         fb.finishSizePrefixed(root)
-        writeBuf(out, fb.dataBuffer())
+        val buf = fb.dataBuffer()
+        val arr = new Array[Byte](buf.remaining())
+        buf.duplicate().get(arr)
+        arr
+      }
+
+      if (nodeSize == 0) {
+        // ---- features, one size-prefixed flatbuffer each
+        val it = df.toLocalIterator()
+        while (it.hasNext) out.write(featureBytes(it.next()))
+      } else {
+        // ---- packed Hilbert R-tree + Hilbert-ordered features.
+        // The sort on the curve key is DISTRIBUTED (Spark sortByKey);
+        // the driver streams the sorted rows once, spooling feature
+        // bytes to a temp file while recording 40 bytes of node
+        // state per feature (same order as the .shx offset table).
+        import org.apache.spark.sql.functions._
+        val base = schema.fields.map(f => col(f.name))
+        val bboxed = df
+          .select(base :+ graft.functions.Wkb.wkbCoords(col(wkbCol)).as("_ps"): _*)
+          .select(base :+
+            array_min(transform(col("_ps"), p => p("x"))).as("_minx") :+
+            array_min(transform(col("_ps"), p => p("y"))).as("_miny") :+
+            array_max(transform(col("_ps"), p => p("x"))).as("_maxx") :+
+            array_max(transform(col("_ps"), p => p("y"))).as("_maxy"): _*)
+        val nBase = schema.fields.length
+        val ext = bbox
+        val sorted = bboxed.rdd
+          .map { row =>
+            val key = PackedRTree.hilbertOf(row.getDouble(nBase), row.getDouble(nBase + 1),
+              row.getDouble(nBase + 2), row.getDouble(nBase + 3), ext)
+            (key, row)
+          }
+          .sortByKey()
+        val tmp = java.nio.file.Files.createTempFile("graft_fgb_data_", ".bin")
+        val items = scala.collection.mutable.ArrayBuffer.empty[PackedRTree.Item]
+        val data = new BufferedOutputStream(
+          new FileOutputStream(tmp.toFile), 1 << 16)
+        var offset = 0L
+        try {
+          val it = sorted.map(_._2).toLocalIterator
+          while (it.hasNext) {
+            val row = it.next()
+            val bytes = featureBytes(row)
+            data.write(bytes)
+            items += PackedRTree.Item(row.getDouble(nBase), row.getDouble(nBase + 1),
+              row.getDouble(nBase + 2), row.getDouble(nBase + 3), offset)
+            offset += bytes.length
+          }
+        } finally data.close()
+        out.write(PackedRTree.build(items.toIndexedSeq, nodeSize))
+        java.nio.file.Files.copy(tmp, out)
+        java.nio.file.Files.delete(tmp)
       }
     } finally out.close()
 

@@ -134,6 +134,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // RDD-side, its exchange shows as the one extra broadcast of
     // the quartile table).
     "src_codec_roundtrip" -> ((1, 0)),
+    "exp_geoparquet_roundtrip" -> ((1, 0)),
+    "exp_shapefile_roundtrip" -> ((1, 0)),
+    "exp_fgb_roundtrip" -> ((1, 0)),
     "q_ab_lift" -> ((1, 0)),
     "q_lag_ratio" -> ((2, 0)),
     "dd_multikey_er" -> ((2, 1)),

@@ -189,4 +189,106 @@ class FlatGeobufSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("export failed") || e.getMessage.nonEmpty)
   }
+
+  // ---- round 11: optional packed Hilbert R-tree index ----
+
+  test("indexed write: header declares the index, tree layout verifies byte-level") {
+    val n = 37 // not a node-size multiple: exercises partial parents
+    val df = (1 to n).map(i => (i.toLong, (i * 7 % 100).toDouble, (i * 13 % 100).toDouble))
+      .toDF("id", "x", "y")
+      .select($"id", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    val out = tmpFile("fgb-indexed")
+    val res = FlatGeobuf.write(df, "geom", out, indexNodeSize = 16)
+    assert(res.rows == n)
+    val bytes = Files.readAllBytes(Paths.get(out))
+    val (h, afterHeader) = readSizePrefixed(bytes, 8)
+    // header: index_node_size (slot 9) = 16 == spec default, so the
+    // builder may omit it; features_count (slot 8) present
+    val idxPos = h.field(h.root, 9)
+    val nodeSize =
+      if (idxPos < 0) 16 else h.bb.getShort(idxPos) & 0xffff
+    assert(nodeSize == 16)
+    assert(h.bb.getLong(h.field(h.root, 8)) == n)
+
+    // tree: numNodes(37,16) nodes of 40 bytes between header and features
+    val numNodes = PackedRTree.numNodes(n, 16)
+    assert(numNodes == 37 + 3 + 1)
+    val treeLen = (numNodes * PackedRTree.NodeItemLen).toInt
+    val nodes = PackedRTree.parse(
+      java.util.Arrays.copyOfRange(bytes, afterHeader, afterHeader + treeLen))
+    // root bbox == envelope
+    val envPos = h.vectorPos(h.field(h.root, 1))._1
+    assert(nodes(0).minX == h.bb.getDouble(envPos) &&
+      nodes(0).minY == h.bb.getDouble(envPos + 8) &&
+      nodes(0).maxX == h.bb.getDouble(envPos + 16) &&
+      nodes(0).maxY == h.bb.getDouble(envPos + 24))
+    // leaves: ascending feature offsets, each resolving to a feature
+    val leafStart = PackedRTree.levelBounds(n, 16).head._1.toInt
+    val leaves = nodes.drop(leafStart)
+    assert(leaves.length == n)
+    assert(leaves.map(_.offset) == leaves.map(_.offset).sorted)
+    val featuresStart = afterHeader + treeLen
+    leaves.foreach { leaf =>
+      val p = featuresStart + leaf.offset.toInt
+      val sz = ByteBuffer.wrap(bytes, p, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      assert(sz > 0 && p + 4 + sz <= bytes.length)
+    }
+    // leaves are Hilbert-ordered on bbox centers over the envelope
+    val ext = (nodes(0).minX, nodes(0).minY, nodes(0).maxX, nodes(0).maxY)
+    val keys = leaves.map(l => PackedRTree.hilbertOf(l.minX, l.minY, l.maxX, l.maxY, ext))
+    assert(keys == keys.sorted, "leaf items must be in Hilbert order")
+  }
+
+  test("index search returns exactly the brute-force bbox matches") {
+    val n = 200
+    val df = (1 to n).map(i => (i.toLong, (i * 37 % 211).toDouble, (i * 91 % 197).toDouble))
+      .toDF("id", "x", "y")
+      .select($"id", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    val out = tmpFile("fgb-search")
+    FlatGeobuf.write(df, "geom", out, indexNodeSize = 8)
+    val got = graft.sources.FlatGeobufReader.search(spark, out, 20.0, 30.0, 120.0, 140.0)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val want = (1 to n).filter { i =>
+      val x = i * 37 % 211; val y = i * 91 % 197
+      x >= 20 && x <= 120 && y >= 30 && y <= 140
+    }.map(_.toLong).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("FlatGeobufReader round-trips attributes, nulls and geometry exactly") {
+    val df = Seq(
+      (1L, "alpha", Some(0.75), -10.5, -5.25),
+      (2L, null.asInstanceOf[String], Some(1.25), 30.0, 40.0),
+      (3L, "gamma", None, 0.0, 0.0))
+      .toDF("id", "name", "score", "x", "y")
+      .select($"id", $"name", $"score", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    for (nodeSize <- Seq(0, 16)) {
+      val out = tmpFile(s"fgb-rt$nodeSize")
+      FlatGeobuf.write(df, "geom", out, nodeSize)
+      val back = graft.sources.FlatGeobufReader.read(spark, out)
+        .select($"id", $"name", $"score", Wkb.wkbPointXY($"geometry").as("p"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getStruct(3).getDouble(0), r.getStruct(3).getDouble(1)))
+        .sortBy(_._1)
+      assert(back.toSeq == Seq(
+        (1L, Some("alpha"), Some(0.75), -10.5, -5.25),
+        (2L, None, Some(1.25), 30.0, 40.0),
+        (3L, Some("gamma"), None, 0.0, 0.0)))
+    }
+  }
+
+  test("PackedRTree: level bounds match the reference recurrence; hilbert is injective on a grid") {
+    assert(PackedRTree.levelBounds(1, 16) == Seq((0L, 1L)))
+    // 179 items, node size 4: levels bottom-up 179, 45, 12, 3, 1
+    val lb = PackedRTree.levelBounds(179, 4)
+    assert(lb.map(b => b._2 - b._1) == Seq(179L, 45L, 12L, 3L, 1L))
+    assert(lb.head._2 == PackedRTree.numNodes(179, 4))
+    assert(lb.last == ((0L, 1L)), "root at node index 0")
+    val keys = for (x <- 0 until 64; y <- 0 until 64)
+      yield PackedRTree.hilbert(x * 1024, y * 1024)
+    assert(keys.distinct.length == keys.length, "hilbert collided on the grid")
+    assert(keys.forall(k => k >= 0 && k <= 0xffffffffL))
+  }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.functions.Wkb
+import graft.sources.ShapefileReader
 
 /** H18 (round 10): ESRI Shapefile writer — the reference's `shp`
   * direct-export route, written pure-JVM from the public 1998 spec.
@@ -186,6 +187,43 @@ class ShapefileSpec extends SparkSpec {
     val rec1 = new String(dbf, headerSize + 1 + 19, 18, "US-ASCII")
     assert(rec0 == "*" * 18, s"overflowed long must render as asterisks, got '$rec0'")
     assert(rec1.trim == "42")
+  }
+
+  test("ShapefileReader round-trips points, integers, doubles, strings and nulls") {
+    val base = tmpBase("shp-reader-rt")
+    val df = Seq(
+      (1L, "alpha", Some(2.5), -10.5, -5.25),
+      (2L, null.asInstanceOf[String], Some(-0.125), 30.0, 40.0),
+      (3L, "gamma", None, 0.0, 0.0))
+      .toDF("id", "name", "score", "x", "y")
+      .select($"id", $"name", $"score", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    Shapefile.write(df, "geom", base)
+    val back = ShapefileReader.read(spark, base)
+      .select($"id", $"name", $"score", Wkb.wkbPointXY($"geometry").as("p"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getStruct(3).getDouble(0), r.getStruct(3).getDouble(1)))
+      .sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (1L, Some("alpha"), Some(2.5), -10.5, -5.25),
+      (2L, None, Some(-0.125), 30.0, 40.0),
+      (3L, Some("gamma"), None, 0.0, 0.0)))
+  }
+
+  test("ShapefileReader round-trips polygons through WKB") {
+    val base = tmpBase("shp-reader-poly")
+    val ring = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    val df = Seq((1L, ring)).toDF("id", "pts")
+      .select($"id",
+        Wkb.wkbPolygonFromCoords(transform($"pts",
+          p => struct(p.getField("_1").as("x"), p.getField("_2").as("y")))).as("geom"))
+    Shapefile.write(df, "geom", base)
+    val back = ShapefileReader.read(spark, base)
+      .select(Wkb.wkbGeometryType($"geometry").as("t"),
+        Wkb.wkbNumPoints($"geometry").as("n"))
+      .collect()(0)
+    assert(back.getInt(0) == 3 && back.getInt(1) == 5)
   }
 
   test("DBF field names colliding at the 10-char limit fail typed") {
