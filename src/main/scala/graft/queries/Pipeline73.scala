@@ -39,7 +39,7 @@ object Pipeline73 {
     * from (value, props.k) — rows with either coordinate missing are
     * dropped (a WKB point needs both).
     */
-  private def pointLayer(t: Tables): DataFrame =
+  private[queries] def pointLayer(t: Tables): DataFrame =
     t.events.select(
         col("event_id").cast("long").as("event_id"),
         col("event_type"),
@@ -52,7 +52,7 @@ object Pipeline73 {
   /** The shared read-back aggregate: per event_type, exact counts
     * and exact-integer sums of the decoded coordinates and ids.
     */
-  private def roundTripAgg(df: DataFrame): DataFrame =
+  private[queries] def roundTripAgg(df: DataFrame): DataFrame =
     df.select(col("event_id"), col("event_type"),
         Wkb.wkbPointXY(col("geometry")).as("p"))
       .groupBy(col("event_type"))
@@ -62,7 +62,7 @@ object Pipeline73 {
         sum(expr("CAST(round(p.x * 10000) AS BIGINT)")).as("x_4dp"),
         sum(expr("CAST(round(p.y * 10000) AS BIGINT)")).as("y_4dp"))
 
-  private val roundTripSql: String =
+  private[queries] val roundTripSql: String =
     """SELECT event_type, count(*) AS n_rows,
       |  CAST(sum(event_id) AS BIGINT) AS id_sum,
       |  CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS BIGINT) AS x_4dp,

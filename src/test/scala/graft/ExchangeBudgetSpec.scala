@@ -137,6 +137,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "exp_geoparquet_roundtrip" -> ((1, 0)),
     "exp_shapefile_roundtrip" -> ((1, 0)),
     "exp_fgb_roundtrip" -> ((1, 0)),
+    "exp_geojsonseq_roundtrip" -> ((1, 0)),
+    "q_jarque_bera" -> ((1, 0)),
+    "q_levene" -> ((3, 1)),
+    "q_two_proportion_z" -> ((1, 0)),
+    "q_clustering_coeff" -> ((8, 0)),
+    "q_log_rank" -> ((5, 2)),
     "q_ab_lift" -> ((1, 0)),
     "q_lag_ratio" -> ((2, 0)),
     "dd_multikey_er" -> ((2, 1)),

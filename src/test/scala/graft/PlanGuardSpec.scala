@@ -36,6 +36,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_kaplan_meier" -> ((1,
       "at-risk cumulative window runs on the interval-delta day table — " +
         "calendar-bounded (≤ 2·days rows) at any corpus scale")),
+    "q_log_rank" -> ((2,
+      "per-arm at-risk cumulative windows run on the interval-delta " +
+        "day table — calendar-bounded (≤ 2·days rows) at any corpus " +
+        "scale (the Kaplan-Meier idiom with an arm column)")),
     "q_lorenz" -> ((1,
       "cumulative-share window runs on the 10-row decile aggregate — " +
         "constant-size at any corpus scale (customer tiling is the " +
