@@ -143,6 +143,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_two_proportion_z" -> ((1, 0)),
     "q_clustering_coeff" -> ((8, 0)),
     "q_log_rank" -> ((5, 2)),
+    "q_durbin_watson" -> ((4, 1)),
+    "q_ljung_box" -> ((2, 0)),
     "q_ab_lift" -> ((1, 0)),
     "q_lag_ratio" -> ((2, 0)),
     "dd_multikey_er" -> ((2, 1)),
