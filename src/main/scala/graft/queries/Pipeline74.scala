@@ -60,6 +60,37 @@ object Pipeline74 {
 
   val expGeojsonseqRoundtripSql: String = Pipeline73.roundTripSql
 
+  /** A26 `exp_gpkg_roundtrip`: the reference's DEFAULT export format
+    * (GPKG, H6) closed into the correctness gate — write a real
+    * single-table GeoPackage (SQLite pages, b-trees, GP geometry
+    * blobs; event_id as the fid rowid), read it BACK with
+    * [[graft.sources.GpkgReader]] — an independent page-level SQLite
+    * parse whose leaf pages decode on EXECUTORS — and aggregate vs
+    * the ORIGINAL table. The one export format whose bytes no Spark
+    * or DuckDB reader ever touches, now oracled end-to-end.
+    */
+  def expGpkgRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = gpkgCache.getOrElseUpdate((spark, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_rt_gpkg_")
+      val layer = Pipeline73.pointLayer(Tables(spark, dir))
+        .select(col("event_id").as("fid"), col("event_type"),
+          col("geometry").as("geom"))
+      graft.`export`.Gpkg.write(layer, p.resolve("layer.gpkg").toString, "layer")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.util.Fs.deleteRecursively(p)))
+      p
+    })
+    val back = graft.sources.GpkgReader
+      .readFeatures(spark, d.resolve("layer.gpkg").toString, "layer")
+      .select(col("fid").as("event_id"), col("event_type"),
+        col("geom").as("geometry"))
+    Pipeline73.roundTripAgg(back)
+  }
+  private val gpkgCache =
+    new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
+
+  val expGpkgRoundtripSql: String = Pipeline73.roundTripSql
+
   /** D145 `q_jarque_bera`: Jarque–Bera normality test per return
     * flag over price cents — the distribution-shape gate a feature
     * pipeline runs before assuming Gaussian errors. Raw moments

@@ -251,4 +251,66 @@ class GpkgSpec extends SparkSpec {
     // INTEGER-keyed index lookup (numeric record collation path)
     assert(sqliteQuery(path, "SELECT fid FROM t WHERE code = 340") == Seq("34"))
   }
+
+  // ---- round 11: independent GpkgReader (sources) ----
+
+  test("GpkgReader round-trips attributes, nulls, fid rowids and geometry") {
+    val path = tmp() + "/reader.gpkg"
+    val df = Seq(
+      (10L, "alpha", Some(2.5), -10.5, -5.25),
+      (20L, null.asInstanceOf[String], Some(-0.125), 30.0, 40.0),
+      (30L, "gamma", None, 0.0, 0.0))
+      .toDF("fid", "name", "score", "x", "y")
+      .select($"fid", $"name", $"score", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    Gpkg.write(df, path, "layer")
+    val back = graft.sources.GpkgReader.readFeatures(spark, path, "layer")
+      .select($"fid", $"name", $"score", Wkb.wkbPointXY($"geom").as("p"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getStruct(3).getDouble(0), r.getStruct(3).getDouble(1)))
+      .sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (10L, Some("alpha"), Some(2.5), -10.5, -5.25),
+      (20L, None, Some(-0.125), 30.0, 40.0),
+      (30L, Some("gamma"), None, 0.0, 0.0)))
+  }
+
+  test("GpkgReader decodes multi-page b-trees and overflow payloads") {
+    val path = tmp() + "/reader-big.gpkg"
+    val n = 3000
+    val big = "x" * 6000 // payload > one 4096 page -> overflow chain
+    val df = (1 to n).map(i =>
+        (i.toLong, if (i % 100 == 0) big else s"s_$i",
+          Wkb.encodePoint((i * 1.0, i * 2.0))))
+      .toDF("fid", "name", "geom")
+    Gpkg.write(df, path, "layer")
+    val back = graft.sources.GpkgReader.readFeatures(spark, path, "layer")
+    assert(back.count() == n)
+    val row = back.filter($"fid" === 100L).collect()(0)
+    assert(row.getString(row.fieldIndex("name")) == big)
+    val sums = back
+      .select(Wkb.wkbPointXY($"geom").as("p"))
+      .agg(sum(expr("CAST(p.x AS BIGINT)")), sum(expr("CAST(p.y AS BIGINT)")))
+      .collect()(0)
+    assert(sums.getLong(0) == n.toLong * (n + 1) / 2)
+    assert(sums.getLong(1) == n.toLong * (n + 1))
+  }
+
+  test("GpkgReader.master lists the GPKG catalog; readTable reads metadata tables") {
+    val path = tmp() + "/reader-cat.gpkg"
+    val df = Seq((1L, Wkb.encodePoint((1.0, 2.0)))).toDF("fid", "geom")
+    Gpkg.write(df, path, "layer")
+    val names = graft.sources.GpkgReader.master(path)
+      .filter(_.kind == "table").map(_.name).toSet
+    assert(Set("gpkg_spatial_ref_sys", "gpkg_contents",
+      "gpkg_geometry_columns", "layer").subsetOf(names))
+    val contents = graft.sources.GpkgReader.readTable(spark, path, "gpkg_contents")
+      .collect()
+    assert(contents.length == 1 && contents(0).getString(0) == "layer")
+    // srs table: the INTEGER PRIMARY KEY srs_id comes back from rowids
+    val srs = graft.sources.GpkgReader.readTable(spark, path, "gpkg_spatial_ref_sys")
+      .select($"srs_id").collect().map(_.getLong(0)).toSet
+    assert(srs == Set(-1L, 0L, 4326L))
+  }
 }
