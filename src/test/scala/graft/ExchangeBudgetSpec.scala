@@ -146,6 +146,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_durbin_watson" -> ((4, 1)),
     "q_ljung_box" -> ((2, 0)),
     "exp_gpkg_roundtrip" -> ((1, 0)),
+    "q_grubbs" -> ((4, 1)),
+    "q_ccf" -> ((3, 1)),
+    "q_changepoint" -> ((4, 1)),
     "q_ab_lift" -> ((1, 0)),
     "q_lag_ratio" -> ((2, 0)),
     "dd_multikey_er" -> ((2, 1)),

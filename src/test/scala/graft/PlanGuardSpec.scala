@@ -36,6 +36,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_kaplan_meier" -> ((1,
       "at-risk cumulative window runs on the interval-delta day table — " +
         "calendar-bounded (≤ 2·days rows) at any corpus scale")),
+    "q_ccf" -> ((1,
+      "lead/lag window runs on the day-aligned click×view series — " +
+        "calendar-bounded (one row per day) at any corpus scale")),
     "q_log_rank" -> ((2,
       "per-arm at-risk cumulative windows run on the interval-delta " +
         "day table — calendar-bounded (≤ 2·days rows) at any corpus " +
