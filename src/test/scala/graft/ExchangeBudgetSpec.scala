@@ -149,6 +149,7 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_grubbs" -> ((4, 1)),
     "q_ccf" -> ((3, 1)),
     "q_changepoint" -> ((4, 1)),
+    "dd_lsh_eval" -> ((6, 1)),
     "q_ab_lift" -> ((1, 0)),
     "q_lag_ratio" -> ((2, 0)),
     "dd_multikey_er" -> ((2, 1)),
