@@ -296,6 +296,20 @@ object FlatGeobuf {
             array_max(transform(col("_ps"), p => p("y"))).as("_maxy"): _*)
         val nBase = schema.fields.length
         val ext = bbox
+        // A geometry with no coordinates has no bbox (array_min/max
+        // null) and cannot be Hilbert-ordered; the unindexed path can
+        // carry it, so rather than forking behavior silently, refuse
+        // with the writer's typed error before launching the sort.
+        bboxed.filter(col("_minx").isNull).select(base.head).head(1) match {
+          case Array(bad) =>
+            throw new graft.ExportError(
+              "flatgeobuf indexed write: geometry with no coordinates has no " +
+                "bbox and cannot be placed in the Hilbert index; write with " +
+                "indexNodeSize=0 or drop the row",
+              Map("format" -> "fgb", "stage" -> "export",
+                "row" -> s"${schema.fields.head.name}=${bad.get(0)}"))
+          case _ => ()
+        }
         val sorted = bboxed.rdd
           .map { row =>
             val key = PackedRTree.hilbertOf(row.getDouble(nBase), row.getDouble(nBase + 1),
@@ -304,24 +318,25 @@ object FlatGeobuf {
           }
           .sortByKey()
         val tmp = java.nio.file.Files.createTempFile("graft_fgb_data_", ".bin")
-        val items = scala.collection.mutable.ArrayBuffer.empty[PackedRTree.Item]
-        val data = new BufferedOutputStream(
-          new FileOutputStream(tmp.toFile), 1 << 16)
-        var offset = 0L
         try {
-          val it = sorted.map(_._2).toLocalIterator
-          while (it.hasNext) {
-            val row = it.next()
-            val bytes = featureBytes(row)
-            data.write(bytes)
-            items += PackedRTree.Item(row.getDouble(nBase), row.getDouble(nBase + 1),
-              row.getDouble(nBase + 2), row.getDouble(nBase + 3), offset)
-            offset += bytes.length
-          }
-        } finally data.close()
-        out.write(PackedRTree.build(items.toIndexedSeq, nodeSize))
-        java.nio.file.Files.copy(tmp, out)
-        java.nio.file.Files.delete(tmp)
+          val items = scala.collection.mutable.ArrayBuffer.empty[PackedRTree.Item]
+          val data = new BufferedOutputStream(
+            new FileOutputStream(tmp.toFile), 1 << 16)
+          var offset = 0L
+          try {
+            val it = sorted.map(_._2).toLocalIterator
+            while (it.hasNext) {
+              val row = it.next()
+              val bytes = featureBytes(row)
+              data.write(bytes)
+              items += PackedRTree.Item(row.getDouble(nBase), row.getDouble(nBase + 1),
+                row.getDouble(nBase + 2), row.getDouble(nBase + 3), offset)
+              offset += bytes.length
+            }
+          } finally data.close()
+          out.write(PackedRTree.build(items.toIndexedSeq, nodeSize))
+          java.nio.file.Files.copy(tmp, out)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
       }
     } finally out.close()
 

@@ -92,10 +92,15 @@ object PackedRTree {
     hilbert(math.min(65535, math.max(0, hx)), math.min(65535, math.max(0, hy)))
   }
 
-  /** Level bounds per the reference `generateLevelBounds`: returns
-    * (start, end) node-index ranges, LEAF LEVEL FIRST in the
-    * returned list, with the leaf range sitting at the END of the
-    * node array and the root at index 0.
+  /** Level bounds per the reference `generateLevelBounds`
+    * (flatgeobuf packedrtree.cpp/ts): returns (start, end)
+    * node-index ranges, LEAF LEVEL FIRST in the returned list, with
+    * the leaf range sitting at the END of the node array and the
+    * root at index 0. The parent round is do-while (at least one
+    * parent level is always emitted), so numItems=1 yields TWO
+    * nodes (root + leaf) — the reference's wire layout for a
+    * single-feature index; a pre-test loop here would write a
+    * 40-byte-short index that external readers misparse.
     */
   def levelBounds(numItems: Long, nodeSize: Int): Seq[(Long, Long)] = {
     require(numItems > 0, "empty tree")
@@ -103,7 +108,9 @@ object PackedRTree {
     var n = numItems
     var numNodes = n
     val levelNumNodes = scala.collection.mutable.ArrayBuffer(n)
-    while (n != 1) {
+    var first = true
+    while (first || n != 1) {
+      first = false
       n = (n + nodeSize - 1) / nodeSize
       numNodes += n
       levelNumNodes += n

@@ -92,8 +92,8 @@ object Pipeline72 {
     *
     *   gw = 4 + g%3 (4..6), gh = 4 + (g/3)%2 (4..5)
     *   media 2g   = PNG  at 8gw × 8gh  (32..48 × 32..40)
-    *   media 2g+1 = JPEG at 6gw × 6gh  — the SAME pattern resized
-    *     0.75× and recompressed lossily: the classic pHash
+    *   media 2g+1 = JPEG at 10gw × 10gh — the SAME pattern resized
+    *     1.25× and recompressed lossily: the classic pHash
     *     distortion family.
     *
     * Output: (media_id, payload) — two real image payloads per doc.

@@ -171,30 +171,42 @@ object FlatGeobufReader {
         val nPts = nXy / 2
         def xy(i: Int): (Double, Double) =
           (f.bb.getDouble(xyPos + 16 * i), f.bb.getDouble(xyPos + 16 * i + 8))
-        val bos = ByteBuffer.allocate(9 + 4 * (ends.length max 1) + 16 * nPts + 16)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        bos.put(1.toByte).putInt(gt)
-        gt match {
-          case 1 => val (x, y) = xy(0); bos.putDouble(x).putDouble(y)
-          case 2 =>
-            bos.putInt(nPts)
-            (0 until nPts).foreach { i => val (x, y) = xy(i); bos.putDouble(x).putDouble(y) }
-          case 3 =>
-            val ringEnds = if (ends.nonEmpty) ends else Seq(nPts)
-            bos.putInt(ringEnds.length)
-            var start = 0
-            ringEnds.foreach { e =>
-              bos.putInt(e - start)
-              (start until e).foreach { i =>
-                val (x, y) = xy(i); bos.putDouble(x).putDouble(y)
+        // Foreign files may carry a Geometry table with an absent or
+        // empty xy vector (an empty geometry). Decoding xy(0) there
+        // would read garbage doubles from buffer offset 0 — map the
+        // empty coordinate vector to a null WKB instead.
+        if (nPts == 0) null
+        else {
+          val bos = ByteBuffer.allocate(9 + 4 * (ends.length max 1) + 16 * nPts + 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          bos.put(1.toByte).putInt(gt)
+          gt match {
+            case 1 => val (x, y) = xy(0); bos.putDouble(x).putDouble(y)
+            case 2 =>
+              bos.putInt(nPts)
+              (0 until nPts).foreach { i => val (x, y) = xy(i); bos.putDouble(x).putDouble(y) }
+            case 3 =>
+              val ringEnds = if (ends.nonEmpty) ends else Seq(nPts)
+              if (ringEnds.exists(e => e < 0 || e > nPts) ||
+                  ringEnds.zip(ringEnds.tail).exists { case (a, b) => b < a })
+                throw new graft.ExportError(
+                  s"flatgeobuf reader: ring ends $ringEnds inconsistent with $nPts points",
+                  Map("format" -> "fgb", "stage" -> "import"))
+              bos.putInt(ringEnds.length)
+              var start = 0
+              ringEnds.foreach { e =>
+                bos.putInt(e - start)
+                (start until e).foreach { i =>
+                  val (x, y) = xy(i); bos.putDouble(x).putDouble(y)
+                }
+                start = e
               }
-              start = e
-            }
-          case other =>
-            throw new graft.ExportError(s"flatgeobuf reader: geometry type $other",
-              Map("format" -> "fgb", "stage" -> "import"))
+            case other =>
+              throw new graft.ExportError(s"flatgeobuf reader: geometry type $other",
+                Map("format" -> "fgb", "stage" -> "import"))
+          }
+          java.util.Arrays.copyOf(bos.array(), bos.position())
         }
-        java.util.Arrays.copyOf(bos.array(), bos.position())
       }
     }
     // properties (slot 1): LE u16 column index + value

@@ -279,8 +279,60 @@ class FlatGeobufSpec extends SparkSpec {
     }
   }
 
+  test("single-feature indexed file carries the reference's 2-node (80 B) index and round-trips") {
+    val df = Seq((42L, 7.5, -3.25)).toDF("id", "x", "y")
+      .select($"id", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    val out = tmpFile("fgb-one")
+    FlatGeobuf.write(df, "geom", out, indexNodeSize = 16)
+    val bytes = Files.readAllBytes(Paths.get(out))
+    val (h, afterHeader) = readSizePrefixed(bytes, 8)
+    assert(h.bb.getLong(h.field(h.root, 8)) == 1L)
+    // do-while levelBounds: root + leaf = 2 nodes, 80 bytes
+    val treeLen = (PackedRTree.numNodes(1, 16) * PackedRTree.NodeItemLen).toInt
+    assert(treeLen == 80)
+    val nodes = PackedRTree.parse(
+      java.util.Arrays.copyOfRange(bytes, afterHeader, afterHeader + treeLen))
+    assert(nodes.length == 2)
+    assert(nodes(0).minX == 7.5 && nodes(1).minX == 7.5, "root and leaf share the point bbox")
+    // featuresStart sits 80 bytes after the header, where external
+    // readers computing calcTreeSize(1, 16) expect it
+    val p = afterHeader + treeLen
+    val sz = ByteBuffer.wrap(bytes, p, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    assert(sz > 0 && p + 4 + sz == bytes.length, "exactly one feature after the 2-node tree")
+    val back = graft.sources.FlatGeobufReader.read(spark, out)
+      .select($"id", Wkb.wkbPointXY($"geometry").as("p")).collect()
+    assert(back.length == 1 && back(0).getLong(0) == 42L &&
+      back(0).getStruct(1).getDouble(0) == 7.5)
+    // and the spatial search path still resolves the lone feature
+    val hit = graft.sources.FlatGeobufReader.search(spark, out, 0.0, -10.0, 10.0, 0.0)
+      .select($"id").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("indexed write refuses empty-coordinate geometry with a typed error; temp spool is cleaned") {
+    // LineString WKBs: one with points, one with a valid header but
+    // zero coordinates (the empty geometry the unindexed path accepts)
+    def line(pts: Seq[(Double, Double)]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(9 + 16 * pts.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).putInt(2).putInt(pts.length)
+      pts.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+      bb.array()
+    }
+    val bad = Seq((1L, line(Seq((1.0, 2.0), (3.0, 4.0)))), (2L, line(Seq.empty)))
+      .toDF("id", "geom")
+    val e = intercept[graft.ExportError] {
+      FlatGeobuf.write(bad, "geom", tmpFile("fgb-empty"), indexNodeSize = 16)
+    }
+    assert(e.getMessage.contains("no coordinates"))
+    val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val spools = tmpDir.listFiles((_, n) => n.startsWith("graft_fgb_data_"))
+    assert(spools == null || spools.isEmpty, "spool files must not leak")
+  }
+
   test("PackedRTree: level bounds match the reference recurrence; hilbert is injective on a grid") {
-    assert(PackedRTree.levelBounds(1, 16) == Seq((0L, 1L)))
+    // reference do-while: one feature still gets root + leaf (2 nodes)
+    assert(PackedRTree.levelBounds(1, 16) == Seq((1L, 2L), (0L, 1L)))
+    assert(PackedRTree.numNodes(1, 16) == 2L)
     // 179 items, node size 4: levels bottom-up 179, 45, 12, 3, 1
     val lb = PackedRTree.levelBounds(179, 4)
     assert(lb.map(b => b._2 - b._1) == Seq(179L, 45L, 12L, 3L, 1L))
