@@ -115,6 +115,35 @@ object Exporter {
         Map("path" -> path, "format" -> format.toString, "stage" -> "export"), e)
   }
 
+  /** Multi-layer single-file GeoPackage — the reference's multilayer
+    * GPKG route (export.py:80 "GPKG: Single file with layers";
+    * export.py:337-344): a keyed set of frames (e.g. education =
+    * places + buildings) lands as N layers of ONE .gpkg, each table
+    * named `{target}_{layerName}` — or just `layerName` when
+    * `raw = true`, matching the reference's raw_export naming. Every
+    * layer frame must already carry a BINARY WKB column named
+    * `geom` (each layer usually derives its geometry differently,
+    * so a single shared Column expression would be wrong here).
+    */
+  def writeGpkgLayers(
+      data: Seq[(String, DataFrame)],
+      path: String,
+      target: String,
+      raw: Boolean = false
+  ): Unit = try {
+    require(data.nonEmpty, "GPKG multilayer export needs at least one layer")
+    val layers = data.map { case (layerName, df) =>
+      Gpkg.Layer(df, if (raw) layerName else s"${target}_$layerName")
+    }
+    Gpkg.writeLayers(layers, path)
+  } catch {
+    case e: graft.GraftError => throw e
+    case scala.util.control.NonFatal(e) =>
+      throw new graft.ExportError(
+        s"export failed: ${e.getMessage}",
+        Map("path" -> path, "format" -> "Gpkg", "stage" -> "export"), e)
+  }
+
   /** Incremental partitioned export with DYNAMIC partition
     * overwrite: only the partitions present in `df` are replaced;
     * every other partition of the target survives untouched. This

@@ -606,7 +606,80 @@ object Gpkg {
       srsId: Int = 4326,
       lastChange: String = "2026-01-01T00:00:00.000Z",
       uniqueCols: Seq[String] = Seq.empty
+  ): Unit =
+    writeLayers(Seq(Layer(df, table, geomCol, geometryTypeName, uniqueCols)),
+      path, srsId, lastChange)
+
+  /** One feature table of a (possibly multi-layer) GeoPackage. */
+  final case class Layer(
+      df: DataFrame,
+      table: String,
+      geomCol: String = "geom",
+      geometryTypeName: String = "POINT",
+      uniqueCols: Seq[String] = Seq.empty)
+
+  /** Multi-layer single-file GeoPackage — the reference's GPKG
+    * contract (export.py:80 "GPKG: Single file with layers",
+    * export.py:337-344: a dict of frames becomes N layers of ONE
+    * file, named `{target}_{layer}`). Each layer is its own table
+    * b-tree streamed through the same page writer; `gpkg_contents`
+    * and `gpkg_geometry_columns` carry one row per layer so any
+    * GPKG-aware reader enumerates them. Layer naming is the
+    * CALLER's concern ([[Exporter.writeGpkgLayers]] applies the
+    * reference's `{target}_{layer}` rule).
+    */
+  def writeLayers(
+      layers: Seq[Layer],
+      path: String,
+      srsId: Int = 4326,
+      lastChange: String = "2026-01-01T00:00:00.000Z"
   ): Unit = {
+    require(layers.nonEmpty, "GPKG: at least one layer")
+    require(layers.map(_.table).distinct.size == layers.size,
+      s"GPKG: duplicate layer table names in ${layers.map(_.table)}")
+    val w = new SqliteWriter(path)
+
+    // ---- gpkg_spatial_ref_sys (srs_id is the rowid) ----
+    val srsRows = Seq(
+      (-1L, "Undefined cartesian SRS", "NONE", -1L, "undefined"),
+      (0L, "Undefined geographic SRS", "NONE", 0L, "undefined"),
+      (4326L, "WGS 84 geodetic", "EPSG", 4326L, Wgs84Wkt))
+    w.createTable("gpkg_spatial_ref_sys",
+      "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, " +
+        "organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, " +
+        "definition TEXT NOT NULL, description TEXT)",
+      srsRows.iterator.map { case (id, sname, org, orgId, defn) =>
+        id -> record(Seq(SqlText(sname), SqlNull, SqlText(org), SqlInt(orgId), SqlText(defn), SqlNull))
+      })
+
+    layers.foreach(l => writeFeatureTable(w, l, srsId))
+
+    // ---- gpkg_contents + gpkg_geometry_columns (one row per layer) ----
+    w.createTable("gpkg_contents",
+      "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, " +
+        "identifier TEXT, description TEXT DEFAULT '', last_change DATETIME NOT NULL, " +
+        "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)",
+      layers.iterator.zipWithIndex.map { case (l, i) =>
+        (i + 1).toLong -> record(Seq(SqlText(l.table), SqlText("features"), SqlText(l.table),
+          SqlText(""), SqlText(lastChange), SqlNull, SqlNull, SqlNull, SqlNull, SqlInt(srsId.toLong)))
+      })
+    w.createTable("gpkg_geometry_columns",
+      "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, " +
+        "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
+      layers.iterator.zipWithIndex.map { case (l, i) =>
+        (i + 1).toLong -> record(Seq(SqlText(l.table), SqlText(l.geomCol), SqlText(l.geometryTypeName),
+          SqlInt(srsId.toLong), SqlInt(0L), SqlInt(0L)))
+      })
+
+    // application_id "GPKG", user_version 10300 (GeoPackage 1.3)
+    w.close(applicationId = 0x47504B47, userVersion = 10300)
+  }
+
+  /** Stream one layer's feature table (and its UNIQUE autoindex
+    * b-trees) through the page writer.
+    */
+  private def writeFeatureTable(w: SqliteWriter, layer: Layer, srsId: Int): Unit = {
+    val Layer(df, table, geomCol, geometryTypeName, uniqueCols) = layer
     // A 'fid' column becomes the rowid: narrower integral types are
     // widened to long; anything non-integral is an error rather than
     // a silent drop-and-renumber.
@@ -626,22 +699,6 @@ object Gpkg {
     val attrFields = schema.fields.filter(f => f.name != geomCol && f.name != "fid")
     val hasFid = schema.fieldNames.contains("fid")
 
-    val w = new SqliteWriter(path)
-
-    // ---- gpkg_spatial_ref_sys (srs_id is the rowid) ----
-    val srsRows = Seq(
-      (-1L, "Undefined cartesian SRS", "NONE", -1L, "undefined"),
-      (0L, "Undefined geographic SRS", "NONE", 0L, "undefined"),
-      (4326L, "WGS 84 geodetic", "EPSG", 4326L, Wgs84Wkt))
-    w.createTable("gpkg_spatial_ref_sys",
-      "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, " +
-        "organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, " +
-        "definition TEXT NOT NULL, description TEXT)",
-      srsRows.iterator.map { case (id, sname, org, orgId, defn) =>
-        id -> record(Seq(SqlText(sname), SqlNull, SqlText(org), SqlInt(orgId), SqlText(defn), SqlNull))
-      })
-
-    // ---- feature table ----
     uniqueCols.foreach { c =>
       require(attrFields.exists(_.name == c),
         s"GPKG: unique column '$c' must be a non-geometry, non-fid attribute column")
@@ -702,21 +759,5 @@ object Gpkg {
       w.createIndex(s"sqlite_autoindex_${table}_${i + 1}", table,
         sql = None, unique = true, entries = sorted.iterator)
     }
-
-    // ---- gpkg_contents + gpkg_geometry_columns ----
-    w.createTable("gpkg_contents",
-      "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, " +
-        "identifier TEXT, description TEXT DEFAULT '', last_change DATETIME NOT NULL, " +
-        "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)",
-      Iterator(1L -> record(Seq(SqlText(table), SqlText("features"), SqlText(table),
-        SqlText(""), SqlText(lastChange), SqlNull, SqlNull, SqlNull, SqlNull, SqlInt(srsId.toLong)))))
-    w.createTable("gpkg_geometry_columns",
-      "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, " +
-        "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
-      Iterator(1L -> record(Seq(SqlText(table), SqlText(geomCol), SqlText(geometryTypeName),
-        SqlInt(srsId.toLong), SqlInt(0L), SqlInt(0L)))))
-
-    // application_id "GPKG", user_version 10300 (GeoPackage 1.3)
-    w.close(applicationId = 0x47504B47, userVersion = 10300)
   }
 }

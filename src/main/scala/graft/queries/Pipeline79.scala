@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Wkb
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch: the last reference-surface gap — the MULTI-LAYER
+  * single-file GeoPackage (reference export.py:80 "GPKG: Single
+  * file with layers"; export.py:140 `_export_to_gpkg(data: dict,…)`
+  * writes each dict entry as a layer named `{target}_{layer}`,
+  * export.py:337-344). A reference user exporting `education` gets
+  * ONE .gpkg holding `education_places` + `education_buildings`;
+  * until this row the repo's writer produced two files.
+  */
+object Pipeline79 {
+
+  /** A27 `exp_gpkg_multilayer`: two layers with DIFFERENT schemas —
+    * places (events-derived points keyed by event_id) and buildings
+    * (customer-derived points keyed by c_custkey) — written into
+    * ONE GeoPackage through [[graft.export.Exporter.writeGpkgLayers]]
+    * (reference layer naming `{target}_{layer}`), both read back by
+    * the INDEPENDENT page-level [[graft.sources.GpkgReader]], then
+    * aggregated per layer AND per in-layer group against the
+    * ORIGINAL tables. Attributes, rowids and IEEE-exact coordinate
+    * doubles all have to survive the SQLite b-tree round trip for
+    * the hash to match.
+    *
+    * Scale shape: the single-file SQLite container is a
+    * driver-streamed EXPORT format by design (the reference's
+    * default CLI output, not the lake path — GeoParquet is); the
+    * read back is distributed (leaf pages decode on executors).
+    * Aggregates are map-side-combined; output is group-count-bounded.
+    */
+  def expGpkgMultilayer(spark: SparkSession, dir: String): DataFrame = {
+    val d = cache.getOrElseUpdate((spark, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_rt_gpkgml_")
+      val t = Tables(spark, dir)
+      val places = Pipeline73.pointLayer(t)
+        .select(col("event_id").as("fid"), col("event_type"),
+          col("geometry").as("geom"))
+      val buildings = t.customer.select(
+          col("c_custkey").cast("long").as("fid"),
+          col("c_mktsegment"),
+          Wkb.wkbFromXY(col("c_acctbal"),
+            col("c_nationkey").cast("double")).as("geom"))
+      graft.`export`.Exporter.writeGpkgLayers(
+        Seq("places" -> places, "buildings" -> buildings),
+        p.resolve("education.gpkg").toString, target = "education")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.util.Fs.deleteRecursively(p)))
+      p
+    })
+    val path = d.resolve("education.gpkg").toString
+    def layerAgg(table: String, grpCol: String): DataFrame =
+      graft.sources.GpkgReader.readFeatures(spark, path, table)
+        .select(col("fid"), col(grpCol).as("grp"),
+          Wkb.wkbPointXY(col("geom")).as("p"))
+        .groupBy(col("grp"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("fid")).as("id_sum"),
+          sum(expr("CAST(round(p.x * 10000) AS BIGINT)")).as("x_4dp"),
+          sum(expr("CAST(round(p.y * 10000) AS BIGINT)")).as("y_4dp"))
+        .select(lit(table).as("layer"), col("grp"), col("n_rows"),
+          col("id_sum"), col("x_4dp"), col("y_4dp"))
+    layerAgg("education_places", "event_type")
+      .unionAll(layerAgg("education_buildings", "c_mktsegment"))
+  }
+  private val cache =
+    new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
+
+  val expGpkgMultilayerSql: String =
+    """SELECT 'education_places' AS layer, event_type AS grp,
+      |  count(*) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS BIGINT) AS x_4dp,
+      |  CAST(sum(CAST(round(y * 10000) AS BIGINT)) AS BIGINT) AS y_4dp
+      |FROM (SELECT event_id, event_type, value AS x,
+      |        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+      |      FROM events)
+      |WHERE x IS NOT NULL AND y IS NOT NULL
+      |GROUP BY event_type
+      |UNION ALL
+      |SELECT 'education_buildings' AS layer, c_mktsegment AS grp,
+      |  count(*) AS n_rows,
+      |  CAST(sum(c_custkey) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(round(c_acctbal * 10000) AS BIGINT)) AS BIGINT) AS x_4dp,
+      |  CAST(sum(CAST(round(CAST(c_nationkey AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS y_4dp
+      |FROM customer
+      |GROUP BY c_mktsegment""".stripMargin
+}

@@ -146,6 +146,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q_durbin_watson" -> ((4, 1)),
     "q_ljung_box" -> ((2, 0)),
     "exp_gpkg_roundtrip" -> ((1, 0)),
+    // A27: two per-layer group aggregates (one exchange each) over
+    // the distributed GpkgReader leaf-page scans, unioned
+    "exp_gpkg_multilayer" -> ((2, 0)),
     "q_grubbs" -> ((4, 1)),
     "q_ccf" -> ((3, 1)),
     "q_changepoint" -> ((4, 1)),

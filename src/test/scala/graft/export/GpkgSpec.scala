@@ -313,4 +313,55 @@ class GpkgSpec extends SparkSpec {
       .select($"srs_id").collect().map(_.getLong(0)).toSet
     assert(srs == Set(-1L, 0L, 4326L))
   }
+
+  test("multi-layer: one file, N feature tables, per-layer catalog rows, sqlite3-clean") {
+    val path = tmp() + "/multi.gpkg"
+    val places = Seq(
+      (1L, "school", Wkb.encodePoint((10.0, 20.0))),
+      (2L, "college", Wkb.encodePoint((11.0, 21.0))))
+      .toDF("fid", "kind", "geom")
+    val buildings = Seq(
+      (7L, 3.5, Wkb.encodePoint((-1.0, -2.0))),
+      (8L, 4.5, Wkb.encodePoint((-3.0, -4.0))),
+      (9L, 5.5, Wkb.encodePoint((-5.0, -6.0))))
+      .toDF("fid", "height", "geom")
+    Exporter.writeGpkgLayers(
+      Seq("places" -> places, "buildings" -> buildings), path, target = "education")
+
+    // stock sqlite3: clean file, both layer tables present, catalog
+    // rows enumerate both layers (the reference's dict→layers contract)
+    assert(sqliteQuery(path, "PRAGMA integrity_check") == Seq("ok"))
+    val tables = sqliteQuery(path, "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name")
+    assert(tables == Seq("education_buildings", "education_places", "gpkg_contents",
+      "gpkg_geometry_columns", "gpkg_spatial_ref_sys"))
+    assert(sqliteQuery(path,
+      "SELECT table_name, data_type FROM gpkg_contents ORDER BY table_name")
+      == Seq("education_buildings|features", "education_places|features"))
+    assert(sqliteQuery(path,
+      "SELECT table_name, column_name FROM gpkg_geometry_columns ORDER BY table_name")
+      == Seq("education_buildings|geom", "education_places|geom"))
+    assert(sqliteQuery(path, "SELECT count(*) FROM education_places") == Seq("2"))
+    assert(sqliteQuery(path, "SELECT fid, height FROM education_buildings ORDER BY fid")
+      == Seq("7|3.5", "8|4.5", "9|5.5"))
+
+    // the independent reader sees each layer with its own schema
+    val backP = graft.sources.GpkgReader.readFeatures(spark, path, "education_places")
+      .select($"fid", $"kind", Wkb.wkbPointXY($"geom").as("p")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getStruct(2).getDouble(0))).sortBy(_._1)
+    assert(backP.toSeq == Seq((1L, "school", 10.0), (2L, "college", 11.0)))
+    val backB = graft.sources.GpkgReader.readFeatures(spark, path, "education_buildings")
+      .select($"fid", $"height").collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(backB.toSeq == Seq((7L, 3.5), (8L, 4.5), (9L, 5.5)))
+
+    // raw naming (reference raw_export): layer names pass through
+    val rawPath = tmp() + "/raw.gpkg"
+    Exporter.writeGpkgLayers(Seq("roads" -> places), rawPath, target = "ignored", raw = true)
+    assert(sqliteQuery(rawPath, "SELECT table_name FROM gpkg_contents") == Seq("roads"))
+
+    // duplicate layer names refuse
+    val e = intercept[graft.ExportError] {
+      Exporter.writeGpkgLayers(Seq("a" -> places, "a" -> buildings), tmp() + "/dup.gpkg", "t")
+    }
+    assert(e.getMessage.contains("duplicate layer"))
+  }
 }
