@@ -299,7 +299,7 @@ object Pipeline2 {
     * window of the exact values — the same honesty contract as
     * q_quantile_approx (D36).
     */
-  def qOutlierMadApprox(spark: SparkSession, dir: String): DataFrame = {
+  def qOutlierMadApproxRaw(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val e = t.events.select(col("event_type"), col("value"))
     val med = e.groupBy(col("event_type"))
@@ -317,6 +317,45 @@ object Pipeline2 {
           .as("n_outliers"),
         count(lit(1)).as("n"))
   }
+
+  /** The ORACLED registry shape of D33-sketch (r12, same pattern as
+    * [[qQuantileApprox]]): the approx median's exact rank interval
+    * must intersect 0.5·n ± 1% in the value distribution, and the
+    * approx MAD's must intersect 0.5·n ± 1% in the |value − med̂|
+    * distribution med̂ itself induces (the MAD gate is CONDITIONAL
+    * on the sketch's own median — exactly what the estimator
+    * promises; DuckDB cannot recompute med̂, but it doesn't need
+    * to: it restates the exact per-group count and the two 1s the
+    * contract forces).
+    */
+  def qOutlierMadApprox(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.events.select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5d, 10000)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(adev, 0.5d, 10000)").as("mad"))
+    def rankGate(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) = {
+      val cLt = sum(when(v < q, 1L).otherwise(0L))
+      val cLe = sum(when(v <= q, 1L).otherwise(0L))
+      val n = count(v)
+      ((cLt * lit(100L) <= n * lit(51L)) &&
+        (cLe * lit(100L) >= n * lit(49L))).cast("long")
+    }
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n_rows"),
+        rankGate(col("value"), col("med")).as("med_ok"),
+        rankGate(col("adev"), col("mad")).as("mad_ok"))
+  }
+
+  val qOutlierMadApproxSql: String =
+    """SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+      |  CAST(1 AS BIGINT) AS med_ok, CAST(1 AS BIGINT) AS mad_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** N6: weighted source interleave — deterministic curriculum
     * mixing order across corpus sources. Each doc's mix key is
@@ -684,7 +723,7 @@ object Pipeline2 {
     * output is engine-specific by nature); the spec bounds its rank
     * error against the exact values.
     */
-  def qQuantileApprox(spark: SparkSession, dir: String): DataFrame = {
+  def qQuantileApproxRaw(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.events.groupBy(col("event_type"))
       .agg(expr("approx_percentile(value, array(0.5d, 0.95d, 0.99d), 10000)")
@@ -694,6 +733,47 @@ object Pipeline2 {
         round(col("q")(1), 4).as("p95"),
         round(col("q")(2), 4).as("p99"))
   }
+
+  /** The ORACLED registry shape of D36 (r12, closing a declared
+    * `no_oracle` row by the dd_decontaminate_bloom r10 pattern):
+    * the sketch VALUES are engine-specific, but the sketch's
+    * CONTRACT is not — GK with accuracy 10000 places each returned
+    * quantile at a rank within ε·n of target (ε = 1e-4), so the
+    * declared 1% spec bound holds with two orders of slack. The row
+    * computes each emitted quantile's exact rank interval
+    * [count(<q̂)+1, count(≤q̂)] in one extra pass and emits, per
+    * group, the exact row count plus one gate per quantile stating
+    * the interval intersects target ± 1% — quantities DuckDB can
+    * restate exactly (count + literal 1s), unlike the values
+    * themselves. Integer cross-multiplied comparisons; the tie
+    * interval (not the point rank) is what GK actually promises.
+    */
+  def qQuantileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.events.select(col("event_type"), col("value"))
+    val q = e.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5d, 0.95d, 0.99d), 10000)").as("q"))
+    def gate(p100: Int, idx: Int) = {
+      val cLt = sum(when(col("value") < col("q")(idx), 1L).otherwise(0L))
+      val cLe = sum(when(col("value") <= col("q")(idx), 1L).otherwise(0L))
+      val n = count(col("value"))
+      ((cLt * lit(100L) <= n * lit(p100 + 1L)) &&
+        (cLe * lit(100L) >= n * lit(p100 - 1L))).cast("long")
+    }
+    e.join(broadcast(q), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n_rows"),
+        gate(50, 0).as("p50_ok"),
+        gate(95, 1).as("p95_ok"),
+        gate(99, 2).as("p99_ok"))
+  }
+
+  val qQuantileApproxSql: String =
+    """SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+      |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p95_ok,
+      |  CAST(1 AS BIGINT) AS p99_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** G16: model inference as column math — a (pretrained) linear
     * quality classifier scored over document features entirely

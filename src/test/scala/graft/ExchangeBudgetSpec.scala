@@ -303,7 +303,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     "dd_sketch_precision" -> ((2, 1)),
     "tx_pseudonymize" -> ((2, 0)),
     "dd_within_window" -> ((1, 0)),
-    "q_quantile_approx" -> ((1, 0)),
+    // D36 oracled shape (r12): sketch agg + one rank-gating pass over
+    // the broadcast 3-quantile row per group
+    "q_quantile_approx" -> ((2, 1)),
     "tx_quality_classifier" -> ((0, 0)),
     "q_mv_merge" -> ((2, 0)),
     "sim_pq" -> ((0, 0)),

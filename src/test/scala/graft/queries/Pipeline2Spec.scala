@@ -147,7 +147,7 @@ class Pipeline2Spec extends SparkSpec {
   }
 
   test("approx quantiles stay within 1% rank error of exact") {
-    val approx = Pipeline2.qQuantileApprox(spark, sfDir).collect()
+    val approx = Pipeline2.qQuantileApproxRaw(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     val exact = tables.events.groupBy("event_type")
       .agg(expr("percentile(value, array(0.49d, 0.51d, 0.94d, 0.96d))").as("e"))
@@ -156,6 +156,19 @@ class Pipeline2Spec extends SparkSpec {
       val (p50, p95) = approx(k)
       assert(p50 >= e(0) && p50 <= e(1), s"$k p50=$p50 not in [${e(0)},${e(1)}]")
       assert(p95 >= e(2) && p95 <= e(3), s"$k p95=$p95 not in [${e(2)},${e(3)}]")
+    }
+  }
+
+  test("oracled sketch gates: every rank-window flag is 1 (the invariant the oracle restates)") {
+    Pipeline2.qQuantileApprox(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 1L,
+        s"quantile rank gate failed for ${r.getString(0)}")
+    }
+    Pipeline2.qOutlierMadApprox(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L,
+        s"MAD rank gate failed for ${r.getString(0)}")
     }
   }
 
@@ -253,7 +266,7 @@ class Pipeline2Spec extends SparkSpec {
   }
 
   test("approx MAD medians stay within 1% rank error of exact") {
-    val approx = Pipeline2.qOutlierMadApprox(spark, sfDir).collect()
+    val approx = Pipeline2.qOutlierMadApproxRaw(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     // Exact values at the rank-error bounds: approx_percentile with
     // accuracy 10000 guarantees the returned value sits at a rank
@@ -267,7 +280,7 @@ class Pipeline2Spec extends SparkSpec {
       assert(m >= lo - 1e-4 && m <= hi + 1e-4, s"$k median=$m not in [$lo,$hi]")
     }
     // MAD column sanity: non-negative, and n_outliers bounded by n.
-    Pipeline2.qOutlierMadApprox(spark, sfDir).collect().foreach { r =>
+    Pipeline2.qOutlierMadApproxRaw(spark, sfDir).collect().foreach { r =>
       assert(r.getDouble(2) >= 0.0 && r.getLong(3) <= r.getLong(4))
     }
   }
@@ -275,7 +288,7 @@ class Pipeline2Spec extends SparkSpec {
   test("exact-MAD twin agrees with approx within the rank window") {
     val exact = Pipeline2.qOutlierMad(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val approx = Pipeline2.qOutlierMadApprox(spark, sfDir).collect()
+    val approx = Pipeline2.qOutlierMadApproxRaw(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val medBounds = graft.operators.Quantiles.exactInterpolated(
         tables.events, "event_type", "value",
