@@ -20,8 +20,10 @@ import graft.`export`.{FlatGeobuf, PackedRTree}
   * the writer held), then ships (offset, length) ranges to
   * executors which each open the file and parse their own feature
   * slices; feature bytes never visit the driver. Without the index
-  * the single-file format forces a sequential driver scan (the GPKG
-  * convention) — stated, not hidden.
+  * the driver still holds only bounded state: one buffered pass
+  * over the SIZE PREFIXES (payloads skipped) recovers the same
+  * (offset, length) ranges, and the feature decode stays on
+  * executors — 16 bytes of driver state per feature either way.
   */
 object FlatGeobufReader {
 
@@ -256,26 +258,40 @@ object FlatGeobufReader {
       val ranges = leafRanges(h, path)
       distributedRead(spark, path, h, schema, ranges)
     } else {
-      // sequential fallback: walk size-prefixed features on the driver
-      val raf = new RandomAccessFile(path, "r")
-      val rows = try {
-        raf.seek(h.featuresStart)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      // Unindexed fallback, BOUNDED (r12): each feature's size
+      // prefix is self-describing, so the driver makes one buffered
+      // sequential pass reading ONLY the 4-byte prefixes and
+      // skipping payloads — 16 bytes of (offset, length) state per
+      // feature, the same order of driver memory as the indexed
+      // path's 40-byte node array — then ships the ranges to
+      // executors exactly like the indexed read. Feature payloads
+      // never visit the driver on either path.
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(path), 1 << 16))
+      val ranges = try {
+        var skip = h.featuresStart
+        while (skip > 0) skip -= in.skip(skip)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var pos = h.featuresStart
         while (pos < h.fileLength) {
-          val szb = new Array[Byte](4)
-          raf.readFully(szb)
-          val sz = ByteBuffer.wrap(szb).order(ByteOrder.LITTLE_ENDIAN).getInt
-          val fb = new Array[Byte](4 + sz)
-          System.arraycopy(szb, 0, fb, 0, 4)
-          raf.readFully(fb, 4, sz)
-          out += parseFeature(fb, h.columns)
+          val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+          if (b3 < 0)
+            throw new graft.ExportError(
+              s"flatgeobuf reader: truncated size prefix at byte $pos",
+              Map("format" -> "fgb", "stage" -> "import"))
+          val sz = (b0 & 0xff) | ((b1 & 0xff) << 8) | ((b2 & 0xff) << 16) | ((b3 & 0xff) << 24)
+          if (sz <= 0 || pos + 4 + sz > h.fileLength)
+            throw new graft.ExportError(
+              s"flatgeobuf reader: feature size $sz at byte $pos exceeds file bounds",
+              Map("format" -> "fgb", "stage" -> "import"))
+          out += ((pos - h.featuresStart, 4L + sz))
+          var toSkip = sz.toLong
+          while (toSkip > 0) toSkip -= in.skip(toSkip)
           pos += 4 + sz
         }
         out.toSeq
-      } finally raf.close()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, spark.sparkContext.defaultParallelism), schema)
+      } finally in.close()
+      distributedRead(spark, path, h, schema, ranges)
     }
   }
 

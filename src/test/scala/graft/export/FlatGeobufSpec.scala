@@ -329,6 +329,30 @@ class FlatGeobufSpec extends SparkSpec {
     assert(spools == null || spools.isEmpty, "spool files must not leak")
   }
 
+  test("unindexed read is distributed: prefix-scan ranges ship to executors; truncation is typed") {
+    val n = 500
+    val df = (1 to n).map(i => (i.toLong, (i * 37 % 211).toDouble, (i * 91 % 197).toDouble))
+      .toDF("id", "x", "y")
+      .select($"id", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    val out = tmpFile("fgb-noindex")
+    FlatGeobuf.write(df, "geom", out) // indexNodeSize = 0: no R-tree
+    val back = graft.sources.FlatGeobufReader.read(spark, out)
+    // decode happens on executor partitions, not one driver array
+    assert(back.rdd.getNumPartitions > 1, "fallback must parallelize the feature decode")
+    assert(back.count() == n)
+    val ids = back.select($"id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1 to n).map(_.toLong))
+
+    // a file cut mid-feature raises the reader's typed error, not EOF garbage
+    val bytes = Files.readAllBytes(Paths.get(out))
+    val cut = tmpFile("fgb-cut")
+    Files.write(Paths.get(cut), java.util.Arrays.copyOf(bytes, bytes.length - 7))
+    val e = intercept[graft.ExportError] {
+      graft.sources.FlatGeobufReader.read(spark, cut).count()
+    }
+    assert(e.getMessage.contains("exceeds file bounds") || e.getMessage.contains("truncated"))
+  }
+
   test("PackedRTree: level bounds match the reference recurrence; hilbert is injective on a grid") {
     // reference do-while: one feature still gets root + leaf (2 nodes)
     assert(PackedRTree.levelBounds(1, 16) == Seq((1L, 2L), (0L, 1L)))
