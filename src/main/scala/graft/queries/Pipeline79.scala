@@ -70,6 +70,91 @@ object Pipeline79 {
   private val cache =
     new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
 
+  /** H20 `exp_feature_upsert`: the FeatureService PUBLISH surface
+    * (H4 — the reference's AGOL publish modes, publish.py / the
+    * pipeline's initial/append/overwrite/auto smart-detect) closed
+    * into the correctness gate. The row replays a deterministic
+    * mode sequence against a staged service dir:
+    *
+    *   1. INITIAL  primary   ← orders where key%5=0
+    *   2. APPEND   primary   ← orders where key%5=1
+    *   3. AUTO     primary   ← key%10=0 rows re-published with
+    *      doubled price and status 'U' — the upsert path: same-key
+    *      rows replaced, others kept (reference upsert_key=id)
+    *   4. OVERWRITE secondary ← key%7=2 then key%7=3 — the
+    *      truncate-and-append: end state is the second batch only
+    *
+    * then reads both layers back via `FeatureService.readLayer` and
+    * aggregates; DuckDB restates the exact end state from `orders`
+    * alone. Every mode's semantics (create, add, key-reconciled
+    * replace, truncate) must compose correctly for the hash to
+    * match.
+    *
+    * Scale shape: publish writes are plain parquet writes (the Auto
+    * upsert is one anti-join + union pass — at warehouse scale a
+    * table format's MERGE replaces it, as the operator doc states);
+    * the read-back aggregate is map-side combined.
+    */
+  def expFeatureUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.`export`.{FeatureService, PublishMode}
+    val svc = upsertCache.getOrElseUpdate((spark, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_rt_featsvc_")
+      val t = Tables(spark, dir)
+      val base = t.orders.select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+      val sp = p.resolve("service").toString
+      FeatureService.publish(base.filter(pmod(col("id"), lit(5)) === 0),
+        sp, "primary", PublishMode.Initial)
+      FeatureService.publish(base.filter(pmod(col("id"), lit(5)) === 1),
+        sp, "primary", PublishMode.Append)
+      FeatureService.publish(
+        base.filter(pmod(col("id"), lit(10)) === 0)
+          .withColumn("status", lit("U"))
+          .withColumn("price", col("price") * 2),
+        sp, "primary", PublishMode.Auto)
+      FeatureService.publish(base.filter(pmod(col("id"), lit(7)) === 2),
+        sp, "secondary", PublishMode.Overwrite)
+      FeatureService.publish(base.filter(pmod(col("id"), lit(7)) === 3),
+        sp, "secondary", PublishMode.Overwrite)
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.util.Fs.deleteRecursively(p)))
+      p
+    }).resolve("service").toString
+    def layerAgg(layer: String): DataFrame =
+      graft.`export`.FeatureService.readLayer(spark, svc, layer)
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("id")).as("id_sum"),
+          sum(expr("CAST(round(price * 100) AS BIGINT)")).as("cents"))
+        .select(lit(layer).as("layer"), col("status"), col("n_rows"),
+          col("id_sum"), col("cents"))
+    layerAgg("primary").unionAll(layerAgg("secondary"))
+  }
+  private val upsertCache =
+    new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
+
+  val expFeatureUpsertSql: String =
+    """WITH l1 AS (
+      |  SELECT o_orderkey AS id,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 2 * o_totalprice ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 5 IN (0, 1)),
+      |l2 AS (
+      |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 7 = 3)
+      |SELECT 'primary' AS layer, status, count(*) AS n_rows,
+      |  CAST(sum(id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM l1 GROUP BY status
+      |UNION ALL
+      |SELECT 'secondary' AS layer, status, count(*) AS n_rows,
+      |  CAST(sum(id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM l2 GROUP BY status""".stripMargin
+
   val expGpkgMultilayerSql: String =
     """SELECT 'education_places' AS layer, event_type AS grp,
       |  count(*) AS n_rows,

@@ -149,6 +149,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // A27: two per-layer group aggregates (one exchange each) over
     // the distributed GpkgReader leaf-page scans, unioned
     "exp_gpkg_multilayer" -> ((2, 0)),
+    // H20: two per-layer status aggregates over the published
+    // parquet layers (the publish writes run eagerly at stage time)
+    "exp_feature_upsert" -> ((2, 0)),
     "q_grubbs" -> ((4, 1)),
     "q_ccf" -> ((3, 1)),
     "q_changepoint" -> ((4, 1)),
