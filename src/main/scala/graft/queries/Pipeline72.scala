@@ -41,7 +41,8 @@ object Pipeline72 {
     * the staged analogue of "natural images have strong
     * low-frequency structure" — the regime pHash is built for.
     */
-  private[queries] def renderPattern(g: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+  private[queries] def renderPattern(g: Long, w: Int, h: Int, fmt: String,
+      gamma: Double = 1.0, noiseAmp: Double = 0.0): Array[Byte] = {
     // per-axis cosine tables for the 8 low frequencies at this
     // resolution (the SAME continuous field whatever the w×h)
     val cw = Array.tabulate(8, w)((u, x) =>
@@ -82,21 +83,42 @@ object Pipeline72 {
     val peak = field.iterator.map(_.iterator.map(math.abs).max).max max 1e-9
     val scale = 112.0 / peak
     val quality = if (fmt == "jpg") 0.9 else -1.0
-    Multimodal.ImageIo.encode(w, h, fmt, quality)(
-      (x, y, _) => (128.0 + scale * field(y)(x)).round.toInt)
+    // r12 widened distortion family. Gamma: p' = 255·(p/255)^γ — a
+    // monotone tone shift whose linear term preserves every AC sign
+    // (g'(128) > 0); its quadratic term scatters ~7 intensity units
+    // across CROSS frequencies, ≪ the per-coefficient margin the
+    // balanced staging guarantees. Noise: deterministic per-(g,x,y)
+    // additive dither at fixed amplitude — i.i.d. noise spreads
+    // ~amp·√(N/2) per DCT coefficient, an order under the margin.
+    // Both are classic pHash-invariance distortions; both must leave
+    // the 64 sign bits intact for the truth gates to hold.
+    def noiseAt(x: Int, y: Int): Double =
+      if (noiseAmp == 0.0) 0.0
+      else noiseAmp * ((mix(g ^ 0x5DEECE66DL, x, y).toDouble / Long.MaxValue) * 2.0 - 1.0)
+    Multimodal.ImageIo.encode(w, h, fmt, quality) { (x, y, _) =>
+      val p = 128.0 + scale * field(y)(x) + noiseAt(x, y)
+      val clamped = math.max(0.0, math.min(255.0, p))
+      val toned =
+        if (gamma == 1.0) clamped
+        else 255.0 * math.pow(clamped / 255.0, gamma)
+      toned.round.toInt
+    }
   }
 
   /** Staged near-dup pairs with known ground truth. Per doc (group
-    * g = doc_id), [[renderPattern]]'s continuous field rendered at
-    * two resolutions:
+    * g = doc_id), [[renderPattern]]'s continuous field rendered as
+    * one original plus THREE distorted variants (r12 widened
+    * family — resize+recompress, gamma shift, additive noise):
     *
     *   gw = 4 + g%3 (4..6), gh = 4 + (g/3)%2 (4..5)
-    *   media 2g   = PNG  at 8gw × 8gh  (32..48 × 32..40)
-    *   media 2g+1 = JPEG at 10gw × 10gh — the SAME pattern resized
-    *     1.25× and recompressed lossily: the classic pHash
-    *     distortion family.
+    *   media 4g   = PNG  at 8gw × 8gh  (32..48 × 32..40) — original
+    *   media 4g+1 = JPEG at 10gw × 10gh — resized 1.25× and
+    *     recompressed lossily
+    *   media 4g+2 = PNG  at 8gw × 8gh with gamma 0.85 tone shift
+    *   media 4g+3 = JPEG at 6gw × 6gh — downscaled 0.75×, additive
+    *     deterministic noise (amp 6), recompressed
     *
-    * Output: (media_id, payload) — two real image payloads per doc.
+    * Output: (media_id, payload) — four real image payloads per doc.
     */
   private[queries] def stagedPairs(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
@@ -118,8 +140,10 @@ object Pipeline72 {
         val gw = (4 + g % 3).toInt
         val gh = (4 + (g / 3) % 2).toInt
         Iterator(
-          Row(2 * g, renderPattern(g, 8 * gw, 8 * gh, "png")),
-          Row(2 * g + 1, renderPattern(g, 10 * gw, 10 * gh, "jpg")))
+          Row(4 * g, renderPattern(g, 8 * gw, 8 * gh, "png")),
+          Row(4 * g + 1, renderPattern(g, 10 * gw, 10 * gh, "jpg")),
+          Row(4 * g + 2, renderPattern(g, 8 * gw, 8 * gh, "png", gamma = 0.85)),
+          Row(4 * g + 3, renderPattern(g, 6 * gw, 6 * gh, "jpg", noiseAmp = 6.0)))
       }
     }
     spark.createDataFrame(rows, schema)
@@ -128,20 +152,24 @@ object Pipeline72 {
   /** The truth-pair Hamming gate. With balanced staging every
     * thresholded coefficient carries margin A (≈1500 at the 32×32
     * DCT scale) against codec noise (tens): measured intra-pair
-    * hamming is 0 for ALL staged pairs at sf0.001/0.01/0.1 and
-    * /tmp/sf1, while unrelated patterns sit ~31 bits apart
-    * (measured min 14 over 45k cross pairs). Gate at 10 splits the
-    * two distributions with wide margin on both sides.
+    * hamming was 0 for ALL resize+recompress pairs at
+    * sf0.001/0.01/0.1 and /tmp/sf1, and the r12 widened family
+    * (gamma 0.85 tone shift, amp-6 additive noise + 0.75×
+    * downscale) passes the same gate at every spec/oracle scale,
+    * while unrelated patterns sit ~31 bits apart (measured min 14
+    * over 45k cross pairs). Gate at 10 splits the distributions
+    * with margin on both sides.
     */
   val HamTol = 10L
 
-  /** K7 `mm_phash_neardup` (re-pointed, round 11): REAL DCT pHash
-    * near-dup verification against staged ground truth. Each doc's
-    * (PNG original, resized+JPEG-recompressed variant) pair must
-    * hash within [[HamTol]] bits — if the decode, the grayscale
-    * resize, the DCT, or the median thresholding were wrong, the
+  /** K7 `mm_phash_neardup` (re-pointed r11; widened r12): REAL DCT
+    * pHash near-dup verification against staged ground truth. Each
+    * doc's PNG original must hash within [[HamTol]] bits of ALL
+    * THREE distorted variants (resize+recompress, gamma shift,
+    * noise+downscale+recompress) — if the decode, the grayscale
+    * resize, the DCT, or the median thresholding were wrong, a
     * distorted variant would not land near its original. The oracle
-    * replays the staged pair metadata (every doc's pair, gate = 1).
+    * replays the staged metadata (3 rows per doc, gate = 1).
     *
     * Scale shape: hashing is map-only (payloads never shuffle; 16
     * bytes of (id, hash) per media row do); the pair join is an
@@ -152,11 +180,11 @@ object Pipeline72 {
   def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val hashes = Multimodal.phashes(stagedPairs(t), "media_id", "payload")
-    val a = hashes.filter(col("media_id") % 2 === 0)
-      .select((col("media_id") / 2).cast("long").as("group_id"),
+    val a = hashes.filter(col("media_id") % 4 === 0)
+      .select((col("media_id") / 4).cast("long").as("group_id"),
         col("media_id").as("id_a"), col("phash").as("ph_a"))
-    val b = hashes.filter(col("media_id") % 2 === 1)
-      .select(((col("media_id") - 1) / 2).cast("long").as("group_id"),
+    val b = hashes.filter(col("media_id") % 4 =!= 0)
+      .select(floor(col("media_id") / 4).cast("long").as("group_id"),
         col("media_id").as("id_b"), col("phash").as("ph_b"))
     a.join(b, "group_id")
       .select(col("group_id"), col("id_a"), col("id_b"),
@@ -165,9 +193,9 @@ object Pipeline72 {
   }
 
   val mmPhashNeardupSql: String =
-    """SELECT doc_id AS group_id, 2 * doc_id AS id_a, 2 * doc_id + 1 AS id_b,
+    """SELECT doc_id AS group_id, 4 * doc_id AS id_a, 4 * doc_id + k AS id_b,
       |  CAST(1 AS BIGINT) AS hamming_ok
-      |FROM documents""".stripMargin
+      |FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)""".stripMargin
 
   /** K14 `mm_phash_eval`: the near-dup EVAL harness — banded-LSH
     * candidate generation ([[Multimodal.phashNearDup]]: 4×16-bit
@@ -197,21 +225,32 @@ object Pipeline72 {
     val stats = hashes.agg(
       count(lit(1)).as("n_media"),
       count_distinct(col("phash")).as("n_distinct"))
-    // one aggregate over the pair stream: total AND truth hits
+    // One aggregate over the pair stream. With the r12 4-media
+    // groups: RECALL counts recovered original→variant truth pairs
+    // (3 per doc; the original holds the group's lowest id, so
+    // id_a%4=0 ∧ id_b−id_a ∈ 1..3); PRECISION counts same-group
+    // membership among ALL emitted pairs — variant↔variant pairs of
+    // one group are genuinely near-duplicate and must not count
+    // against the harness.
+    val sameGroup = floor(col("id_a") / 4) === floor(col("id_b") / 4)
     val counts = pairs.agg(
         count(lit(1)).as("n_pairs"),
-        coalesce(sum(((col("id_a") % 2 === 0) &&
-          (col("id_b") === col("id_a") + 1)).cast("long")), lit(0L)).as("n_hit"))
+        coalesce(sum(((col("id_a") % 4 === 0) &&
+          (col("id_b") - col("id_a")).between(1, 3)).cast("long")), lit(0L)).as("n_hit"),
+        coalesce(sum(sameGroup.cast("long")), lit(0L)).as("n_same_group"))
       .crossJoin(stats)
     counts.select(
-      (col("n_media") / 2).cast("long").as("n_truth"),
-      (col("n_hit") >= lit(0.9) * (col("n_media") / 2)).cast("long").as("recall_ok"),
-      (col("n_hit") >= lit(0.9) * col("n_pairs")).cast("long").as("precision_ok"),
-      (col("n_distinct") >= lit(0.5) * col("n_media")).cast("long").as("distinct_ok"))
+      (lit(3) * (col("n_media") / 4)).cast("long").as("n_truth"),
+      (col("n_hit") >= lit(0.9) * lit(3) * (col("n_media") / 4)).cast("long").as("recall_ok"),
+      (col("n_same_group") >= lit(0.9) * col("n_pairs")).cast("long").as("precision_ok"),
+      // degenerate-hash sentinel, per GROUP: within a group the four
+      // near-dup media legitimately share a hash value, so the
+      // informative-hash bar is ≥50% distinct values across groups
+      (col("n_distinct") >= lit(0.5) * (col("n_media") / 4)).cast("long").as("distinct_ok"))
   }
 
   val mmPhashEvalSql: String =
-    """SELECT count(*) AS n_truth, CAST(1 AS BIGINT) AS recall_ok,
+    """SELECT 3 * count(*) AS n_truth, CAST(1 AS BIGINT) AS recall_ok,
       |  CAST(1 AS BIGINT) AS precision_ok, CAST(1 AS BIGINT) AS distinct_ok
       |FROM documents""".stripMargin
 }

@@ -56,19 +56,33 @@ class Pipeline72Spec extends SparkSpec {
     assert(d <= 4, s"brightness shift moved $d bits")
   }
 
+  test("r12 widened distortions: gamma shift and additive noise stay within the gate") {
+    val dists = (0L until 30L).map { g =>
+      val orig = Multimodal.DctPHash.phash(Pipeline72.renderPattern(g, 40, 32, "png")).get
+      val gam = Multimodal.DctPHash.phash(
+        Pipeline72.renderPattern(g, 40, 32, "png", gamma = 0.85)).get
+      val noi = Multimodal.DctPHash.phash(
+        Pipeline72.renderPattern(g, 30, 24, "jpg", noiseAmp = 6.0)).get
+      (ham(orig, gam), ham(orig, noi))
+    }
+    assert(dists.map(_._1).max <= Pipeline72.HamTol, s"gamma hamming: ${dists.map(_._1)}")
+    assert(dists.map(_._2).max <= Pipeline72.HamTol, s"noise hamming: ${dists.map(_._2)}")
+  }
+
   test("mm_phash_neardup: every staged pair within the gate; ids replay the metadata") {
     val out = Pipeline72.mmPhashNeardup(spark, sfDir).collect()
     val nDocs = tables.documents.count()
-    assert(out.length == nDocs)
+    assert(out.length == 3 * nDocs)
     out.foreach { r =>
-      assert(r.getLong(1) == 2 * r.getLong(0) && r.getLong(2) == 2 * r.getLong(0) + 1)
+      assert(r.getLong(1) == 4 * r.getLong(0) &&
+        r.getLong(2) > r.getLong(1) && r.getLong(2) <= r.getLong(1) + 3)
       assert(r.getLong(3) == 1L, s"group ${r.getLong(0)} failed the hamming gate")
     }
   }
 
   test("mm_phash_eval: all gates pass and banding finds exactly the brute-force pairs") {
     val eval = Pipeline72.mmPhashEval(spark, sfDir).collect()(0)
-    assert(eval.getLong(0) == tables.documents.count())
+    assert(eval.getLong(0) == 3 * tables.documents.count())
     assert(eval.getLong(1) == 1L && eval.getLong(2) == 1L && eval.getLong(3) == 1L)
 
     val t = graft.Tables(spark, sfDir)
