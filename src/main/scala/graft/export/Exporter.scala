@@ -144,6 +144,29 @@ object Exporter {
         Map("path" -> path, "format" -> "Gpkg", "stage" -> "export"), e)
   }
 
+  /** Multi-layer GeoJSON — the reference's dict route for the
+    * GEOJSON format (export.py:266-296): one combined
+    * FeatureCollection, each feature tagged with its `layer` name
+    * (names pass through untouched — unlike GPKG/FGDB the reference
+    * does not prefix GeoJSON layer ids), per-layer counts +
+    * total_count in the metadata block.
+    */
+  def writeGeoJsonLayers(
+      data: Seq[(String, DataFrame, Column)],
+      path: String,
+      target: String,
+      generatedAt: String = "1970-01-01T00:00:00",
+      raw: Boolean = false
+  ): Unit = try {
+    GeoJson.writeFeatureCollectionLayers(data, path, target, generatedAt, raw)
+  } catch {
+    case e: graft.GraftError => throw e
+    case scala.util.control.NonFatal(e) =>
+      throw new graft.ExportError(
+        s"export failed: ${e.getMessage}",
+        Map("path" -> path, "format" -> "GeoJson", "stage" -> "export"), e)
+  }
+
   /** Incremental partitioned export with DYNAMIC partition
     * overwrite: only the partitions present in `df` are replaced;
     * every other partition of the target survives untouched. This

@@ -76,4 +76,53 @@ object GeoJson {
         s"""],"metadata":{"generated":"$generatedAt","source":"graft","target":"$target","data_type":"$dataType","count":$count}}""")
     } finally writer.close()
   }
+
+  /** Multi-layer single-file FeatureCollection — the reference's
+    * dict route (export.py:266-296): all layers' features combine
+    * into ONE collection, each feature's properties gain a `layer`
+    * identifier, and the metadata block carries per-layer counts
+    * (`layers`) plus `total_count` instead of the single-layer
+    * `count`. Each layer brings its own geometry expression (layer
+    * schemas differ, so one shared Column would be wrong — the
+    * `writeGpkgLayers` convention).
+    */
+  def writeFeatureCollectionLayers(
+      layers: Seq[(String, DataFrame, Column)],
+      path: String,
+      target: String,
+      generatedAt: String,
+      rawExport: Boolean = false
+  ): Unit = {
+    require(layers.nonEmpty, "GeoJSON multilayer export needs at least one layer")
+    require(layers.map(_._1).distinct.size == layers.size,
+      s"GeoJSON: duplicate layer names in ${layers.map(_._1)}")
+    val spark = layers.head._2.sparkSession
+    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new HPath(path), true)
+    val writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 20)
+    try {
+      writer.write("""{"type":"FeatureCollection","features":[""")
+      var first = true
+      val counts = layers.map { case (name, df, geometryJson) =>
+        // the layer id rides as a property of every feature,
+        // exactly as the reference injects it post-serialization
+        val tagged = df.withColumn("layer", lit(name))
+        val features = tagged.select(featureColumn(tagged, geometryJson).as("value"))
+        var count = 0L
+        val it = features.toLocalIterator()
+        while (it.hasNext) {
+          if (!first) writer.write(",")
+          writer.write(it.next().getString(0))
+          first = false
+          count += 1
+        }
+        name -> count
+      }
+      val dataType = if (rawExport) "raw_overture" else "normalized"
+      val layerCounts = counts.map { case (n, c) => s""""$n":$c""" }.mkString(",")
+      val total = counts.map(_._2).sum
+      writer.write(
+        s"""],"metadata":{"generated":"$generatedAt","source":"graft","target":"$target","data_type":"$dataType","layers":{$layerCounts},"total_count":$total}}""")
+    } finally writer.close()
+  }
 }

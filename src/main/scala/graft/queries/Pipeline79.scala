@@ -70,6 +70,91 @@ object Pipeline79 {
   private val cache =
     new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
 
+  /** A28 `exp_geojson_multilayer`: the reference's OTHER multilayer
+    * route (export.py:266-296 `_export_to_geojson(dict)`): all
+    * layers' features combine into ONE FeatureCollection, each
+    * feature's properties gain a `layer` identifier, and the
+    * metadata block carries per-layer counts + total_count. Staged
+    * once via [[graft.export.Exporter.writeGeoJsonLayers]] with the
+    * same two different-schema frames as A27, read back by Spark's
+    * own multiLine JSON reader, and aggregated per (layer,
+    * in-layer group) WITH the metadata layer count joined onto
+    * every row — feature tagging, property round trip, AND the
+    * metadata contract all sit under the hash.
+    */
+  def expGeojsonMultilayer(spark: SparkSession, dir: String): DataFrame = {
+    val d = gjCache.getOrElseUpdate((spark, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_rt_gjml_")
+      val t = Tables(spark, dir)
+      val places = t.events.select(
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"),
+          col("value").as("x"),
+          get_json_object(col("props"), "$.k").cast("double").as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      val buildings = t.customer.select(
+          col("c_custkey").cast("long").as("fid"),
+          col("c_mktsegment"),
+          col("c_acctbal").as("x"),
+          col("c_nationkey").cast("double").as("y"))
+      graft.`export`.Exporter.writeGeoJsonLayers(
+        Seq(
+          ("places", places, graft.`export`.GeoJson.pointGeometry(col("x"), col("y"))),
+          ("buildings", buildings, graft.`export`.GeoJson.pointGeometry(col("x"), col("y")))),
+        p.resolve("education.geojson").toString, target = "education")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.util.Fs.deleteRecursively(p)))
+      p
+    })
+    val doc = spark.read.option("multiLine", "true")
+      .json(d.resolve("education.geojson").toString)
+    val f = doc.select(explode(col("features")).as("f"),
+      col("metadata.layers.places").as("n_places"),
+      col("metadata.layers.buildings").as("n_buildings"))
+    f.select(
+        col("f.properties.layer").as("layer"),
+        coalesce(col("f.properties.event_type"), col("f.properties.c_mktsegment")).as("grp"),
+        coalesce(col("f.properties.event_id"), col("f.properties.fid")).as("id"),
+        col("f.geometry.coordinates").getItem(0).as("x"),
+        col("f.geometry.coordinates").getItem(1).as("y"),
+        when(col("f.properties.layer") === "places", col("n_places"))
+          .otherwise(col("n_buildings")).as("meta_n"))
+      .groupBy(col("layer"), col("grp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("id")).as("id_sum"),
+        sum(expr("CAST(round(x * 10000) AS BIGINT)")).as("x_4dp"),
+        sum(expr("CAST(round(y * 10000) AS BIGINT)")).as("y_4dp"),
+        min(col("meta_n")).as("meta_n"))
+  }
+  private val gjCache =
+    new graft.util.Memo[(SparkSession, String), java.nio.file.Path]
+
+  val expGeojsonMultilayerSql: String =
+    """WITH plf AS (
+      |  SELECT event_id, event_type, x, y FROM (
+      |    SELECT event_id, event_type, value AS x,
+      |      CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+      |    FROM events)
+      |  WHERE x IS NOT NULL AND y IS NOT NULL),
+      |bl AS (
+      |  SELECT c_custkey AS id, c_mktsegment AS grp, c_acctbal AS x,
+      |    CAST(c_nationkey AS DOUBLE) AS y
+      |  FROM customer)
+      |SELECT 'places' AS layer, event_type AS grp, count(*) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS BIGINT) AS x_4dp,
+      |  CAST(sum(CAST(round(y * 10000) AS BIGINT)) AS BIGINT) AS y_4dp,
+      |  CAST((SELECT count(*) FROM plf) AS BIGINT) AS meta_n
+      |FROM plf GROUP BY event_type
+      |UNION ALL
+      |SELECT 'buildings' AS layer, grp, count(*) AS n_rows,
+      |  CAST(sum(id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS BIGINT) AS x_4dp,
+      |  CAST(sum(CAST(round(y * 10000) AS BIGINT)) AS BIGINT) AS y_4dp,
+      |  CAST((SELECT count(*) FROM bl) AS BIGINT) AS meta_n
+      |FROM bl GROUP BY grp""".stripMargin
+
   /** H20 `exp_feature_upsert`: the FeatureService PUBLISH surface
     * (H4 — the reference's AGOL publish modes, publish.py / the
     * pipeline's initial/append/overwrite/auto smart-detect) closed

@@ -149,6 +149,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // A27: two per-layer group aggregates (one exchange each) over
     // the distributed GpkgReader leaf-page scans, unioned
     "exp_gpkg_multilayer" -> ((2, 0)),
+    // A28: one (layer, grp) aggregate over the exploded combined
+    // FeatureCollection
+    "exp_geojson_multilayer" -> ((1, 0)),
     // H20: two per-layer status aggregates over the published
     // parquet layers (the publish writes run eagerly at stage time)
     "exp_feature_upsert" -> ((2, 0)),

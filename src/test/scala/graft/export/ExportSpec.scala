@@ -266,4 +266,34 @@ class ExportSpec extends SparkSpec {
       assert(after(k) == before(k), s"partition $k was disturbed") // untouched
     }
   }
+
+  test("multilayer GeoJSON: one FeatureCollection, layer-tagged features, per-layer metadata") {
+    import spark.implicits._
+    val file = tmpDir() + "/multi.geojson"
+    val places = Seq((1L, "school", 10.0, 20.0), (2L, "college", 11.0, 21.0))
+      .toDF("id", "kind", "x", "y")
+    val buildings = Seq((7L, 3.5, -1.0, -2.0)).toDF("id", "height", "x", "y")
+    Exporter.writeGeoJsonLayers(
+      Seq(
+        ("places", places, GeoJson.pointGeometry(col("x"), col("y"))),
+        ("buildings", buildings, GeoJson.pointGeometry(col("x"), col("y")))),
+      file, target = "education", generatedAt = "2026-01-01T00:00:00")
+    val content = new String(Files.readAllBytes(Paths.get(file)), "UTF-8")
+    assert(content.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(content.contains(""""layers":{"places":2,"buildings":1}"""))
+    assert(content.contains(""""total_count":3"""))
+    val parsed = spark.read.option("multiLine", "true").json(file)
+    val feats = parsed.select(explode(col("features")).as("f"))
+      .select(col("f.properties.layer").as("layer"), col("f.properties.id").as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(feats.toSeq == Seq(("places", 1L), ("places", 2L), ("buildings", 7L)))
+    // duplicate layer names refuse with the typed error
+    val e = intercept[graft.ExportError] {
+      Exporter.writeGeoJsonLayers(
+        Seq(("a", places, GeoJson.pointGeometry(col("x"), col("y"))),
+          ("a", buildings, GeoJson.pointGeometry(col("x"), col("y")))),
+        tmpDir() + "/dup.geojson", target = "t")
+    }
+    assert(e.getMessage.contains("duplicate layer"))
+  }
 }
