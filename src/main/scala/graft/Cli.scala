@@ -70,7 +70,18 @@ object Cli {
       date: String
   ): DataFrame = {
     val t = Tables(spark, sfDir)
-    val raw = OvertureReader.read(t, ReadRequest(cfg.theme, filter = cfg.filter))
+    // Multilayer targets fetch BOTH queries (reference
+    // _fetch_dual_query, source.py:509-543: a dict with 'places'
+    // and 'buildings' keys) — the combined frame carries the layer
+    // tag in `source_type`, and the export verb splits it back into
+    // layers for the formats the reference writes as dicts.
+    val raw =
+      if (cfg.isMultilayer)
+        OvertureReader.readMultilayer(t, Seq(
+          "places" -> ReadRequest(cfg.theme, filter = cfg.filter),
+          "buildings" -> ReadRequest(cfg.buildingTheme.getOrElse(cfg.theme),
+            filter = cfg.buildingFilter)))
+      else OvertureReader.read(t, ReadRequest(cfg.theme, filter = cfg.filter))
     val country = CountryRegistry.builtin.get(countryIso3)
       .getOrElse(throw new IllegalArgumentException(s"unknown country: $countryIso3"))
     Normalize.addMetadata(
@@ -107,10 +118,36 @@ object Cli {
               s"--geom expects xCol,yCol (got '$g')")
           }
         }
-        Exporter.write(df, outPath, fmt,
-          geometryJson = geomCols.map { case (x, y) => GeoJson.pointGeometry(x, y) },
-          target = name, generatedAt = date,
-          geometryWkb = geomCols.map { case (x, y) => graft.functions.Wkb.wkbFromXY(x, y) })
+        // Multilayer dict routing for the formats the reference
+        // writes as layered single files (export.py:337-344 GPKG,
+        // 266-296 GeoJSON): split the dual-query frame back into its
+        // source_type layers; every other format keeps the combined
+        // frame (source_type rides as a column, the parquet/seq
+        // convention).
+        if (cfg.isMultilayer &&
+            (fmt == ExportFormat.Gpkg || fmt == ExportFormat.GeoJson)) {
+          val (xc, yc) = geomCols.getOrElse(throw new IllegalArgumentException(
+            s"multilayer $fmt export needs --geom=xCol,yCol"))
+          val layers = Seq("places", "buildings").map { ln =>
+            ln -> df.filter(col("source_type") === ln).drop("source_type")
+          }
+          fmt match {
+            case ExportFormat.Gpkg =>
+              Exporter.writeGpkgLayers(
+                layers.map { case (ln, ldf) =>
+                  ln -> ldf.withColumn("geom", graft.functions.Wkb.wkbFromXY(xc, yc))
+                }, outPath, target = name)
+            case _ =>
+              Exporter.writeGeoJsonLayers(
+                layers.map { case (ln, ldf) => (ln, ldf, GeoJson.pointGeometry(xc, yc)) },
+                outPath, target = name, generatedAt = date)
+          }
+        } else {
+          Exporter.write(df, outPath, fmt,
+            geometryJson = geomCols.map { case (x, y) => GeoJson.pointGeometry(x, y) },
+            target = name, generatedAt = date,
+            geometryWkb = geomCols.map { case (x, y) => graft.functions.Wkb.wkbFromXY(x, y) })
+        }
         println(s"exported ${cfg.name} -> $outPath ($fmt)")
 
       case Seq("publish", catalogPath, name, sfDir, servicePath) =>

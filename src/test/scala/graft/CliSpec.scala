@@ -2,6 +2,7 @@ package graft
 
 import graft.`export`.FeatureService
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.{col, explode}
 
 class CliSpec extends SparkSpec {
 
@@ -14,7 +15,12 @@ class CliSpec extends SparkSpec {
         |  {"name": "supplier_sites", "theme": "supplier", "type": "site",
         |   "sector_title": "Supplier Sites", "upsert_key": "s_suppkey"},
         |  {"name": "asia_nations", "theme": "nation", "type": "division",
-        |   "filter": "n_regionkey = '2'"}
+        |   "filter": "n_regionkey = '2'"},
+        |  {"name": "education", "theme": "customer", "type": "site",
+        |   "filter": "c_mktsegment = 'FURNITURE'",
+        |   "building_theme": "customer",
+        |   "building_filter": "c_mktsegment = 'MACHINERY'",
+        |   "is_multilayer": "true"}
         |]""".stripMargin)
     path.toString
   }
@@ -44,6 +50,46 @@ class CliSpec extends SparkSpec {
     assert(nations.count() == 5) // 5 nations per region in TPC-H
     assert(nations.columns.contains("data_sector") == false) // no sector_title configured
     assert(nations.columns.contains("country_iso3"))
+  }
+
+  test("multilayer catalog entry exports one layered GPKG and one combined GeoJSON") {
+    val dir = tmp()
+    val catalog = writeCatalog(dir)
+    val sf = "/root/testdata/sf0.001"
+
+    // GPKG: the reference's dict route — ONE file, {name}_{layer} tables
+    val gp = s"$dir/education.gpkg"
+    Cli.run(spark, Seq("export", catalog, "education", sf, gp,
+      "--geom=c_acctbal,c_nationkey"))
+    val master = graft.sources.GpkgReader.master(gp)
+      .filter(_.kind == "table").map(_.name).toSet
+    assert(Set("education_places", "education_buildings").subsetOf(master))
+    val contents = graft.sources.GpkgReader.readTable(spark, gp, "gpkg_contents")
+      .collect().map(_.getString(0)).toSet
+    assert(contents == Set("education_places", "education_buildings"))
+    val places = graft.sources.GpkgReader.readFeatures(spark, gp, "education_places")
+    assert(places.filter(col("c_mktsegment") === "FURNITURE").count() == places.count()
+      && places.count() > 0)
+
+    // GeoJSON: combined FeatureCollection with layer tags + counts
+    val gj = s"$dir/education.geojson"
+    Cli.run(spark, Seq("export", catalog, "education", sf, gj,
+      "--geom=c_acctbal,c_nationkey"))
+    val parsed = spark.read.option("multiLine", "true").json(gj)
+    val byLayer = parsed.select(explode(col("features")).as("f"))
+      .groupBy(col("f.properties.layer")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLayer.keySet == Set("places", "buildings"))
+    val meta = parsed.select(col("metadata.layers.places"),
+      col("metadata.layers.buildings")).collect()(0)
+    assert(meta.getLong(0) == byLayer("places") && meta.getLong(1) == byLayer("buildings"))
+
+    // non-layered formats keep the combined frame with source_type
+    val pq = s"$dir/education.parquet"
+    Cli.run(spark, Seq("export", catalog, "education", sf, pq))
+    val combined = spark.read.parquet(pq)
+    assert(combined.select("source_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("places", "buildings"))
   }
 
   test("publish verb: initial create then auto upsert through the catalog") {
