@@ -155,6 +155,45 @@ object Pipeline79 {
       |  CAST((SELECT count(*) FROM bl) AS BIGINT) AS meta_n
       |FROM bl GROUP BY grp""".stripMargin
 
+  /** F18 `sim_ivf_eval`: the ANN EVAL harness for the similarity
+    * lane — the F-family analogue of E33 `dd_lsh_eval` / K14
+    * `mm_phash_eval`, and the strongest of the three: because BOTH
+    * sides are already fully DuckDB-stated (F1's brute-force exact
+    * top-5 and F4's complete IVF trajectory — centroids, probe
+    * assignment, in-cell ranking), the recall itself is oracled
+    * EXACTLY per query, not gated. Emits, per query vector, the
+    * exact-top-k size and how many of those the nprobe=2 IVF run
+    * recovered — any drift in centroid math, probe selection, or
+    * tie-breaking on either side breaks the hash.
+    *
+    * Scale shape: reuses the two registry computations (broadcast
+    * query set, label-partitioned base scan — the base table never
+    * shuffles); the eval join moves 50 rows.
+    */
+  def simIvfEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = LlmQueries.simCosineTopk(spark, dir)
+      .select(col("query_id"), col("base_id"))
+    val ivf = LlmQueries.simIvfAnn(spark, dir)
+      .select(col("query_id"), col("base_id"), lit(1L).as("hit"))
+    exact.join(ivf, Seq("query_id", "base_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_recalled"))
+  }
+
+  val simIvfEvalSql: String =
+    s"""WITH exact_pairs AS (
+       |  SELECT query_id, base_id FROM (${LlmQueries.simCosineTopkSql})),
+       |ivf_pairs AS (
+       |  SELECT query_id, base_id, CAST(1 AS BIGINT) AS hit
+       |  FROM (${LlmQueries.simIvfAnnSql}))
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(i.hit), 0) AS BIGINT) AS n_recalled
+       |FROM exact_pairs e
+       |LEFT JOIN ivf_pairs i USING (query_id, base_id)
+       |GROUP BY e.query_id""".stripMargin
+
   /** H20 `exp_feature_upsert`: the FeatureService PUBLISH surface
     * (H4 — the reference's AGOL publish modes, publish.py / the
     * pipeline's initial/append/overwrite/auto smart-detect) closed
