@@ -378,6 +378,44 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Banded near-dup candidate pairs over [[simhash]] fingerprints
+    * (r12 — the simhash sibling of `Multimodal.phashNearDup`): the
+    * 60-bit fingerprint splits into `nBands` equal bands; by
+    * pigeonhole any pair within `maxHamming ≤ nBands − 1` bits
+    * agrees on at least one full band, so the band equi-join is a
+    * COMPLETE candidate generator at that radius, and the exact
+    * `bit_count` verify keeps only true matches. Scale shape: one
+    * map pass emits nBands (band, key) rows per doc; the only wide
+    * op is the band-bucket equi-join (never an all-pairs product);
+    * verification touches candidate pairs only.
+    */
+  def simhashNearDup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      nBands: Int = 4
+  ): DataFrame = {
+    require(SimhashBits % nBands == 0, s"$nBands bands must divide $SimhashBits bits")
+    require(maxHamming < nBands,
+      s"pigeonhole needs maxHamming ($maxHamming) < nBands ($nBands)")
+    val bandBits = SimhashBits / nBands
+    val mask = (1L << bandBits) - 1
+    val sh = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("doc_id"), col("sh"), col("band"),
+        call_function("shiftright", col("sh"),
+          (col("band") * bandBits).cast("int")).bitwiseAND(mask).as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingDist(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over near-dup pairs → dedup groups: each
     * node labeled with the minimum doc id reachable from it.
     */

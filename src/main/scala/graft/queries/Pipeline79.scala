@@ -194,6 +194,64 @@ object Pipeline79 {
        |LEFT JOIN ivf_pairs i USING (query_id, base_id)
        |GROUP BY e.query_id""".stripMargin
 
+  /** E34 `dd_simhash_eval`: the SimHash eval harness — like F18,
+    * EXACTLY oracled rather than gated: the per-doc 60-bit simhash
+    * is DuckDB-stated (E3's bit-op SQL), the banded candidate
+    * generation at hamming ≤ 3 is pigeonhole-complete (so the
+    * DuckDB brute-force hamming join states the SAME pair set), and
+    * the exact 3-gram Jaccard truth is E4's SQL. Emits one row:
+    * candidate count, truth count, and their overlap — the measured
+    * answer to "what does a 60-bit word-level simhash at radius 3
+    * actually buy against exact Jaccard ≥ 0.5". Any drift in the
+    * fingerprint math, the banding, or the truth join on either
+    * engine breaks the hash.
+    *
+    * Scale shape: [[graft.operators.Dedup.simhashNearDup]] — one
+    * map pass, band-bucket equi-join (never all-pairs), exact
+    * verify on candidates only; the truth side reuses the session
+    * E4 pairs. (The DuckDB twin brute-forces the hamming join —
+    * fine for an oracle, not the engine's plan.)
+    */
+  def ddSimhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // Fixed eval panel (doc_id < 2000): filter quality is measured
+    // on a bounded doc set at every scale — the eval-set convention
+    // (F18 measures on F1's fixed query set the same way). On this
+    // templated corpus the unigram fingerprint is a WEAK filter
+    // (even hamming-0 pairs abound), so an unbounded panel would
+    // pay a quadratic candidate count just to restate the same
+    // density estimate.
+    val panel = t.documents.filter(col("doc_id") < 2000)
+    val cand = graft.operators.Dedup
+      .simhashNearDup(panel, "text", "doc_id", maxHamming = 3, nBands = 4)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val truth = LlmQueries.ngramPairs(spark, dir)
+      .filter(col("doc_a") < 2000 && col("doc_b") < 2000)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        coalesce(sum(col("t")), lit(0L)).as("n_overlap"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(col("n_cand"), col("n_truth"), col("n_overlap"))
+  }
+
+  val ddSimhashEvalSql: String =
+    s"""WITH sh AS (
+       |  SELECT * FROM (${LlmQueries.ddSimhashSql}) WHERE doc_id < 2000),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM (${LlmQueries.ddNgramJaccardSql})
+       |  WHERE doc_a < 2000 AND doc_b < 2000)
+       |SELECT
+       |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) AS BIGINT)
+       |    AS n_overlap""".stripMargin
+
   /** H20 `exp_feature_upsert`: the FeatureService PUBLISH surface
     * (H4 — the reference's AGOL publish modes, publish.py / the
     * pipeline's initial/append/overwrite/auto smart-detect) closed

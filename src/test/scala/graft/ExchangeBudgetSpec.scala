@@ -149,6 +149,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // A27: two per-layer group aggregates (one exchange each) over
     // the distributed GpkgReader leaf-page scans, unioned
     "exp_gpkg_multilayer" -> ((2, 0)),
+    // E34: banded simhash self-join over the fixed panel + the
+    // truth-join agg; the E4 session pairs ride the checkpoint
+    "dd_simhash_eval" -> ((4, 1)),
     // F18: the F1 topk window + F4's centroid agg/assignment/in-cell
     // rank + the 50-row eval join; query set and centroids broadcast
     "sim_ivf_eval" -> ((8, 3)),

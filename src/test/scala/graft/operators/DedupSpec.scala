@@ -135,4 +135,28 @@ class DedupSpec extends SparkSpec {
     val df = Seq((0x0FL, 0xF0L)).toDF("a", "b")
     assert(df.select(Dedup.hammingDist(col("a"), col("b"))).head().getInt(0) == 8)
   }
+
+  test("simhashNearDup: banded candidates equal the brute-force hamming join; bad params refuse") {
+    val docs = (1L to 40L).map { i =>
+      // clusters of 4 share a base text with one word varied: real
+      // near-dup structure plus cross-cluster diversity
+      val base = s"shared base text block number ${i / 4} with several common tokens inside"
+      (i, s"$base variant${i % 4} tail${i % 7}")
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3, nBands = 4)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(Dedup.hammingDist(col("a.sh"), col("b.sh")) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, "pigeonhole banding must be complete at maxHamming <= nBands - 1")
+    assert(brute.nonEmpty, "fixture must produce at least one near-dup pair")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 4, nBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 2, nBands = 7)
+    }
+  }
 }
