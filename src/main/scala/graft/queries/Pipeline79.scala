@@ -86,17 +86,27 @@ object Pipeline79 {
     val d = gjCache.getOrElseUpdate((spark, dir), {
       val p = java.nio.file.Files.createTempDirectory("graft_rt_gjml_")
       val t = Tables(spark, dir)
+      // Fixed staging panel (ids < 100000, a no-op at the oracle
+      // scales): the single-file FeatureCollection is ONE json
+      // object, so the read-back side is a single-task parse by
+      // format definition — an unbounded panel would grow that one
+      // task's heap linearly with corpus size (it OOMed at the sf10
+      // probe). The multilayer WRITE path itself is driver-streamed
+      // constant-memory either way; the 100 TB read-back path is
+      // GeoJSONSeq (A25), not this.
       val places = t.events.select(
           col("event_id").cast("long").as("event_id"),
           col("event_type"),
           col("value").as("x"),
           get_json_object(col("props"), "$.k").cast("double").as("y"))
-        .filter(col("x").isNotNull && col("y").isNotNull)
+        .filter(col("x").isNotNull && col("y").isNotNull &&
+          col("event_id") < 100000)
       val buildings = t.customer.select(
           col("c_custkey").cast("long").as("fid"),
           col("c_mktsegment"),
           col("c_acctbal").as("x"),
           col("c_nationkey").cast("double").as("y"))
+        .filter(col("fid") < 100000)
       graft.`export`.Exporter.writeGeoJsonLayers(
         Seq(
           ("places", places, graft.`export`.GeoJson.pointGeometry(col("x"), col("y"))),
@@ -135,12 +145,12 @@ object Pipeline79 {
       |  SELECT event_id, event_type, x, y FROM (
       |    SELECT event_id, event_type, value AS x,
       |      CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
-      |    FROM events)
+      |    FROM events WHERE event_id < 100000)
       |  WHERE x IS NOT NULL AND y IS NOT NULL),
       |bl AS (
       |  SELECT c_custkey AS id, c_mktsegment AS grp, c_acctbal AS x,
       |    CAST(c_nationkey AS DOUBLE) AS y
-      |  FROM customer)
+      |  FROM customer WHERE c_custkey < 100000)
       |SELECT 'places' AS layer, event_type AS grp, count(*) AS n_rows,
       |  CAST(sum(event_id) AS BIGINT) AS id_sum,
       |  CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS BIGINT) AS x_4dp,
