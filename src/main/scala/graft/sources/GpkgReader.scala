@@ -265,6 +265,7 @@ object GpkgReader {
     if (leaves.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val nCols = cols.length
+    val fieldTypes: Array[DataType] = schema.fields.map(_.dataType)
     val rdd = spark.sparkContext
       .parallelize(leaves, math.min(spark.sparkContext.defaultParallelism,
         math.max(1, leaves.length / 16 + 1)))
@@ -277,7 +278,17 @@ object GpkgReader {
             val out = new Array[Any](nCols)
             var i = 0
             while (i < nCols) {
-              out(i) = if (i < vals.length) vals(i) else null
+              // SQLite affinity: a REAL column's integral values may
+              // be STORED as integer serials (lossless-int record
+              // optimization) — readers convert back by declared
+              // affinity. Engine-written files never exercise this;
+              // foreign writers (stock sqlite3) do.
+              out(i) =
+                if (i >= vals.length) null
+                else (fieldTypes(i), vals(i)) match {
+                  case (DoubleType, v: java.lang.Long) => v.toDouble
+                  case (_, v) => v
+                }
               i += 1
             }
             if (rowidAlias >= 0 && out(rowidAlias) == null) out(rowidAlias) = rowid

@@ -314,6 +314,56 @@ class GpkgSpec extends SparkSpec {
     assert(srs == Set(-1L, 0L, 4326L))
   }
 
+  test("GpkgReader parses a FOREIGN GeoPackage written by stock sqlite3 itself") {
+    // The inverse of every other test here: stock sqlite3 is the
+    // WRITER (its own page allocator, freelists, overflow layout —
+    // none of our writer's choices), and GpkgReader must parse it.
+    // 3000 rows force a multi-level table b-tree; one oversized text
+    // value forces an overflow chain; fid gaps exercise rowid
+    // aliasing.
+    val path = tmp() + "/foreign.gpkg"
+    val script =
+      s"""import sqlite3, struct
+         |con = sqlite3.connect("$path")
+         |cur = con.cursor()
+         |cur.execute("CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)")
+         |cur.execute("INSERT INTO gpkg_spatial_ref_sys VALUES ('WGS 84', 4326, 'EPSG', 4326, 'GEOGCS[...]', NULL)")
+         |cur.execute("CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, identifier TEXT, description TEXT DEFAULT '', last_change DATETIME NOT NULL, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)")
+         |cur.execute("INSERT INTO gpkg_contents VALUES ('pts', 'features', 'pts', '', '2026-01-01T00:00:00.000Z', NULL, NULL, NULL, NULL, 4326)")
+         |cur.execute("CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)")
+         |cur.execute("INSERT INTO gpkg_geometry_columns VALUES ('pts', 'geom', 'POINT', 4326, 0, 0)")
+         |cur.execute("CREATE TABLE pts (fid INTEGER PRIMARY KEY, geom POINT, name TEXT, score DOUBLE)")
+         |def gp(x, y):
+         |    wkb = struct.pack('<BIdd', 1, 1, x, y)
+         |    return b'GP' + bytes([0, 1]) + struct.pack('<i', 4326) + wkb
+         |for i in range(1, 3001):
+         |    fid = i * 3  # gaps: rowids are not dense
+         |    name = ('long-' * 600 + str(i)) if i == 1500 else f'n{i}'
+         |    cur.execute("INSERT INTO pts VALUES (?, ?, ?, ?)",
+         |                (fid, gp(i * 0.5, -i * 0.25), name, i * 1.5))
+         |con.commit()
+         |con.close()
+         |""".stripMargin
+    val f = Files.createTempFile("gpkg-foreign", ".py")
+    Files.writeString(f, script)
+    Process(Seq("python3", f.toString)).!!
+
+    val back = graft.sources.GpkgReader.readFeatures(spark, path, "pts")
+    assert(back.count() == 3000)
+    val rows = back.select($"fid", $"name", $"score", Wkb.wkbPointXY($"geom").as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getStruct(3).getDouble(0), r.getStruct(3).getDouble(1)))
+      .sortBy(_._1)
+    assert(rows.head == ((3L, "n1", 1.5, 0.5, -0.25)))
+    assert(rows.last == ((9000L, "n3000", 4500.0, 1500.0, -750.0)))
+    // the overflow-chained oversized value survives intact
+    val big = rows.find(_._1 == 4500L).get
+    assert(big._2.length == 3004 && big._2.startsWith("long-") && big._2.endsWith("1500"))
+    // metadata tables readable through the same page parser
+    val contents = graft.sources.GpkgReader.readTable(spark, path, "gpkg_contents").collect()
+    assert(contents.length == 1 && contents(0).getString(0) == "pts")
+  }
+
   test("multi-layer: one file, N feature tables, per-layer catalog rows, sqlite3-clean") {
     val path = tmp() + "/multi.gpkg"
     val places = Seq(
