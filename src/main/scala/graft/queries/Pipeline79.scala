@@ -262,6 +262,44 @@ object Pipeline79 {
        |  CAST((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) AS BIGINT)
        |    AS n_overlap""".stripMargin
 
+  /** E35 `dd_minhash_est_eval`: the third face of the MinHash eval
+    * story, EXACTLY oracled — E33 scores candidate recall/precision
+    * (gated); this row scores the SIGNATURE ESTIMATE itself: over
+    * the pairs that appear in BOTH the LSH candidate set (E2) and
+    * the exact-Jaccard truth (E4), the distribution of
+    * |est_jaccard − jaccard| in ×10⁴ fixed point — count, summed
+    * error, max error. Both inputs are 4-dp-rounded on both engines
+    * and the error arithmetic is the identical expression on
+    * identical rounded doubles, so the numbers (not gates) sit
+    * under the hash. The expected scale: a k=32 signature has
+    * std ≈ √(J(1−J)/32) ≈ 0.09 at J = 0.5 — the row states exactly
+    * what ±9 points of estimate noise looks like on this corpus.
+    */
+  def ddMinhashEstEval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cand = graft.operators.Dedup
+      .minhashLsh(t.documents, "text", "doc_id")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val truth = LlmQueries.ngramPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    cand.join(truth, Seq("doc_a", "doc_b"))
+      .select(expr("CAST(round(abs(est_jaccard - jaccard) * 10000) AS BIGINT)").as("err"))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        coalesce(sum(col("err")), lit(0L)).as("sum_err_4dp"),
+        coalesce(max(col("err")), lit(0L)).as("max_err_4dp"))
+  }
+
+  val ddMinhashEstEvalSql: String =
+    s"""WITH cand AS (${LlmQueries.ddMinhashLshSql}),
+       |truth AS (${LlmQueries.ddNgramJaccardSql})
+       |SELECT count(*) AS n_scored,
+       |  CAST(coalesce(sum(CAST(round(abs(est_jaccard - jaccard) * 10000) AS BIGINT)), 0)
+       |    AS BIGINT) AS sum_err_4dp,
+       |  CAST(coalesce(max(CAST(round(abs(est_jaccard - jaccard) * 10000) AS BIGINT)), 0)
+       |    AS BIGINT) AS max_err_4dp
+       |FROM cand JOIN truth USING (doc_a, doc_b)""".stripMargin
+
   /** H20 `exp_feature_upsert`: the FeatureService PUBLISH surface
     * (H4 — the reference's AGOL publish modes, publish.py / the
     * pipeline's initial/append/overwrite/auto smart-detect) closed

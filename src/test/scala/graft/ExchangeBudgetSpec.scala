@@ -152,6 +152,9 @@ class ExchangeBudgetSpec extends SparkSpec {
     // E34: banded simhash self-join over the fixed panel + the
     // truth-join agg; the E4 session pairs ride the checkpoint
     "dd_simhash_eval" -> ((4, 1)),
+    // E35: the E2 band exchange + the pair-join agg over the
+    // session E4 pairs
+    "dd_minhash_est_eval" -> ((3, 1)),
     // F18: the F1 topk window + F4's centroid agg/assignment/in-cell
     // rank + the 50-row eval join; query set and centroids broadcast
     "sim_ivf_eval" -> ((8, 3)),
