@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions.col
   *
   * Usage (valued flags use `--key=value`):
   * {{{
-  *   graft.Cli export   <catalog.json> <query> <sfDir> <outPath> [--country=ISO3] [--geom=xCol,yCol] [--date=ISO]
+  *   graft.Cli export   <catalog.json> <query> <sfDir> <outPath> [--country=ISO3] [--geom=xCol,yCol] [--date=ISO] [--raw]
   *   graft.Cli publish  <catalog.json> <query> <sfDir> <servicePath> [--mode=auto|initial|overwrite|append] [--country=ISO3] [--date=ISO] [--metadata=template.json]
   *   graft.Cli publish-sectors <catalog.json> <sector,names> <sfDir> <servicePath> [--mode=…] [--geom=xCol,yCol] [--square=xCol,yCol,halfWidth]
   *   graft.Cli run          <registry-query> <sfDir> <outPath.{parquet,csv}>
@@ -67,7 +67,8 @@ object Cli {
       cfg: QueryConfig,
       sfDir: String,
       countryIso3: String,
-      date: String
+      date: String,
+      raw: Boolean = false
   ): DataFrame = {
     val t = Tables(spark, sfDir)
     // Multilayer targets fetch BOTH queries (reference
@@ -75,7 +76,7 @@ object Cli {
     // and 'buildings' keys) — the combined frame carries the layer
     // tag in `source_type`, and the export verb splits it back into
     // layers for the formats the reference writes as dicts.
-    val raw =
+    val rawDf =
       if (cfg.isMultilayer)
         OvertureReader.readMultilayer(t, Seq(
           "places" -> ReadRequest(cfg.theme, filter = cfg.filter),
@@ -84,8 +85,12 @@ object Cli {
       else OvertureReader.read(t, ReadRequest(cfg.theme, filter = cfg.filter))
     val country = CountryRegistry.builtin.get(countryIso3)
       .getOrElse(throw new IllegalArgumentException(s"unknown country: $countryIso3"))
-    Normalize.addMetadata(
-      Normalize.orderColumnsForPublish(Normalize.clipStrings(raw)),
+    // --raw: unmodified source data, no normalize/metadata pass
+    // (reference cli.py:911-919 "Exporting raw Overture data (no
+    // AGOL transformations)").
+    if (raw) rawDf
+    else Normalize.addMetadata(
+      Normalize.orderColumnsForPublish(Normalize.clipStrings(rawDf)),
       country.iso3, country.name, cfg.sectorTitle, date)
   }
 
@@ -109,7 +114,8 @@ object Cli {
     pos match {
       case Seq("export", catalogPath, name, sfDir, outPath) =>
         val cfg = loadEntry(spark, catalogPath, name)
-        val df = runPipeline(spark, cfg, sfDir, opt.getOrElse("country", "AFG"), date)
+        val raw = opt.get("raw").exists(_.toBoolean)
+        val df = runPipeline(spark, cfg, sfDir, opt.getOrElse("country", "AFG"), date, raw)
         val fmt = ExportFormat.fromPath(outPath)
         val geomCols = opt.get("geom").map { g =>
           g.split(",", 2) match {
@@ -136,17 +142,20 @@ object Cli {
               Exporter.writeGpkgLayers(
                 layers.map { case (ln, ldf) =>
                   ln -> ldf.withColumn("geom", graft.functions.Wkb.wkbFromXY(xc, yc))
-                }, outPath, target = name)
+                }, outPath, target = name, raw = raw)
             case _ =>
               Exporter.writeGeoJsonLayers(
                 layers.map { case (ln, ldf) => (ln, ldf, GeoJson.pointGeometry(xc, yc)) },
-                outPath, target = name, generatedAt = date)
+                outPath, target = name, generatedAt = date, raw = raw)
           }
         } else {
+          // raw single layer: the reference names it "features"
+          // (export.py:346-348) and stamps data_type raw_overture
           Exporter.write(df, outPath, fmt,
             geometryJson = geomCols.map { case (x, y) => GeoJson.pointGeometry(x, y) },
-            target = name, generatedAt = date,
-            geometryWkb = geomCols.map { case (x, y) => graft.functions.Wkb.wkbFromXY(x, y) })
+            target = if (raw) "features" else name, generatedAt = date,
+            geometryWkb = geomCols.map { case (x, y) => graft.functions.Wkb.wkbFromXY(x, y) },
+            raw = raw)
         }
         println(s"exported ${cfg.name} -> $outPath ($fmt)")
 

@@ -47,12 +47,13 @@ object Exporter {
       geometryJson: Option[Column] = None,
       target: String = "features",
       generatedAt: String = "1970-01-01T00:00:00",
-      geometryWkb: Option[Column] = None
+      geometryWkb: Option[Column] = None,
+      raw: Boolean = false
   ): Unit = try { format match {
     case ExportFormat.GeoJson =>
       val geom = geometryJson.getOrElse(
         throw new IllegalArgumentException("GeoJSON export needs a geometry column"))
-      GeoJson.writeFeatureCollection(df, geom, path, target, generatedAt)
+      GeoJson.writeFeatureCollection(df, geom, path, target, generatedAt, rawExport = raw)
     case ExportFormat.GeoJsonSeq =>
       val geom = geometryJson.getOrElse(
         throw new IllegalArgumentException("GeoJSONSeq export needs a geometry column"))

@@ -92,6 +92,38 @@ class CliSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("places", "buildings"))
   }
 
+  test("--raw export skips normalization and uses raw layer naming") {
+    val dir = tmp()
+    val catalog = writeCatalog(dir)
+    val sf = "/root/testdata/sf0.001"
+
+    // raw parquet: source columns untouched, no metadata enrichment
+    val pq = s"$dir/raw.parquet"
+    Cli.run(spark, Seq("export", catalog, "supplier_sites", sf, pq, "--raw"))
+    val rawDf = spark.read.parquet(pq)
+    assert(!rawDf.columns.contains("country_iso3"), "raw export must skip addMetadata")
+    assert(rawDf.columns.contains("s_suppkey"))
+
+    // raw single-layer GPKG: table named 'features' per the reference
+    val gp = s"$dir/raw.gpkg"
+    Cli.run(spark, Seq("export", catalog, "supplier_sites", sf, gp,
+      "--geom=s_acctbal,s_nationkey", "--raw"))
+    assert(graft.sources.GpkgReader.readTable(spark, gp, "gpkg_contents")
+      .collect().map(_.getString(0)).toSeq == Seq("features"))
+
+    // raw multilayer GPKG: plain layer names, no target prefix
+    val mgp = s"$dir/raw-multi.gpkg"
+    Cli.run(spark, Seq("export", catalog, "education", sf, mgp,
+      "--geom=c_acctbal,c_nationkey", "--raw"))
+    assert(graft.sources.GpkgReader.readTable(spark, mgp, "gpkg_contents")
+      .collect().map(_.getString(0)).toSet == Set("places", "buildings"))
+
+    // the non-raw twin keeps the enrichment (guard against regression)
+    val pq2 = s"$dir/cooked.parquet"
+    Cli.run(spark, Seq("export", catalog, "supplier_sites", sf, pq2))
+    assert(spark.read.parquet(pq2).columns.contains("country_iso3"))
+  }
+
   test("publish verb: initial create then auto upsert through the catalog") {
     val dir = tmp()
     val catalog = writeCatalog(dir)
