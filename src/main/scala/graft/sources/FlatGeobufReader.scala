@@ -268,9 +268,21 @@ object FlatGeobufReader {
       // never visit the driver on either path.
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         new java.io.FileInputStream(path), 1 << 16))
+      def skipFully(n0: Long): Unit = {
+        var n = n0
+        while (n > 0) {
+          val s = in.skip(n)
+          // skip() returns 0 at EOF instead of advancing — without
+          // this guard a file truncated mid-payload spins forever
+          if (s <= 0)
+            throw new graft.ExportError(
+              s"flatgeobuf reader: unexpected EOF with $n bytes left to skip",
+              Map("format" -> "fgb", "stage" -> "import"))
+          n -= s
+        }
+      }
       val ranges = try {
-        var skip = h.featuresStart
-        while (skip > 0) skip -= in.skip(skip)
+        skipFully(h.featuresStart)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var pos = h.featuresStart
         while (pos < h.fileLength) {
@@ -285,8 +297,7 @@ object FlatGeobufReader {
               s"flatgeobuf reader: feature size $sz at byte $pos exceeds file bounds",
               Map("format" -> "fgb", "stage" -> "import"))
           out += ((pos - h.featuresStart, 4L + sz))
-          var toSkip = sz.toLong
-          while (toSkip > 0) toSkip -= in.skip(toSkip)
+          skipFully(sz.toLong)
           pos += 4 + sz
         }
         out.toSeq
