@@ -299,24 +299,32 @@ object FlatGeobuf {
         // A geometry with no coordinates has no bbox (array_min/max
         // null) and cannot be Hilbert-ordered; the unindexed path can
         // carry it, so rather than forking behavior silently, refuse
-        // with the writer's typed error before launching the sort.
-        bboxed.filter(col("_minx").isNull).select(base.head).head(1) match {
-          case Array(bad) =>
-            throw new graft.ExportError(
-              "flatgeobuf indexed write: geometry with no coordinates has no " +
-                "bbox and cannot be placed in the Hilbert index; write with " +
-                "indexNodeSize=0 or drop the row",
-              Map("format" -> "fgb", "stage" -> "export",
-                "row" -> s"${schema.fields.head.name}=${bad.get(0)}"))
-          case _ => ()
+        // with the writer's typed error. The check rides INSIDE the
+        // Hilbert-key mapper (not a separate filter+head pre-pass,
+        // which would re-scan the whole input just for the common
+        // all-valid case); Spark wraps executor exceptions, so the
+        // driver unwraps the cause chain back to the typed error.
+        val keyName = schema.fields.head.name
+        // sortByKey's range-partitioner sampling job can surface the
+        // mapper's error too — unwrap at both job sites.
+        val sorted = try {
+          bboxed.rdd
+            .map { row =>
+              if (row.isNullAt(nBase))
+                throw new graft.ExportError(
+                  "flatgeobuf indexed write: geometry with no coordinates has no " +
+                    "bbox and cannot be placed in the Hilbert index; write with " +
+                    "indexNodeSize=0 or drop the row",
+                  Map("format" -> "fgb", "stage" -> "export",
+                    "row" -> s"$keyName=${row.get(0)}"))
+              val key = PackedRTree.hilbertOf(row.getDouble(nBase), row.getDouble(nBase + 1),
+                row.getDouble(nBase + 2), row.getDouble(nBase + 3), ext)
+              (key, row)
+            }
+            .sortByKey()
+        } catch {
+          case t: Throwable => throw unwrapExportError(t)
         }
-        val sorted = bboxed.rdd
-          .map { row =>
-            val key = PackedRTree.hilbertOf(row.getDouble(nBase), row.getDouble(nBase + 1),
-              row.getDouble(nBase + 2), row.getDouble(nBase + 3), ext)
-            (key, row)
-          }
-          .sortByKey()
         val tmp = java.nio.file.Files.createTempFile("graft_fgb_data_", ".bin")
         try {
           val items = scala.collection.mutable.ArrayBuffer.empty[PackedRTree.Item]
@@ -333,6 +341,8 @@ object FlatGeobuf {
                 row.getDouble(nBase + 2), row.getDouble(nBase + 3), offset)
               offset += bytes.length
             }
+          } catch {
+            case t: Throwable => throw unwrapExportError(t)
           } finally data.close()
           out.write(PackedRTree.build(items.toIndexedSeq, nodeSize))
           java.nio.file.Files.copy(tmp, out)
@@ -341,6 +351,21 @@ object FlatGeobuf {
     } finally out.close()
 
     WriteResult(path, rowCount, bbox, gType)
+  }
+
+  /** Walk a (possibly Spark-wrapped) cause chain back to the typed
+    * export error thrown in an executor mapper; return the original
+    * throwable when none is found.
+    */
+  private def unwrapExportError(t: Throwable): Throwable = {
+    var cur: Throwable = t
+    while (cur != null) {
+      cur match {
+        case e: graft.ExportError => return e
+        case _ => cur = cur.getCause
+      }
+    }
+    t
   }
 
   private def writeBuf(out: java.io.OutputStream, buf: ByteBuffer): Unit = {

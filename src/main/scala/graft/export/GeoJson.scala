@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object GeoJson {
 
+  /** Minimal JSON string escape for caller-supplied values landing
+    * in the hand-built metadata block (layer names, target).
+    */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Point-geometry builder from coordinate columns. */
   def pointGeometry(x: Column, y: Column): Column =
     to_json(struct(lit("Point").as("type"), array(x, y).as("coordinates")))
@@ -73,7 +86,7 @@ object GeoJson {
       }
       val dataType = if (rawExport) "raw_overture" else "normalized"
       writer.write(
-        s"""],"metadata":{"generated":"$generatedAt","source":"graft","target":"$target","data_type":"$dataType","count":$count}}""")
+        s"""],"metadata":{"generated":"${esc(generatedAt)}","source":"graft","target":"${esc(target)}","data_type":"$dataType","count":$count}}""")
     } finally writer.close()
   }
 
@@ -96,6 +109,14 @@ object GeoJson {
     require(layers.nonEmpty, "GeoJSON multilayer export needs at least one layer")
     require(layers.map(_._1).distinct.size == layers.size,
       s"GeoJSON: duplicate layer names in ${layers.map(_._1)}")
+    // The layer id is injected as a property below; a pre-existing
+    // `layer` column would be silently overwritten (corrupting that
+    // property), so refuse up front rather than fork behavior.
+    layers.foreach { case (name, df, _) =>
+      require(!df.columns.contains("layer"),
+        s"GeoJSON multilayer: layer '$name' already has a 'layer' column — " +
+          "rename it before export (the writer injects the layer id there)")
+    }
     val spark = layers.head._2.sparkSession
     val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new HPath(path), true)
@@ -119,10 +140,13 @@ object GeoJson {
         name -> count
       }
       val dataType = if (rawExport) "raw_overture" else "normalized"
-      val layerCounts = counts.map { case (n, c) => s""""$n":$c""" }.mkString(",")
+      // Layer names and target are caller-supplied strings headed
+      // into a hand-built JSON document — escape them (a quote in a
+      // layer name would otherwise emit an invalid document).
+      val layerCounts = counts.map { case (n, c) => s""""${esc(n)}":$c""" }.mkString(",")
       val total = counts.map(_._2).sum
       writer.write(
-        s"""],"metadata":{"generated":"$generatedAt","source":"graft","target":"$target","data_type":"$dataType","layers":{$layerCounts},"total_count":$total}}""")
+        s"""],"metadata":{"generated":"${esc(generatedAt)}","source":"graft","target":"${esc(target)}","data_type":"$dataType","layers":{$layerCounts},"total_count":$total}}""")
     } finally writer.close()
   }
 }

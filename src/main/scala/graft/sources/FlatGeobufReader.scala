@@ -250,14 +250,21 @@ object FlatGeobufReader {
   def read(spark: SparkSession, path: String): DataFrame = {
     val h = readHeader(path)
     val schema = schemaOf(h)
-    if (h.featuresCount == 0) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
-    }
     if (h.indexNodeSize > 0) {
+      // Index geometry is sized from featuresCount, so an indexed
+      // header's count is authoritative: 0 means genuinely empty.
+      if (h.featuresCount == 0) {
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      }
       val ranges = leafRanges(h, path)
       distributedRead(spark, path, h, schema, ranges)
     } else {
+      // No early return on featuresCount==0 here: the FGB spec
+      // defines 0 as "count UNKNOWN" — exactly what streamed foreign
+      // writers emit — and the prefix scan below derives ranges from
+      // the data section alone (an actually-empty data section
+      // naturally yields zero ranges).
       // Unindexed fallback, BOUNDED (r12): each feature's size
       // prefix is self-describing, so the driver makes one buffered
       // sequential pass reading ONLY the 4-byte prefixes and

@@ -296,4 +296,29 @@ class ExportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate layer"))
   }
+
+  test("multilayer GeoJSON hardening: pre-existing 'layer' column refuses; layer names JSON-escape") {
+    import spark.implicits._
+    val withLayer = Seq((1L, "shadow", 1.0, 2.0)).toDF("id", "layer", "x", "y")
+    // a frame already carrying `layer` would have its property
+    // silently overwritten by the injected layer id — typed refusal
+    val e = intercept[graft.ExportError] {
+      Exporter.writeGeoJsonLayers(
+        Seq(("places", withLayer, GeoJson.pointGeometry(col("x"), col("y")))),
+        tmpDir() + "/shadow.geojson", target = "t")
+    }
+    assert(e.getMessage.contains("'layer' column"))
+    // a quote in a layer name must escape, not break the document
+    val file = tmpDir() + "/quoted.geojson"
+    val df = Seq((1L, 1.0, 2.0)).toDF("id", "x", "y")
+    Exporter.writeGeoJsonLayers(
+      Seq(("""he"said""", df, GeoJson.pointGeometry(col("x"), col("y")))),
+      file, target = """t"gt""", generatedAt = "2026-01-01T00:00:00")
+    val parsed = spark.read.option("multiLine", "true").json(file)
+    val meta = parsed.select(col("metadata.total_count"),
+      col("metadata.target")).collect()(0)
+    assert(meta.getLong(0) == 1L)
+    assert(meta.getString(1) == """t"gt""")
+    assert(!parsed.columns.contains("_corrupt_record"))
+  }
 }

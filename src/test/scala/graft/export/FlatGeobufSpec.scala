@@ -353,6 +353,38 @@ class FlatGeobufSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds file bounds") || e.getMessage.contains("truncated"))
   }
 
+  test("unindexed featuresCount=0 means UNKNOWN: prefix scan still discovers the features") {
+    // The FGB spec defines features_count=0 as "count unknown" — what
+    // a foreign streamed writer emits when it can't know the count up
+    // front. Compose such a file from parts this writer CAN produce:
+    // the header of an empty unindexed write (count field = 0, no
+    // index) + the data section of a real unindexed write.
+    val n = 37
+    val df = (1 to n).map(i => (i.toLong, i * 1.5, i * -0.5))
+      .toDF("id", "x", "y")
+      .select($"id", Wkb.wkbFromXY($"x", $"y").as("geom"))
+    val full = tmpFile("fgb-full")
+    FlatGeobuf.write(df, "geom", full)
+    val empty = tmpFile("fgb-empty-hdr")
+    FlatGeobuf.write(df.limit(0), "geom", empty)
+    val h = graft.sources.FlatGeobufReader.readHeader(full)
+    assert(h.featuresCount == n && h.indexNodeSize == 0)
+    val fullBytes = Files.readAllBytes(Paths.get(full))
+    val headerBytes = Files.readAllBytes(Paths.get(empty))
+    val foreign = tmpFile("fgb-foreign")
+    val outBytes = headerBytes ++
+      java.util.Arrays.copyOfRange(fullBytes, h.featuresStart.toInt, fullBytes.length)
+    Files.write(Paths.get(foreign), outBytes)
+    val fh = graft.sources.FlatGeobufReader.readHeader(foreign)
+    assert(fh.featuresCount == 0, "composed header must state count unknown")
+    val back = graft.sources.FlatGeobufReader.read(spark, foreign)
+    assert(back.count() == n, "prefix scan must discover the streamed features")
+    assert(back.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1 to n).map(_.toLong))
+    // and a GENUINELY empty unindexed file still reads as zero rows
+    assert(graft.sources.FlatGeobufReader.read(spark, empty).count() == 0)
+  }
+
   test("PackedRTree: level bounds match the reference recurrence; hilbert is injective on a grid") {
     // reference do-while: one feature still gets root + leaf (2 nodes)
     assert(PackedRTree.levelBounds(1, 16) == Seq((1L, 2L), (0L, 1L)))
