@@ -279,9 +279,18 @@ object Cli {
             q.filter.fold("")(f => s"\tfilter=$f")))
 
       case Seq("list-cache", cachePath) =>
-        new CountryCache(spark, cachePath).list()
+        val cache = new CountryCache(spark, cachePath)
+        cache.list()
           .sortBy(k => (k.release, k.country, k.theme, k.typeName))
           .foreach(k => println(s"${k.release}\t${k.country}\t${k.theme}\t${k.typeName}"))
+        // aggregate stats footer (reference source.py:1642
+        // `get_cache_stats`): per-release counts + bytes, then totals
+        val st = cache.stats()
+        st.perRelease.foreach { case (r, n, b) =>
+          println(s"[cache-stats] release=$r entries=$n bytes=$b")
+        }
+        println(s"[cache-stats] releases=${st.releases} countries=${st.countries} " +
+          s"entries=${st.entries} total_bytes=${st.totalBytes}")
 
       case Seq("clear-cache", cachePath, release, country, theme, typeName) =>
         val ok = new CountryCache(spark, cachePath)

@@ -12,6 +12,17 @@ final case class CacheKey(country: String, theme: String, typeName: String, rele
   def relPath: String = s"release=$release/country=$country/theme=$theme/type=$typeName"
 }
 
+/** [[CountryCache.stats]] result — the reference's `get_cache_stats`
+  * dict shape (counts, bytes, distinct countries/releases) with a
+  * per-release (release, entries, bytes) breakdown.
+  */
+final case class CacheStats(
+    entries: Int,
+    totalBytes: Long,
+    countries: Int,
+    releases: Int,
+    perRelease: Seq[(String, Int, Long)])
+
 final class CountryCache(spark: SparkSession, basePath: String) {
 
   private val fs: FileSystem =
@@ -81,6 +92,28 @@ final class CountryCache(spark: SparkSession, basePath: String) {
   /** Drop one cached entry (reference cli.py:2168 `clear_cache`). */
   def clear(key: CacheKey): Boolean =
     fs.delete(new HPath(s"$basePath/${key.relPath}"), true)
+
+  /** Aggregate cache statistics (reference source.py:1642
+    * `get_cache_stats`: total size, total files, distinct countries
+    * and releases), plus the per-release breakdown (entry count +
+    * bytes) the CLI's list-cache footer prints. One directory walk;
+    * sizes come from the filesystem's content summary, not a data
+    * read.
+    */
+  def stats(): CacheStats = {
+    val sized = list().map { k =>
+      (k, fs.getContentSummary(new HPath(s"$basePath/${k.relPath}")).getLength)
+    }
+    val perRelease = sized.groupBy(_._1.release).toSeq
+      .map { case (r, xs) => (r, xs.size, xs.map(_._2).sum) }
+      .sortBy(_._1)
+    CacheStats(
+      entries = sized.size,
+      totalBytes = sized.map(_._2).sum,
+      countries = sized.map(_._1.country).distinct.size,
+      releases = sized.map(_._1.release).distinct.size,
+      perRelease = perRelease)
+  }
 
   /** Newest complete cached entry for the same logical layer at ANY
     * release — the stale-but-complete fallback candidate. "Newest"

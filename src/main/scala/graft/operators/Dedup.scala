@@ -357,11 +357,39 @@ object Dedup {
     * rolling(token) << 30 | rolling(reverse(token)) — reproducible in
     * the SQL oracle, unlike xxhash64.
     */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
-    val hashes = transform(toks, t =>
+  def simhash(text: Column): Column =
+    simhashOfHashes(transform(array_distinct(split(lower(trim(text)), "\\s+")), t =>
       shiftleft(graft.functions.RollingHash(t), 30)
-        .bitwiseOR(graft.functions.RollingHash(reverse(t))))
+        .bitwiseOR(graft.functions.RollingHash(reverse(t)))))
+
+  /** SimHash over word n-gram SHINGLES instead of unigrams (r13).
+    * On templated/boilerplate corpora the unigram fingerprint
+    * collapses — documents sharing a vocabulary but not an order
+    * land hamming-0 apart — while shingles carry word ORDER, so the
+    * fingerprint actually separates reordered template fills.
+    * Shingle hash = the unigram scheme applied to the joined
+    * shingle string (rolling ≪ 30 | rolling∘reverse — SQL-oracle
+    * reproducible). Docs shorter than `n` tokens have an empty
+    * shingle set → fingerprint 0 (callers that band should exclude
+    * them, as [[simhashNearDup]] does).
+    */
+  def simhashShingled(text: Column, n: Int = 3): Column = {
+    require(n >= 1, "shingle width must be >= 1")
+    val toks = split(lower(trim(text)), "\\s+")
+    val m = size(toks) - (n - 1)
+    val shingles = array_distinct(
+      when(m >= 1, transform(sequence(lit(1), m), i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+    simhashOfHashes(transform(shingles, s =>
+      shiftleft(graft.functions.RollingHash(s), 30)
+        .bitwiseOR(graft.functions.RollingHash(reverse(s)))))
+  }
+
+  /** Shared bit-vote fold: per bit, sum +1/−1 votes across the
+    * (distinct) feature hashes; bit set if the vote is positive.
+    * No shuffle, no UDF.
+    */
+  private def simhashOfHashes(hashes: Column): Column = {
     val votes = aggregate(
       hashes,
       array_repeat(lit(0L), SimhashBits),
@@ -382,32 +410,70 @@ object Dedup {
     * (r12 — the simhash sibling of `Multimodal.phashNearDup`): the
     * 60-bit fingerprint splits into `nBands` equal bands; by
     * pigeonhole any pair within `maxHamming ≤ nBands − 1` bits
-    * agrees on at least one full band, so the band equi-join is a
-    * COMPLETE candidate generator at that radius, and the exact
-    * `bit_count` verify keeps only true matches. Scale shape: one
-    * map pass emits nBands (band, key) rows per doc; the only wide
-    * op is the band-bucket equi-join (never an all-pairs product);
-    * verification touches candidate pairs only.
+    * agrees on at least one full band, so with `maxBucket`
+    * unlimited the band equi-join is a COMPLETE candidate generator
+    * at that radius, and the exact `bit_count` verify keeps only
+    * true matches. Scale shape: one map pass emits nBands
+    * (band, key) rows per doc; the only wide op is the band-bucket
+    * equi-join (never an all-pairs product); verification touches
+    * candidate pairs only.
+    *
+    * r13 hardening: `maxBucket` caps hot (band, key) buckets (see
+    * inline note — completeness becomes per-band best-effort, work
+    * becomes linear-in-N guaranteed) and `shingle > 1` switches the
+    * fingerprint to [[simhashShingled]], whose word-order-aware
+    * features keep templated corpora from collapsing into
+    * hamming-0 clumps in the first place.
     */
   def simhashNearDup(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      nBands: Int = 4
+      nBands: Int = 4,
+      maxBucket: Int = Int.MaxValue,
+      shingle: Int = 1
   ): DataFrame = {
-    require(SimhashBits % nBands == 0, s"$nBands bands must divide $SimhashBits bits")
+    simhashNearDupFromBands(
+      simhashBands(docs, textCol, idCol, nBands, shingle),
+      maxHamming, nBands, maxBucket)
+  }
+
+  /** [[simhashNearDup]] over an already-materialized
+    * [[simhashBands]] frame — callers that also need bucket stats
+    * (the eval rows) fingerprint once and reuse the frame.
+    */
+  private[graft] def simhashNearDupFromBands(
+      banded: DataFrame,
+      maxHamming: Int,
+      nBands: Int,
+      maxBucket: Int
+  ): DataFrame = {
     require(maxHamming < nBands,
       s"pigeonhole needs maxHamming ($maxHamming) < nBands ($nBands)")
-    val bandBits = SimhashBits / nBands
-    val mask = (1L << bandBits) - 1
-    val sh = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .select(col("doc_id"), col("sh"), col("band"),
-        call_function("shiftright", col("sh"),
-          (col("band") * bandBits).cast("int")).bitwiseAND(mask).as("key"))
-    banded.as("a").join(banded.as("b"),
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) below 2 generates no pairs")
+    // Hot-bucket cap (r13, the standard LSH convention — the E4
+    // df≤100 / E22 distinct-name precedents): a (band, key) bucket
+    // wider than `maxBucket` is dropped from candidate GENERATION in
+    // that band. On templated corpora a collapsed fingerprint
+    // otherwise makes one bucket quadratic — a straggler task that
+    // never finishes at 100 TB. The cap bounds per-bucket work to
+    // maxBucket² and total candidates to maxBucket·nBands·N (linear
+    // in N). It is stated SEMANTICS, not a silent heuristic:
+    // generation is no longer pigeonhole-complete at the radius —
+    // pairs inside a dropped bucket surface only via their other
+    // bands — and [[simhashDroppedBuckets]] reports exactly what was
+    // dropped (the eval rows emit it under the oracle hash). The
+    // width window shuffles on the same (band, key) the self-join
+    // hashes on, so the cap adds no extra exchange of the wide data.
+    val capped =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))
+        banded.withColumn("_bw", count(lit(1)).over(w))
+          .filter(col("_bw") <= maxBucket).drop("_bw")
+      }
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -415,6 +481,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** (doc_id, sh, band, key) band rows for [[simhashNearDup]] —
+    * `shingle = 1` uses the unigram [[simhash]]; `shingle = n > 1`
+    * uses [[simhashShingled]] and excludes docs with an empty
+    * shingle set (they would all collide at fingerprint 0, one
+    * giant artificial bucket — the minhashLsh sentinel convention).
+    */
+  private[graft] def simhashBands(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBands: Int,
+      shingle: Int = 1
+  ): DataFrame = {
+    require(SimhashBits % nBands == 0, s"$nBands bands must divide $SimhashBits bits")
+    require(shingle >= 1, "shingle width must be >= 1")
+    val bandBits = SimhashBits / nBands
+    val mask = (1L << bandBits) - 1
+    val fp =
+      if (shingle <= 1) simhash(col(textCol))
+      else simhashShingled(col(textCol), shingle)
+    val base = docs.select(col(idCol).as("doc_id"), fp.as("sh"),
+      size(split(lower(trim(col(textCol))), "\\s+")).as("_ntok"))
+    val sh =
+      (if (shingle <= 1) base else base.filter(col("_ntok") >= shingle)).drop("_ntok")
+    sh.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("doc_id"), col("sh"), col("band"),
+        call_function("shiftright", col("sh"),
+          (col("band") * bandBits).cast("int")).bitwiseAND(mask).as("key"))
+  }
+
+  /** Per-band count of (band, key) buckets wider than `maxBucket` —
+    * the "logged, not silent" face of [[simhashNearDup]]'s cap: the
+    * eval rows emit this next to the recall numbers so a capped run
+    * states exactly how much generation it gave up.
+    */
+  def simhashDroppedBuckets(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBands: Int,
+      maxBucket: Int,
+      shingle: Int = 1
+  ): DataFrame =
+    simhashBands(docs, textCol, idCol, nBands, shingle)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") > maxBucket)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_dropped_buckets"),
+        coalesce(sum(col("w")), lit(0L)).as("dropped_width"))
 
   /** Connected components over near-dup pairs → dedup groups: each
     * node labeled with the minimum doc id reachable from it.

@@ -259,7 +259,19 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int
-  ): DataFrame = {
+  ): DataFrame = kmeansModel(df, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansAssign]] plus the centroid matrix that PRODUCED the
+    * final assignment — the trained coarse quantizer
+    * [[ivfAnnTrained]] probes with (cluster i ∈ 1..k ↔ row i−1).
+    */
+  private[graft] def kmeansModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): (DataFrame, Seq[Seq[Double]]) = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // Deterministic seeding: the k lowest-id vectors (k rows to the
@@ -271,8 +283,8 @@ object Similarity {
     // rather than failing — day-one and thin-partition inputs are
     // normal at scale, not errors.
     if (centroids.isEmpty)
-      return base.withColumn("cluster", lit(0L)).withColumn("score", lit(0.0))
-        .withColumn("scores", array().cast("array<double>")).limit(0)
+      return (base.withColumn("cluster", lit(0L)).withColumn("score", lit(0.0))
+        .withColumn("scores", array().cast("array<double>")).limit(0), Seq.empty)
     val effK = centroids.size
     def assigned = {
       val mat = typedlit(centroids)
@@ -296,7 +308,75 @@ object Similarity {
           "seed vectors do not spread over this data")
       centroids = (1 to effK).map(i => cents(i.toLong))
     }
-    assigned.select(col("id"), col("vec"), col("cluster"), col("score"), col("scores"))
+    (assigned.select(col("id"), col("vec"), col("cluster"), col("score"), col("scores")),
+      centroids)
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer (r13): cells are
+    * [[kmeans]]'s final Lloyd assignment and the probe centroids
+    * are the matrix that produced it — versus [[ivfAnn]]'s
+    * label-derived cells, whose per-label centroids need not
+    * reflect the embedding geometry at all (the r12 `sim_ivf_eval`
+    * row measured 28% recall for label cells at nprobe=2 on this
+    * corpus; geometric cells are what IVF actually ships with).
+    * Deterministic end-to-end (lowest-id seeding, 4-dp rounding,
+    * index tie-breaks) → fully SQL-oracled like [[ivfAnn]].
+    *
+    * Scale shape: training is [[kmeans]]'s (map-only assignment +
+    * k·dim-wide aggregate per iteration); search is the [[ivfAnn]]
+    * plan — k·dim centroids broadcast, probe assignment a broadcast
+    * nested-loop over that tiny table, exact scoring a broadcast
+    * join on cell id. The base table never shuffles end-to-end.
+    */
+  def ivfAnnTrained(
+      base: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      nprobe: Int,
+      topK: Int
+  ): DataFrame = {
+    val (assigned, cents) = kmeansModel(base, idCol, vecCol, k, iters)
+    ivfSearchTrained(
+      assigned.select(col("cluster"), col("id").as("base_id"), col("vec").as("bv")),
+      cents, queries, idCol, vecCol, nprobe, topK)
+  }
+
+  /** Search stage of [[ivfAnnTrained]] over an ALREADY-TRAINED model
+    * — `cells` = (cluster, base_id, bv), `cents` = the centroid
+    * matrix (row i ↔ cluster i+1). Separated so an eval sweeping
+    * nprobe trains once and probes many times.
+    */
+  private[graft] def ivfSearchTrained(
+      cells: DataFrame,
+      cents: Seq[Seq[Double]],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      topK: Int
+  ): DataFrame = {
+    require(cents.nonEmpty, "ivf search needs a non-empty centroid model")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("cluster", "cvec")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cscore", round(cosine(col("qv"), col("cvec")), 4))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("base_id"))
+    cells.join(broadcast(probes), Seq("cluster"))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("bv")), 4))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("base_id"), col("score"), col("rank"))
   }
 
   /** Simplified (centroid) silhouette per cluster — the clustering

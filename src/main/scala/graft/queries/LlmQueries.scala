@@ -37,7 +37,7 @@ object LlmQueries {
     * `unicode('')` is -1 in the oracle engine while an empty string
     * contributes nothing on the Spark side).
     */
-  private def rollingSql(e: String): String =
+  private[queries] def rollingSql(e: String): String =
     s"""(CASE WHEN $e = '' THEN CAST(0 AS BIGINT) ELSE
        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(regexp_split_to_array($e, ''),
@@ -380,7 +380,12 @@ object LlmQueries {
       nprobe = 2, k = 5)
   }
 
-  val simIvfAnnSql: String = {
+  val simIvfAnnSql: String = ivfAnnSqlAt(2)
+
+  /** The F4 label-cell IVF SQL parameterized by nprobe — the r13
+    * `sim_ivf_eval2` row sweeps nprobe ∈ {1,2,4} over it.
+    */
+  private[queries] def ivfAnnSqlAt(nprobe: Int): String = {
     def cosSql(a: String, b: String): String =
       s"""(list_sum(list_transform(list_zip($a, $b),
          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -400,7 +405,7 @@ object LlmQueries {
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY round(${cosSql("q.qv", "c.cvec")}, 4) DESC, c.clabel) AS crank
        |    FROM q, cents c) x
-       |  WHERE crank <= 2),
+       |  WHERE crank <= $nprobe),
        |scored AS (
        |  SELECT a.query_id, b.vec_id AS base_id,
        |    round(${cosSql("q.qv", "b.embedding")}, 4) + 0 AS score

@@ -172,6 +172,33 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, Seq("version"))
   }
 
+  test("list-cache prints the get_cache_stats footer: per-release counts + bytes, totals") {
+    import graft.`export`.{CacheKey, CountryCache}
+    import spark.implicits._
+    val dir = tmp()
+    val cache = new CountryCache(spark, s"$dir/cache")
+    cache.put(CacheKey("KEN", "places", "place", "2026-01"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "2026-08-16")
+    cache.put(CacheKey("TZA", "places", "place", "2026-01"),
+      Seq((3L, "c")).toDF("id", "name"), "2026-08-16")
+    cache.put(CacheKey("KEN", "places", "place", "2026-02"),
+      Seq((4L, "d")).toDF("id", "name"), "2026-08-16")
+    val st = cache.stats()
+    assert(st.entries == 3 && st.countries == 2 && st.releases == 2)
+    assert(st.totalBytes > 0)
+    assert(st.perRelease.map(r => (r._1, r._2)) == Seq(("2026-01", 2), ("2026-02", 1)))
+    assert(st.perRelease.map(_._3).sum == st.totalBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(spark, Seq("list-cache", s"$dir/cache"))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("[cache-stats] release=2026-01 entries=2"))
+    assert(text.contains("[cache-stats] release=2026-02 entries=1"))
+    assert(text.contains(
+      s"[cache-stats] releases=2 countries=2 entries=3 total_bytes=${st.totalBytes}"))
+  }
+
   test("run verb executes any registry query and writes the result") {
     val dir = tmp()
     Cli.run(spark, Seq("run", "q1_pricing", sfDir, s"$dir/q1.parquet"))

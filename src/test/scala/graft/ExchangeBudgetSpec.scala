@@ -158,6 +158,20 @@ class ExchangeBudgetSpec extends SparkSpec {
     // F18: the F1 topk window + F4's centroid agg/assignment/in-cell
     // rank + the 50-row eval join; query set and centroids broadcast
     "sim_ivf_eval" -> ((8, 3)),
+    // E36 (r13): TWO full capped simhash variants (per variant: the
+    // (band,key) width-window + self-join share one hash exchange
+    // budgeted as its parts, truth join, dropped-bucket agg, three
+    // 1-row total joins); candidates are cap-bounded so every
+    // exchange moves pair/agg-sized rows
+    "dd_simhash_eval2" -> ((18, 6)),
+    // F19 (r13): SIX IVF searches (label ×3 nprobe + trained ×3) +
+    // the F1 exact side + six 50-row eval joins; centroids, probe
+    // sets and query vectors all broadcast, base scans never shuffle
+    "sim_ivf_eval2" -> ((42, 18)),
+    // E37 (r13): the two-batch replay runs EAGERLY at stage time
+    // (H20 convention); the registered plan is two (batch,lang)
+    // aggregates over the staged kept-id parquet joined to documents
+    "dd_incremental" -> ((2, 2)),
     // A28: one (layer, grp) aggregate over the exploded combined
     // FeatureCollection
     "exp_geojson_multilayer" -> ((1, 0)),

@@ -159,4 +159,64 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 2, nBands = 7)
     }
   }
+
+  test("simhashNearDup hot-bucket cap bounds candidate width on a collapsed-fingerprint corpus") {
+    // 200 docs sharing one vocabulary in shuffled orders: the unigram
+    // fingerprint is ORDER-BLIND, so all 200 collapse to ONE
+    // fingerprint — the templated-corpus failure mode. Uncapped
+    // that is 200·199/2 = 19 900 pairs from a single quadratic
+    // bucket per band; the cap must drop the hot buckets entirely.
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val templated = (1L to 200L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, r.shuffle(words.toSeq).mkString(" "))
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.simhashNearDup(templated, "text", "doc_id",
+      maxHamming = 3, nBands = 4)
+    assert(uncapped.count() == 19900L, "order-blind fingerprint must collapse the corpus")
+    val capped = Dedup.simhashNearDup(templated, "text", "doc_id",
+      maxHamming = 3, nBands = 4, maxBucket = 100)
+    assert(capped.count() == 0L, "every bucket is 200 wide; the cap must drop them all")
+    // the drop is reported, not silent: 4 bands × 1 bucket each
+    val dropped = Dedup.simhashDroppedBuckets(templated, "text", "doc_id",
+      nBands = 4, maxBucket = 100).head()
+    assert(dropped.getLong(0) == 4L && dropped.getLong(1) == 800L)
+    // per-bucket candidate width is provably bounded at any corpus
+    // size: with the cap no (band,key) group exceeds maxBucket rows
+    val widths = Dedup.simhashBands(templated, "text", "doc_id", nBands = 4)
+      .groupBy($"band", $"key").count()
+    assert(widths.filter($"count" > 100).count() == 4L)
+    // a below-cap near-dup cluster still pairs up under the cap
+    val mixed = templated.unionByName(
+      Seq((1001L, "entirely different payload text one two three"),
+        (1002L, "entirely different payload text one two three"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.simhashNearDup(mixed, "text", "doc_id",
+        maxHamming = 3, nBands = 4, maxBucket = 100)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1001L, 1002L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(templated, "text", "doc_id", maxBucket = 1)
+    }
+  }
+
+  test("simhashShingled separates reordered template fills the unigram hash cannot") {
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "dog the lazy over jumps fox brown quick the tonight" // same words, reordered
+    val df = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+    val uni = df.select(Dedup.simhash($"text")).collect().map(_.getLong(0))
+    assert(uni(0) == uni(1), "unigram fingerprint is order-blind by construction")
+    val sh = df.select(Dedup.simhashShingled($"text", 3)).collect().map(_.getLong(0))
+    assert(sh(0) == sh(2), "identical texts must agree")
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(1)) > 3,
+      "reordered text must separate beyond the radius under shingles")
+    // short/empty docs: empty shingle set -> fingerprint 0, and the
+    // banded operator excludes them instead of clumping at key 0
+    val shorts = Seq((1L, "two words"), (2L, ""), (3L, "one")).toDF("doc_id", "text")
+    assert(shorts.select(Dedup.simhashShingled($"text", 3)).collect()
+      .forall(_.getLong(0) == 0L))
+    assert(Dedup.simhashNearDup(shorts, "text", "doc_id",
+      maxHamming = 3, nBands = 4, shingle = 3).count() == 0L)
+  }
 }

@@ -120,4 +120,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 64L))
     assert(out.forall(_.getDouble(1) >= 0.0))
   }
+
+  test("ivfAnnTrained: nprobe=k degrades to exact brute force; recall grows with nprobe") {
+    val base = tables.embeddings
+    val queries = base.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("base_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(base, queries, "vec_id", "embedding", k = 5))
+    // probing every trained cell = a full scan: must equal brute force
+    val full = pairs(Similarity.ivfAnnTrained(base, queries, "vec_id", "embedding",
+      k = 8, iters = 2, nprobe = 8, topK = 5))
+    assert(full == exact, "nprobe=k trained IVF must reproduce the exact top-k")
+    val r1 = (pairs(Similarity.ivfAnnTrained(base, queries, "vec_id", "embedding",
+      k = 8, iters = 2, nprobe = 1, topK = 5)) intersect exact).size
+    val r4 = (pairs(Similarity.ivfAnnTrained(base, queries, "vec_id", "embedding",
+      k = 8, iters = 2, nprobe = 4, topK = 5)) intersect exact).size
+    assert(r1 <= r4, s"recall must be monotone in nprobe ($r1 > $r4)")
+    assert(r4 > 0, "degenerate fixture: nprobe=4 recalled nothing")
+  }
 }
