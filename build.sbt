@@ -38,4 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // r13: one JVM JIT-compiles ~385 distinct codegen-heavy queries per
+  // sweep; the JDK-17 default ReservedCodeCacheSize (240 MB) forces
+  // code-cache sweeps that deoptimize hot loops mid-run (measured as
+  // 4-10x per-query swings between sweeps on the media/codec rows).
+  // 512 MB holds the whole sweep's compiled code.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))

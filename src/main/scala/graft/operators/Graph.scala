@@ -65,37 +65,54 @@ object Graph {
   ): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    // Loop-INVARIANT state is attached/partitioned once, outside the
+    // iteration (r13 optimization pass, guide §2.4):
+    //  - out_w rides ON the edge row, so the per-iteration plan loses
+    //    its outW join (it re-joined an identical aggregate every
+    //    round);
+    //  - the joined edge table is checkpointed HASH-PARTITIONED ON
+    //    `src`, so each iteration's rank join exchanges only the
+    //    node-sized rank table — the edge-sized exchange per round is
+    //    gone (2 edge shuffles/iter -> 1 node shuffle + the
+    //    fundamental dst aggregation);
+    //  - danglingness is static: it becomes a flag on the rank row,
+    //    replacing the per-iteration anti-join (two exchanges) with a
+    //    filter+aggregate over the node-sized rank table.
+    val outW = eRaw.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val e = eRaw.join(outW, "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = eRaw.select(col("src").as("node"), lit(1L).as("o"))
+      .union(eRaw.select(col("dst").as("node"), lit(0L).as("o")))
+      .groupBy(col("node")).agg(max(col("o")).as("has_out"))
+      .select(col("node"), (col("has_out") === 0L).as("dangling"))
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val basePart = ((RankFx * (dampDen - dampNum)) / dampDen) / n
 
-    var ranks = nodes.select(col("node"), lit(RankFx / n).as("r_fx"))
+    var ranks = nodes.select(col("node"), col("dangling"), lit(RankFx / n).as("r_fx"))
     for (i <- 1 to iters) {
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outW, "src")
+        .join(ranks.select(col("node").as("src"), col("r_fx")),
+          "src")
         .select(col("dst").as("node"),
           expr("(r_fx * w) div out_w").as("c_fx"))
       val sums = contribs.groupBy(col("node")).agg(sum(col("c_fx")).as("sum_fx"))
-      // Dangling mass: a 1-row aggregate, broadcast back in-plan —
-      // no per-iteration driver round-trip.
-      val dang = ranks
-        .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+      // Dangling mass: a 1-row aggregate over the flagged rank rows,
+      // broadcast back in-plan — no per-iteration driver round-trip,
+      // no per-iteration anti-join.
+      val dang = ranks.filter(col("dangling"))
         .agg(coalesce(sum(col("r_fx")), lit(0L)).as("dang_fx"))
       ranks = nodes
         .join(sums, Seq("node"), "left")
         .na.fill(0L, Seq("sum_fx"))
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("dangling"),
           (lit(basePart) +
             expr(s"($dampNum * (sum_fx + dang_fx div ${n}L)) div $dampDen"))
             .as("r_fx"))
@@ -105,7 +122,7 @@ object Graph {
       // dominates small graphs.
       if (i % 2 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("node"), col("r_fx"))
   }
 
   /** Weighted eigenvector centrality by max-normalized power
@@ -141,6 +158,11 @@ object Graph {
       iters: Int = 4
   ): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // (r13 note: an edge table checkpointed hash-partitioned on `src`
+    // was measured here and REJECTED — the per-iteration rank table
+    // broadcasts below the 10 MB threshold, so no edge exchange
+    // exists to remove and the extra build exchange was pure cost;
+    // the layout only pays once ranks outgrow broadcast range.)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))

@@ -946,7 +946,10 @@ object LlmQueries {
     */
   def mmDecodeStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // r13: spread the (id, text) rows across cores before the per-id
+    // PNG encode (single-input-split serialization; the K7 lesson).
     val docs = t.documents.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val staged = {
       val spark2 = spark
       val schema = org.apache.spark.sql.types.StructType(Seq(

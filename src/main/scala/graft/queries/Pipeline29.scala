@@ -94,26 +94,30 @@ object Pipeline29 {
     */
   def ddPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // Shingle ONCE: both the doc-freq pass and the profile join read
-    // this materialized set (pre-fix the corpus was tokenized twice —
-    // the dominant scan cost in BENCH_STAGES_r08).
+    // Shingle ONCE — and as 64-bit xxhash values, not strings (r13,
+    // guide §2.3 "shuffle keys, not payloads"): NgramXxHashes is the
+    // E9-decontamination convention (hash equality == shingle-string
+    // equality at 2⁻⁶⁴ collision odds, native codegen'd) and every
+    // downstream exchange — the doc-frequency agg, the profile
+    // build, the prefix-postings self-join AND the verification
+    // array fetch — now moves 8-byte keys where it moved ~25-byte
+    // shingle strings (measured 163 MB -> 75 MB total shuffle at
+    // sf0.1). The (df, h) global order is a valid AllPairs prefix
+    // order (any consistent total order is); the oracle stays the
+    // exact string-shingle SQL.
     val sh = t.documents
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
-      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(t) - 2), " +
-            "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))).as("s"))
+        explode(graft.functions.NgramXxHashes(col("text"), 3)).as("h"))
       .localCheckpoint(true)
-    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // One doc-keyed agg yields profile array, size, and the AllPairs
-    // prefix (first n − ⌈0.6·n⌉ + 1 shingles in (df, s) order) —
+    // prefix (first n − ⌈0.6·n⌉ + 1 shingles in (df, h) order) —
     // replaces the former sizes agg + per-doc rank window + join.
-    val profiles = sh.join(dfc, Seq("s"))
+    val profiles = sh.join(dfc, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("dfs"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dfs"))
       .select(col("doc_id"),
-        transform(col("dfs"), x => x.getField("s")).as("ss"),
+        transform(col("dfs"), x => x.getField("h")).as("ss"),
         size(col("dfs")).cast("long").as("n"))
       .withColumn("pref",
         slice(col("ss"), lit(1), expr("CAST(n - (6 * n + 9) div 10 + 1 AS INT)")))
@@ -121,6 +125,8 @@ object Pipeline29 {
     val pref = profiles
       .select(col("doc_id"), col("n"), posexplode(col("pref")).as(Seq("p0", "s")))
       .withColumn("pos", col("p0").cast("long") + 1L).drop("p0")
+    // (`s` below is the 8-byte shingle hash; the join/verify shapes
+    // are unchanged from the string formulation.)
     // Candidate stage: prefix-postings self-join with the LENGTH
     // filter inline, then the POSITIONAL filter on the pair agg
     // (which replaces the former bare distinct — same shuffle, more

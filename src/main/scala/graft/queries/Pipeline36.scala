@@ -107,12 +107,17 @@ object Pipeline36 {
           case None => absorb.otherwise(tail)
         }
       }
+      // No checkpoint here (r13): every p-vector except p1 has exactly
+      // ONE consumer, so an eager barrier per matrix-vector step paid
+      // 10 extra jobs per run for nothing — the vectors are
+      // type-vocabulary-bounded (≤ n_types rows) at ANY corpus scale,
+      // and the chain above them reads only the checkpointed counts.
+      // p1 (5 consumers) is checkpointed at its definition below.
       joined.withColumn("pdv", pd)
         .groupBy(col("src_type"))
         .agg(sum(col("cnt") * col("pdv")).as("num"))
         .join(broadcast(tot), Seq("src_type"))
         .select(col("src_type").as("state"), expr("num div tot").as("p"))
-        .localCheckpoint(true)
     }
 
     /** start-weighted reach (ppm) of a p₃ vector, with starts at
@@ -130,10 +135,13 @@ object Pipeline36 {
         .select(expr("num div u").as("reach_ppm"))
     }
 
-    val p1 = step(None, None) // removal-invariant: purchase-only terms
+    // removal-invariant: purchase-only terms; read by the full chain
+    // AND all four removal chains — the one p-vector worth a barrier
+    val p1 = step(None, None).localCheckpoint(true)
     val p2Full = step(Some(p1), None)
     val p3Full = step(Some(p2Full), None)
-    val full = reach(p3Full, None)
+    // read by all four removal branches' outputs
+    val full = reach(p3Full, None).localCheckpoint(true)
 
     val rows = channels.map { c =>
       val p2c = step(Some(p1), Some(c))

@@ -32,7 +32,13 @@ object Pipeline62 {
     */
   private[queries] def stagedImages(t: Tables, format: String): DataFrame = {
     val spark = t.documents.sparkSession
+    // r13: the 8-byte id list inherits the source's (single) input
+    // split, serializing every encode into one task — spread it
+    // across the executor cores first (the K7 stagedPairs lesson;
+    // guide §2.5 input skew). At lake scale inputs have native
+    // splits and this exchange moves only ids.
     val ids = t.documents.select(col("doc_id").cast("long").as("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),

@@ -23,6 +23,12 @@ object Pipeline66 {
     */
   private[queries] def stagedWavs(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
+    // (r13 note: spreading this id list across cores — the K7
+    // staging lesson — was measured and REVERTED here: javax.sound's
+    // AudioSystem writer path serializes on a global provider lock,
+    // so 32 concurrent encoders only added contention — task time
+    // 1.2 s -> 145 s, wall 0.5 s -> 2.7 s. The single-split encode
+    // stage is the faster shape for THIS codec.)
     val ids = t.documents.select(col("doc_id").cast("long").as("doc_id"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",

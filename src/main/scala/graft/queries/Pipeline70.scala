@@ -23,7 +23,10 @@ object Pipeline70 {
     */
   private[queries] def stagedAvis(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
+    // r13: spread the id list across cores before the per-id AVI
+    // encode (single-input-split serialization; the K7 lesson).
     val ids = t.documents.select(col("doc_id").cast("long").as("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),

@@ -62,25 +62,43 @@ object Pipeline72 {
     ranked.zipWithIndex.foreach { case ((_, u, v), r) =>
       sgn(v)(u) = if (r < 32) -1.0 else 1.0
     }
-    val field = Array.tabulate(h, w) { (y, x) =>
-      var s = 0.0
-      var v = 0
-      while (v < 8) {
-        var u = 0
-        while (u < 8) {
-          if (u != 0 || v != 0) s += sgn(v)(u) * cw(u)(x) * ch(v)(y)
-          u += 1
+    // r13 per-task-work pass (guide §1.2 step 2): the field build was
+    // an Array.tabulate over a (y, x) closure and the peak scan a
+    // boxed-iterator fold — together the top JFR hotspot of the mm
+    // rows (boxing every Double). Flat array + while loops, SAME
+    // accumulation order (v outer, u inner), so every pixel value is
+    // bit-identical to the tabulate form.
+    val field = new Array[Double](h * w)
+    var peak0 = 0.0
+    locally {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              if (u != 0 || v != 0) s += sgn(v)(u) * cw(u)(x) * ch(v)(y)
+              u += 1
+            }
+            v += 1
+          }
+          field(y * w + x) = s
+          val a = math.abs(s)
+          if (a > peak0) peak0 = a
+          x += 1
         }
-        v += 1
+        y += 1
       }
-      s
     }
     // Per-image gain normalization: map the field's own peak to ±112
     // so NO pixel ever clips — clipping is a resolution-dependent
     // nonlinearity that corrupted the tail of the intra-pair hamming
     // distribution (measured up to 22 bits before this), while a pure
     // gain is exactly what median-sign thresholding is invariant to.
-    val peak = field.iterator.map(_.iterator.map(math.abs).max).max max 1e-9
+    val peak = peak0 max 1e-9
     val scale = 112.0 / peak
     val quality = if (fmt == "jpg") 0.9 else -1.0
     // r12 widened distortion family. Gamma: p' = 255·(p/255)^γ — a
@@ -95,14 +113,28 @@ object Pipeline72 {
     def noiseAt(x: Int, y: Int): Double =
       if (noiseAmp == 0.0) 0.0
       else noiseAmp * ((mix(g ^ 0x5DEECE66DL, x, y).toDouble / Long.MaxValue) * 2.0 - 1.0)
-    Multimodal.ImageIo.encode(w, h, fmt, quality) { (x, y, _) =>
-      val p = 128.0 + scale * field(y)(x) + noiseAt(x, y)
-      val clamped = math.max(0.0, math.min(255.0, p))
-      val toned =
-        if (gamma == 1.0) clamped
-        else 255.0 * math.pow(clamped / 255.0, gamma)
-      toned.round.toInt
+    // Precompute the gray plane ONCE: the encode callback is invoked
+    // per (pixel, band) — 3x per pixel for the RGB raster — and the
+    // tone math (math.pow under gamma) was re-evaluated each time.
+    // Same expression per pixel, so the encoded bytes are unchanged.
+    val plane = new Array[Int](h * w)
+    locally {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = 128.0 + scale * field(y * w + x) + noiseAt(x, y)
+          val clamped = math.max(0.0, math.min(255.0, p))
+          val toned =
+            if (gamma == 1.0) clamped
+            else 255.0 * math.pow(clamped / 255.0, gamma)
+          plane(y * w + x) = toned.round.toInt
+          x += 1
+        }
+        y += 1
+      }
     }
+    Multimodal.ImageIo.encode(w, h, fmt, quality)((x, y, _) => plane(y * w + x))
   }
 
   /** Staged near-dup pairs with known ground truth. Per doc (group
@@ -179,7 +211,13 @@ object Pipeline72 {
     */
   def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // r13: checkpoint the hash table (the mm_phash_eval convention) —
+    // the a/b branches below are two scans of this subtree, so the
+    // un-checkpointed form re-rendered and re-hashed every staged
+    // image TWICE per run (measured 328 s task time per double run
+    // vs eval's 47 s for the same corpus).
     val hashes = Multimodal.phashes(stagedPairs(t), "media_id", "payload")
+      .localCheckpoint(true)
     val a = hashes.filter(col("media_id") % 4 === 0)
       .select((col("media_id") / 4).cast("long").as("group_id"),
         col("media_id").as("id_a"), col("phash").as("ph_a"))

@@ -694,7 +694,14 @@ object StreamQueries {
     val schema = eventsSchema(spark, dir)
     val raw = spark.readStream.schema(schema).parquet(stage.toString)
     val events = graft.Tables.normalizeTs(raw)
+    // r13 (guide §2.3): project BEFORE the dedup — the state store
+    // keys on event_id but buffered rows carry every column through
+    // the exchange, and the census below reads only (user_id, value).
+    // Dropping props/event_type here halves the dedup state and its
+    // shuffle bytes; the kept-one-copy-per-key semantics and the
+    // emitted aggregate are unchanged.
     val deduped = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val qName = "st_dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")

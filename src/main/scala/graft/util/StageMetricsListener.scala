@@ -38,6 +38,7 @@ final class StageMetricsListener extends SparkListener {
     var stages = 0
     var tasks = 0
     var taskTimeMs = 0L
+    var gcTimeMs = 0L
     var inputBytes = 0L
     var inputRecords = 0L
     var shuffleReadBytes = 0L
@@ -94,6 +95,7 @@ final class StageMetricsListener extends SparkListener {
       a.synchronized {
         a.tasks += 1
         a.taskTimeMs += m.executorRunTime
+        a.gcTimeMs += m.jvmGCTime
         a.inputBytes += m.inputMetrics.bytesRead
         a.inputRecords += m.inputMetrics.recordsRead
         a.shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
@@ -114,7 +116,8 @@ final class StageMetricsListener extends SparkListener {
     val entries = snapshot().toSeq.sortBy(_._1).map { case (g, a) =>
       val body = a.synchronized {
         s""""jobs":${a.jobs},"stages":${a.stages},"tasks":${a.tasks},""" +
-          s""""task_time_ms":${a.taskTimeMs},"input_bytes":${a.inputBytes},""" +
+          s""""task_time_ms":${a.taskTimeMs},"gc_time_ms":${a.gcTimeMs},""" +
+          s""""input_bytes":${a.inputBytes},""" +
           s""""input_records":${a.inputRecords},""" +
           s""""shuffle_read_bytes":${a.shuffleReadBytes},""" +
           s""""shuffle_write_bytes":${a.shuffleWriteBytes},""" +

@@ -537,7 +537,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     // channel a starts-side agg + totals, every exchanged row set
     // type-vocabulary-bounded, p-vectors/totals broadcast.
     "sim_silhouette" -> ((1, 0)),
-    "q_markov_removal" -> ((16, 20)),
+    // r13: the ten single-consumer p-vector checkpoints were dropped
+    // (jobs 122 -> 62 per double run) — the p2/p3 step chains now sit
+    // INLINE in the final plan, so their type-vocabulary-bounded
+    // broadcast builds (≤ n_event_types rows each) count here instead
+    // of hiding behind per-step materialization barriers. Audited:
+    // every added broadcast is a ≤5-row p-vector or totals table.
+    "q_markov_removal" -> ((16, 28)),
     // Batch 37: HITS half-steps are all checkpointed (the live plan
     // is two TakeOrdered heaps over the final score tables); the
     // KMV live plan is the pair-merge over checkpointed
