@@ -44,4 +44,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 4-10x per-query swings between sweeps on the media/codec rows).
   // 512 MB holds the whole sweep's compiled code.
   "-XX:ReservedCodeCacheSize=512m",
+  // Ad-hoc profiling passthrough (JFR etc.). Whitespace-split: option
+  // values containing spaces cannot be expressed — acceptable for a
+  // dev knob (r14, ADVICE).
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))

@@ -19,8 +19,22 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional per-RUN stage metrics (r14): SPARK_GRAFT_STAGES_OUT=<file>
+    // attaches the bench's StageMetricsListener with one group per run,
+    // so isolated A/Bs can read jobs/tasks/shuffle instead of trusting
+    // wall-clock noise. Off by default; graft.Bench is untouched.
+    val stagesOut = sys.env.get("SPARK_GRAFT_STAGES_OUT")
+    val listener = stagesOut.map { _ =>
+      val l = new graft.util.StageMetricsListener
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { i =>
+      listener.foreach { l =>
+        l.registerGroup(s"${name}_run$i")
+        spark.sparkContext.setJobGroup(s"${name}_run$i", name, interruptOnCancel = false)
+      }
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
@@ -28,6 +42,12 @@ object BenchOne {
       t
     }
     println(f"[benchone] $name min=${times.min}%.3f s")
+    stagesOut.foreach { p =>
+      spark.sparkContext.clearJobGroup()
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        listener.get.toJson.getBytes("UTF-8"))
+      println(s"[benchone] stages -> $p")
+    }
     spark.stop()
   }
 }

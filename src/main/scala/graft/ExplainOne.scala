@@ -25,6 +25,11 @@ object ExplainOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // NonFatal only (r14, ADVICE): a fatal error (OOM etc.) must not
+    // be swallowed mid-iteration, and ANY failed capture exits
+    // nonzero so a stale before/after plan artifact cannot pass
+    // unnoticed.
+    var nFailed = 0
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -33,10 +38,12 @@ object ExplainOne {
         Files.writeString(Paths.get(outDir, s"$name$suffix.txt"), txt)
         println(s"[explain] wrote $outDir/$name$suffix.txt")
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
+          nFailed += 1
           println(s"[explain] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

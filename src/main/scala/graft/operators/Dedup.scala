@@ -351,13 +351,26 @@ object Dedup {
     */
   val SimhashBits = 60
 
-  /** 60-bit SimHash over token hashes, as a single higher-order
-    * expression: per bit, sum +1/−1 votes across distinct tokens; bit
-    * set if the vote is positive. No shuffle, no UDF. Token hash =
-    * rolling(token) << 30 | rolling(reverse(token)) — reproducible in
-    * the SQL oracle, unlike xxhash64.
+  /** 60-bit SimHash over token hashes: per bit, sum +1/−1 votes
+    * across distinct tokens; bit set if the vote is positive. No
+    * shuffle, no UDF. Token hash = rolling(token) << 30 |
+    * rolling(reverse(token)) — reproducible in the SQL oracle,
+    * unlike xxhash64.
+    *
+    * r14: computed by the native codegen'd
+    * [[graft.functions.SimHash60]] (the MinHashSig/NgramXxHashes
+    * precedent) — the HOF `aggregate`/`zip_with` formulation
+    * allocated a 60-long vote array plus a 60-long `sequence` per
+    * FEATURE under interpreted lambdas; the expression is one tight
+    * loop with identical bits ([[simhashHof]] stays as the spec's
+    * reference implementation).
     */
-  def simhash(text: Column): Column =
+  def simhash(text: Column): Column = graft.functions.SimHash60(text, 1)
+
+  /** HOF reference formulation of [[simhash]] — kept for the
+    * native-vs-HOF equivalence spec only.
+    */
+  private[graft] def simhashHof(text: Column): Column =
     simhashOfHashes(transform(array_distinct(split(lower(trim(text)), "\\s+")), t =>
       shiftleft(graft.functions.RollingHash(t), 30)
         .bitwiseOR(graft.functions.RollingHash(reverse(t)))))
@@ -374,6 +387,16 @@ object Dedup {
     * them, as [[simhashNearDup]] does).
     */
   def simhashShingled(text: Column, n: Int = 3): Column = {
+    require(n >= 1, "shingle width must be >= 1")
+    // r14: native codegen'd expression (see [[simhash]]);
+    // [[simhashShingledHof]] is the spec's reference implementation.
+    graft.functions.SimHash60(text, n)
+  }
+
+  /** HOF reference formulation of [[simhashShingled]] — kept for the
+    * native-vs-HOF equivalence spec only.
+    */
+  private[graft] def simhashShingledHof(text: Column, n: Int = 3): Column = {
     require(n >= 1, "shingle width must be >= 1")
     val toks = split(lower(trim(text)), "\\s+")
     val m = size(toks) - (n - 1)
@@ -495,10 +518,7 @@ object Dedup {
       nBands: Int,
       shingle: Int = 1
   ): DataFrame = {
-    require(SimhashBits % nBands == 0, s"$nBands bands must divide $SimhashBits bits")
     require(shingle >= 1, "shingle width must be >= 1")
-    val bandBits = SimhashBits / nBands
-    val mask = (1L << bandBits) - 1
     val fp =
       if (shingle <= 1) simhash(col(textCol))
       else simhashShingled(col(textCol), shingle)
@@ -506,7 +526,19 @@ object Dedup {
       size(split(lower(trim(col(textCol))), "\\s+")).as("_ntok"))
     val sh =
       (if (shingle <= 1) base else base.filter(col("_ntok") >= shingle)).drop("_ntok")
-    sh.select(col("doc_id"), col("sh"),
+    simhashBandsFromFp(sh, nBands)
+  }
+
+  /** Band rows from an already-computed (doc_id, sh) fingerprint
+    * table — callers that sign several fingerprint VARIANTS in one
+    * corpus scan (the eval rows) band each variant from the shared
+    * 16-byte/doc table instead of re-signing per variant (r14).
+    */
+  private[graft] def simhashBandsFromFp(fp: DataFrame, nBands: Int): DataFrame = {
+    require(SimhashBits % nBands == 0, s"$nBands bands must divide $SimhashBits bits")
+    val bandBits = SimhashBits / nBands
+    val mask = (1L << bandBits) - 1
+    fp.select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .select(col("doc_id"), col("sh"), col("band"),
         call_function("shiftright", col("sh"),
@@ -580,12 +612,18 @@ object Dedup {
 
     def largeStar(e: DataFrame): DataFrame = {
       val w = Window.partitionBy($"x")
+      // No intermediate distinct (r14): the y > x filter keeps each
+      // canonical edge from exactly one direction, so the output is
+      // ≤ |e| rows WITH duplicates — never more — and smallStar's
+      // window-min and final distinct absorb (m, y) duplicates
+      // unchanged. The r13 shape paid a third per-round exchange
+      // (hash by (u, v)) purely to shrink rows the next window
+      // re-shuffles by v anyway.
       e.select($"u".as("x"), $"v".as("y"))
         .union(e.select($"v".as("x"), $"u".as("y")))
         .withColumn("m", least(min($"y").over(w), $"x"))
         .filter($"y" > $"x" && $"m" =!= $"y")
         .select($"m".as("u"), $"y".as("v"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -599,14 +637,17 @@ object Dedup {
 
     var rounds = 0
     var converged = edges.isEmpty
-    var count = if (converged) 0L else edges.count()
     while (!converged && rounds < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextCount = next.count()
-      // Exact fixed-point test: same cardinality and no new edges.
-      converged = nextCount == count && next.except(edges).isEmpty
+      // Exact fixed-point test in ONE action (r14 — replaces the
+      // per-round count() plus the count-gated except().isEmpty, 2-3
+      // driver jobs per round): both sides are DISTINCT canonical
+      // (u, v) sets, so next == edges iff every pair of their union
+      // appears exactly twice. Same fixed point, same round count.
+      converged = next.unionAll(edges)
+        .groupBy($"u", $"v").agg(count(lit(1)).as("_n"))
+        .filter($"_n" =!= 2).isEmpty
       edges = next
-      count = nextCount
       rounds += 1
     }
     // Fixed point = disjoint stars: every non-root appears exactly

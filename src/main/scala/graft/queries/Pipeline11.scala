@@ -153,17 +153,17 @@ object Pipeline11 {
     */
   def txRakeKeywords(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val toks = t.documents.select(col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-    val nonstop = toks.filter(!col("tok").isInCollection(RakeStopwords))
-    // Islands: consecutive positions share (pos - rank) within a doc.
-    val islands = nonstop.withColumn("grp",
-      col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val phraseOcc = islands.groupBy(col("doc_id"), col("grp"))
-      .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok), ' ')")
-        .as("phrase"),
-        count(lit(1)).as("plen"))
+    // r14 (guide §2.4): phrase occurrences are a PER-DOCUMENT fact,
+    // so they are computed map-side by the native codegen'd
+    // [[graft.functions.RakePhrases]] (one pass: stopword-split
+    // token runs). The r13 shape posexploded every corpus token
+    // through a per-doc row_number window + a (doc, grp) aggregate —
+    // two corpus-sized exchanges that exist at any scale — to state
+    // the same islands. Row-for-row identical phrases
+    // (RakePhrasesSpec pins the equivalence); oracle SQL unchanged.
+    val phraseOcc = t.documents
+      .select(explode(graft.functions.RakePhrases(col("text"), RakeStopwords)).as("p"))
+      .select(col("p.phrase").as("phrase"), col("p.plen").as("plen"))
     val phraseWords = phraseOcc
       .select(col("phrase"), col("plen"), explode(split(col("phrase"), " ")).as("tok"))
     val wordScores = phraseWords.groupBy(col("tok"))

@@ -101,8 +101,8 @@ object Pipeline29 {
     // downstream exchange — the doc-frequency agg, the profile
     // build, the prefix-postings self-join AND the verification
     // array fetch — now moves 8-byte keys where it moved ~25-byte
-    // shingle strings (measured 163 MB -> 75 MB total shuffle at
-    // sf0.1). The (df, h) global order is a valid AllPairs prefix
+    // shingle strings (measured 162.8 MB -> 93.7 MB total shuffle
+    // per double run at sf0.1, BENCH_STAGES r13). The (df, h) global order is a valid AllPairs prefix
     // order (any consistent total order is); the oracle stays the
     // exact string-shingle SQL.
     val sh = t.documents

@@ -47,8 +47,17 @@ object Pipeline37 {
       val mx = raw.agg(max(col("s"))).first().getLong(0)
       raw.select(col(outId), expr(s"(s * 1000000) div ${mx}L").as("sn"))
     }
-    val h0 = edges.select(col("u")).distinct().withColumn("sn", lit(1000000L))
-    val a1 = halfStep(h0, "u", "p")
+    // First half-step shortcut (r14): h0 assigns sn = 10⁶ to EVERY
+    // distinct u in the edge list, so edges⋈h0 keeps every edge and
+    // sum(sn) per p is exactly 10⁶·degree(p) — the distinct() and the
+    // join are loop-invariant dead weight (the SQL oracle has always
+    // stated a1r this way: count(*)·10⁶ per p). Identical integers,
+    // two fewer exchanges per run.
+    val raw1 = edges.groupBy(col("p"))
+      .agg((count(lit(1)) * 1000000L).as("s"))
+      .localCheckpoint(true)
+    val mx1 = raw1.agg(max(col("s"))).first().getLong(0)
+    val a1 = raw1.select(col("p"), expr(s"(s * 1000000) div ${mx1}L").as("sn"))
     val h1 = halfStep(a1, "p", "u")
     val a2 = halfStep(h1, "u", "p")
     val h2 = halfStep(a2, "p", "u")

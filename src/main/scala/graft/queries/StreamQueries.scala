@@ -513,20 +513,26 @@ object StreamQueries {
       Seq(stage.resolve("z_sentinel2.parquet") -> (base + 60000L)))
     stage
     })
-    def side(eventType: String, prefix: String) =
+    // r14 state-width pass (guide §2.3/§5): project to ONLY what the
+    // join condition and the final aggregate read BEFORE the
+    // watermark/state — the click side needs (user, ts), the error
+    // side (user, id, ts). The r13 shape also carried c_id, c_value
+    // and e_value through the state store and the sink for nothing.
+    def side(eventType: String, prefix: String, withId: Boolean) = {
+      val keep =
+        Seq(col("user_id").as(s"${prefix}_user")) ++
+          (if (withId) Seq(col("event_id").as(s"${prefix}_id")) else Nil) ++
+          Seq(col("ts").as(s"${prefix}_ts"))
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString)
         .transform(graft.Tables.normalizeTs(_))
         .filter(col("event_type") === eventType)
-        .select(
-          col("user_id").as(s"${prefix}_user"),
-          col("event_id").as(s"${prefix}_id"),
-          col("ts").as(s"${prefix}_ts"),
-          col("value").as(s"${prefix}_value"))
+        .select(keep: _*)
         .withWatermark(s"${prefix}_ts", "1 hour")
-    val pairs = side("click", "c").join(
-      side("error", "e"),
+    }
+    val pairs = side("click", "c", withId = false).join(
+      side("error", "e", withId = true),
       expr("c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + interval 1 hour"),
       "leftOuter")
     val qName = "st_ss_leftouter_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -211,13 +211,22 @@ object TransformQueries {
         transform(col("s"), e =>
           struct(e.getField("x").as("x"), e.getField("y").as("y"))).as("open"))
     val raw = concat(col("open"), slice(col("open"), 1, 1))
-    val valid = Geo.normalizeRing(raw)
+    // r14: the normalizeRing/polygonArea HOF chain is CodegenFallback
+    // (interpreted lambdas, ring re-walked per output column); the
+    // native single-pass graft.functions.RingStats computes
+    // (n_valid, signed area of the normalized ring) bit-identically
+    // inside whole-stage codegen — the WkbRingStats precedent, scoped
+    // to this row (the r13 staged-projection attempt was a proven
+    // plan no-op; this is the "real fix" it deferred).
+    val stats = graft.functions.RingStats(raw)
+    val area = stats.getField("area")
+    val nValid = stats.getField("n_valid")
     rings.select(
       col("user_id"),
       size(raw).cast("long").as("n_raw"),
-      size(valid).cast("long").as("n_valid"),
-      round(abs(Geo.polygonArea(valid)), 4).as("area_abs"),
-      Geo.ringIsValid(raw).cast("int").cast("long").as("is_valid"))
+      nValid.cast("long").as("n_valid"),
+      round(abs(area), 4).as("area_abs"),
+      (nValid >= 3 && abs(area) > 1e-9).cast("int").cast("long").as("is_valid"))
   }
 
   val trGeometryRulesSql: String = {

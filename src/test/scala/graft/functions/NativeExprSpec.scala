@@ -72,6 +72,69 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("RakePhrases matches the posexplode→window-islands→aggregate formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val stops = graft.queries.Pipeline11.RakeStopwords
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a the of"), // all stopwords -> zero phrases
+      (3L, ""), // empty text -> one empty-token phrase (split semantics)
+      (4L, "alpha beta the gamma the the delta epsilon zeta"),
+      (5L, "  leading and trailing   spaces the word  "),
+      (6L, "répétition çà the unicode phrase")
+    ).toDF("doc_id", "text")
+    // The r13 query shape, verbatim.
+    val toks = corpus.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val islands = toks.filter(!col("tok").isInCollection(stops))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val hof = islands.groupBy(col("doc_id"), col("grp"))
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok), ' ')")
+        .as("phrase"), count(lit(1)).as("plen"))
+      .select($"doc_id", $"phrase", $"plen")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    val native = corpus
+      .select($"doc_id", explode(RakePhrases(col("text"), stops)).as("p"))
+      .select($"doc_id", $"p.phrase", $"p.plen")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(hof == native)
+  }
+
+  test("RingStats matches the normalizeRing/polygonArea HOF chain bit-for-bit") {
+    import graft.operators.Geo
+    // Ring shapes the B11 pipeline actually produces (explicit
+    // closing vertex) plus the rule edge cases: consecutive dups, CW
+    // winding (reversal), degenerate (<3 vertices, collinear), and a
+    // messy many-vertex ring with irrational coordinates so the IEEE
+    // fold order is actually exercised.
+    val rings: Seq[Seq[(Double, Double)]] = Seq(
+      Seq((0, 0), (4, 0), (4, 3), (0, 3), (0, 0)).map(p => (p._1.toDouble, p._2.toDouble)),
+      Seq((0.0, 0.0), (0.0, 3.0), (4.0, 3.0), (4.0, 0.0), (0.0, 0.0)), // CW → reversed
+      Seq((1.0, 1.0), (1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (2.0, 2.0), (1.0, 1.0)), // dups
+      Seq((5.0, 5.0), (5.0, 5.0)), // collapses to one vertex
+      Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 0.0)), // collinear, area 0
+      Seq((7.25, -1.5)), // single vertex, no closing
+      (0 until 17).map(i => (math.cos(i * 0.7) * 3.1 + 0.01 * i, math.sin(i * 1.3) * 2.7))
+        .reverse :+ (math.cos(0.0) * 3.1, math.sin(0.0) * 2.7)
+    )
+    val df = rings.zipWithIndex.map { case (r, i) => (i.toLong, r) }.toDF("id", "raw0")
+      .select($"id", transform($"raw0", p =>
+        struct(p.getField("_1").as("x"), p.getField("_2").as("y"))).as("raw"))
+    val valid = Geo.normalizeRing($"raw")
+    val hof = df.select($"id",
+        size(valid).as("n_valid"), Geo.polygonArea(valid).as("area"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val stats = RingStats($"raw")
+    val native = df.select($"id",
+        stats.getField("n_valid").as("n_valid"), stats.getField("area").as("area"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // exact equality, including the reversed-ring re-fold order
+    assert(hof == native)
+  }
+
   test("WkbFromXY round-trips through WkbPointXY") {
     val pts = Seq((1.5, -2.25), (0.0, 0.0), (-179.9, 89.9)).toDF("x", "y")
     val rt = pts

@@ -103,6 +103,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native SimHash60 matches the HOF formulation on normal, short, empty, and messy docs") {
+    val mixed = corpus.union(Seq(
+      (10L, ""), (11L, "one"), (12L, "  Tabs\tand\nNEWLINES  mixed \t spacing today "),
+      (13L, "répétition unicode çà et là répétition unicode çà encore une fois"),
+      (14L, "a b a b a b a b"), // heavy in-doc duplication
+      (15L, "🦜 emoji 🦜 surrogate-pairs reversed 🦜 emoji test")
+    ).toDF("doc_id", "text"))
+    for (n <- Seq(1, 3)) {
+      val hof = mixed.select($"doc_id",
+        (if (n == 1) Dedup.simhashHof(col("text"))
+         else Dedup.simhashShingledHof(col("text"), n)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val native = mixed.select($"doc_id",
+        graft.functions.SimHash60(col("text"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hof == native, s"shingle=$n")
+    }
+  }
+
   test("simhash: identical texts same bits, near-dups close, unrelated far") {
     val fp = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
